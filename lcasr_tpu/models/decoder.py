@@ -1,0 +1,52 @@
+"""CTC decoder head with self-conditioning reprojection.
+
+Mirror of reference `lcasr/components/decoder.py:6-32` (ASRLinearSCDecoder):
+a `vocab+1` linear (blank = LAST id), log-softmax output, and a `reprojection`
+linear mapping posteriors back to d_model for inter-layer self-conditioning.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lcasr_tpu.ops.norms import get_norm
+
+
+class ASRLinearSCDecoder(nn.Module):
+    d_model: int
+    vocab_size: int  # without blank; num_classes = vocab_size + 1
+    norm: bool = False
+    norm_type: str = "layer_norm"
+    dtype: Any = jnp.float32
+
+    @property
+    def num_classes(self) -> int:
+        return self.vocab_size + 1
+
+    def setup(self):
+        self.norm_fn = (
+            get_norm(self.norm_type)(self.d_model, name="norm")
+            if self.norm
+            else None
+        )
+        self.ff = nn.Dense(self.num_classes, dtype=self.dtype, name="ff")
+        self.reprojection = nn.Dense(self.d_model, dtype=self.dtype, name="reprojection")
+
+    def apply_norm(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.norm_fn(x) if self.norm_fn is not None else x
+
+    def __call__(self, x: jnp.ndarray, logits: bool = False) -> jnp.ndarray:
+        x = self.apply_norm(x)
+        x = self.ff(x)
+        if not logits:
+            x = jax.nn.log_softmax(x.astype(jnp.float32), axis=-1).astype(x.dtype)
+        return x
+
+    def project_back(self, posteriors: jnp.ndarray) -> jnp.ndarray:
+        return self.reprojection(posteriors)
+
+    def integrate_projections(self, x: jnp.ndarray, proj: jnp.ndarray) -> jnp.ndarray:
+        return x + proj

@@ -1,0 +1,458 @@
+"""Pallas TPU flash attention: non-causal, length-masked, optionally windowed.
+
+This is the TPU-native replacement for FlashAttention-2 as the reference uses
+it (reference `lcasr/components/attention.py:167-257,448-551`):
+
+  * exact softmax attention, O(T) memory, bidirectional (non-causal),
+  * per-sequence key/query length masking replacing the unpad/cu_seqlens
+    varlen path (reference `:527-530`) — padded positions never contribute
+    and padded query rows return zeros (same contract as the jnp oracle),
+  * local window banding `(left, right)` for the windowed-attention eval mode
+    (reference `:321-328,466-475`), with out-of-band KV blocks skipped
+    entirely (block-sparse compute skip),
+  * fp32 online-softmax statistics, bf16/fp32 inputs,
+  * full custom-VJP backward (dq via kv-loop kernel, dk/dv via q-loop kernel),
+    exact at 120k+ query lengths.
+
+Grid layout: (batch, heads, q_blocks, kv_blocks) with the kv axis innermost
+("arbitrary" semantics) accumulating into VMEM scratch — q/kv tiles stream
+HBM→VMEM via the pallas pipeline, the (BQ, BK) score tile lives only in
+VMEM, and the MXU sees [BQ,D]x[D,BK] + [BQ,BK]x[BK,D] matmuls.  The log-sum-
+exp residual is stored compactly as (B, H, nQ, BQ) (one fp32 per query row).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _block_band_mask(q_start, k_start, block_q, block_k, window, kv_len):
+    """(BQ, BK) validity mask for one score tile: key-length + window band +
+    query-row padding (padded q rows fully masked → zero output rows)."""
+    left, right = window
+    rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    mask = (cols < kv_len) & (rows < kv_len)
+    if right >= 0:
+        mask &= cols <= rows + right
+    if left >= 0:
+        mask &= cols >= rows - left
+    return mask
+
+
+def _block_in_band(q_start, k_start, block_q, block_k, window, kv_len):
+    """Whole-tile skip predicate (block-sparse window skip)."""
+    left, right = window
+    in_band = k_start < kv_len
+    in_band = jnp.logical_and(in_band, q_start < kv_len)
+    if left >= 0:
+        in_band = jnp.logical_and(in_band, k_start + block_k - 1 >= q_start - left)
+    if right >= 0:
+        in_band = jnp.logical_and(in_band, k_start <= q_start + block_q - 1 + right)
+    return in_band
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+def _fwd_kernel(
+    lengths_ref,  # scalar-prefetch SMEM (B,)
+    q_ref,  # (1, 1, BQ, D)
+    k_ref,  # (1, 1, BK, D)
+    v_ref,  # (1, 1, BK, D)
+    o_ref,  # (1, 1, BQ, D)
+    lse_ref,  # (1, 1, BQ, 128) row-broadcast LSE (layout matches jax's own
+              # pallas flash attention l/m residuals: MIN_BLOCK_SIZE lanes)
+    acc_ref,  # VMEM scratch (BQ, D) f32
+    m_ref,  # VMEM scratch (BQ, 128) f32
+    l_ref,  # VMEM scratch (BQ, 128) f32
+    *,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    window: Tuple[int, int],
+    num_k_blocks: int,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q_start = qi * block_q
+    k_start = ki * block_k
+    kv_len = lengths_ref[b]
+
+    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len))
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)  # (BQ, D)
+        k = k_ref[0, 0].astype(jnp.float32)  # (BK, D)
+        v = v_ref[0, 0].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (BQ, BK)
+        mask = _block_band_mask(q_start, k_start, block_q, block_k, window, kv_len)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]  # (BQ, 1)
+        l_prev = l_ref[:, 0:1]
+        m_cur = s.max(axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = l_prev * corr + p.sum(axis=1, keepdims=True)
+
+        acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        l = l_ref[:, 0:1]
+        safe_l = jnp.where(l > 0.0, l, 1.0)
+        out = jnp.where(l > 0.0, acc_ref[:] / safe_l, 0.0)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+        lse = jnp.where(l > 0.0, m_ref[:, 0:1] + jnp.log(safe_l), NEG_INF)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, 128))
+
+
+def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention_bhtd(
+    q: jnp.ndarray,  # (B, H, T, D), T a multiple of the block sizes
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    lengths: jnp.ndarray,  # (B,) int32
+    window: Tuple[int, int],
+    scale: float,
+    block_q: int,
+    block_k: int,
+) -> jnp.ndarray:
+    o, _ = _fwd(q, k, v, lengths, window, scale, block_q, block_k)
+    return o
+
+
+def _fwd(q, k, v, lengths, window, scale, block_q, block_k):
+    B, H, T, D = q.shape
+    nQ, nK = T // block_q, T // block_k
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        scale=scale,
+        block_q=block_q,
+        block_k=block_k,
+        window=window,
+        num_k_blocks=nK,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, nQ, nK),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki, lens: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki, lens: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki, lens: (b, h, ki, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki, lens: (b, h, qi, 0)),
+                pl.BlockSpec(
+                    (1, 1, block_q, 128), lambda b, h, qi, ki, lens: (b, h, qi, 0)
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, D), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, T, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(lengths, q, k, v)
+    return o, lse  # lse kept in (B, H, T, 128) residual layout
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+def _bwd_dq_kernel(
+    lengths_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_acc,
+    *,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    window: Tuple[int, int],
+    num_k_blocks: int,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q_start = qi * block_q
+    k_start = ki * block_k
+    kv_len = lengths_ref[b]
+
+    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len))
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, 0:1]  # (BQ, 1)
+        delta = delta_ref[0, 0][:, 0:1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        mask = _block_band_mask(q_start, k_start, block_q, block_k, window, kv_len)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, BK)
+        ds = p * (dp - delta) * scale
+        dq_acc[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    lengths_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    window: Tuple[int, int],
+    num_q_blocks: int,
+):
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q_start = qi * block_q
+    k_start = ki * block_k
+    kv_len = lengths_ref[b]
+
+    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len))
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, 0:1]  # (BQ, 1)
+        delta = delta_ref[0, 0][:, 0:1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (BQ, BK)
+        mask = _block_band_mask(q_start, k_start, block_q, block_k, window, kv_len)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+
+        dv_acc[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BK, D)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BK, D)
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _fwd_rule(q, k, v, lengths, window, scale, block_q, block_k):
+    o, lse = _fwd(q, k, v, lengths, window, scale, block_q, block_k)
+    return o, (q, k, v, lengths, o, lse)
+
+
+def _bwd_rule(window, scale, block_q, block_k, residuals, do):
+    q, k, v, lengths, o, lse = residuals
+    B, H, T, D = q.shape
+    nQ, nK = T // block_q, T // block_k
+
+    delta = (do.astype(jnp.float32) * o.astype(jnp.float32)).sum(-1)  # (B,H,T)
+    lse_q = lse  # already (B, H, T, 128)
+    delta_q = jnp.broadcast_to(delta[..., None], (B, H, T, 128))
+
+    qspec = lambda b, h, qi, ki, lens: (b, h, qi, 0)
+    kspec = lambda b, h, qi, ki, lens: (b, h, ki, 0)
+    qspec128 = lambda b, h, qi, ki, lens: (b, h, qi, 0)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel,
+            scale=scale, block_q=block_q, block_k=block_k, window=window,
+            num_k_blocks=nK,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, nQ, nK),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D), qspec),
+                pl.BlockSpec((1, 1, block_k, D), kspec),
+                pl.BlockSpec((1, 1, block_k, D), kspec),
+                pl.BlockSpec((1, 1, block_q, D), qspec),
+                pl.BlockSpec((1, 1, block_q, 128), qspec128),
+                pl.BlockSpec((1, 1, block_q, 128), qspec128),
+            ],
+            out_specs=[pl.BlockSpec((1, 1, block_q, D), qspec)],
+            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B, H, T, D), q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(lengths, q, k, v, do, lse_q, delta_q)[0]
+
+    kqspec_q = lambda b, h, ki, qi, lens: (b, h, qi, 0)
+    kqspec_k = lambda b, h, ki, qi, lens: (b, h, ki, 0)
+    kqspec128 = lambda b, h, ki, qi, lens: (b, h, qi, 0)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel,
+            scale=scale, block_q=block_q, block_k=block_k, window=window,
+            num_q_blocks=nQ,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, nK, nQ),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D), kqspec_q),
+                pl.BlockSpec((1, 1, block_k, D), kqspec_k),
+                pl.BlockSpec((1, 1, block_k, D), kqspec_k),
+                pl.BlockSpec((1, 1, block_q, D), kqspec_q),
+                pl.BlockSpec((1, 1, block_q, 128), kqspec128),
+                pl.BlockSpec((1, 1, block_q, 128), kqspec128),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_k, D), kqspec_k),
+                pl.BlockSpec((1, 1, block_k, D), kqspec_k),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, D), jnp.float32),
+                pltpu.VMEM((block_k, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(lengths, q, k, v, do, lse_q, delta_q)
+
+    return dq, dk, dv, None
+
+
+_flash_attention_bhtd.defvjp(_fwd_rule, _bwd_rule)
+
+
+def flash_attention(
+    q: jnp.ndarray,  # (B, T, H, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    lengths: Optional[jnp.ndarray] = None,
+    window: Tuple[int, int] = (-1, -1),
+    softmax_scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Public entry: (B, T, H, D) in, (B, T, H, D) out.
+
+    Pads T up to a block multiple; padded keys AND padded query rows are
+    masked via `lengths` (padded queries return zeros, matching
+    `lcasr_tpu.ops.attention.reference_attention` with q_lengths=kv_lengths).
+    """
+    B, T, H, D = q.shape
+    scale = softmax_scale if softmax_scale is not None else D ** -0.5
+
+    # shrink blocks for short sequences (min 128 for MXU/lane alignment)
+    t_pow2 = max(128, 1 << (T - 1).bit_length())
+    block_q = min(block_q, t_pow2)
+    block_k = min(block_k, t_pow2)
+
+    if lengths is None:
+        lengths_arr = jnp.full((B,), T, dtype=jnp.int32)
+    else:
+        lengths_arr = lengths.astype(jnp.int32)
+
+    qt = jnp.swapaxes(q, 1, 2)  # (B, H, T, D)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    blk = max(block_q, block_k)
+    T_pad = _cdiv(T, blk) * blk
+    if T_pad != T:
+        qt = _pad_to(qt, 2, T_pad)
+        kt = _pad_to(kt, 2, T_pad)
+        vt = _pad_to(vt, 2, T_pad)
+
+    out = _flash_attention_bhtd(qt, kt, vt, lengths_arr, window, scale, block_q, block_k)
+    out = out[:, :, :T]
+    return jnp.swapaxes(out, 1, 2)

@@ -1,0 +1,65 @@
+"""Helpers to load modules from the read-only reference checkout as test
+oracles, WITHOUT importing the reference package __init__ (which requires
+torchaudio/sentencepiece, absent here).
+
+Oracle-only: these imports exist to cross-validate numerics of the from-
+scratch implementations in lcasr_tpu; nothing from the reference is executed
+outside tests.
+"""
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+REFERENCE_ROOT = Path("/root/reference")
+
+
+def reference_available() -> bool:
+    return REFERENCE_ROOT.exists()
+
+
+def _stub(name: str) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    sys.modules[name] = mod
+    return mod
+
+
+def load_reference_module(relpath: str, name: str):
+    """Load e.g. 'lcasr/optim/madgrad.py' as a standalone module."""
+    path = REFERENCE_ROOT / relpath
+    if not path.exists():
+        return None
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def install_reference_package_stubs() -> None:
+    """Make `import lcasr.components.x` style imports work by building a
+    synthetic package skeleton pointing at the reference files, with heavy
+    unavailable deps stubbed out."""
+    if "lcasr" in sys.modules:
+        return
+    # stub unavailable third-party deps used at module import time
+    for missing in ("torchaudio", "torchaudio.functional", "sentencepiece"):
+        if missing not in sys.modules:
+            try:
+                __import__(missing)
+            except ImportError:
+                _stub(missing)
+
+    for pkg_name, rel in [
+        ("lcasr", "lcasr"),
+        ("lcasr.components", "lcasr/components"),
+        ("lcasr.models", "lcasr/models"),
+        ("lcasr.utils", "lcasr/utils"),
+        ("lcasr.optim", "lcasr/optim"),
+    ]:
+        pkg = types.ModuleType(pkg_name)
+        pkg.__path__ = [str(REFERENCE_ROOT / rel)]
+        pkg.__package__ = pkg_name
+        sys.modules[pkg_name] = pkg

@@ -1,0 +1,129 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lcasr_tpu.ops.ctc import ctc_loss, wctc_loss
+
+
+def _random_case(rng, B=3, T=20, C=8, Umax=6):
+    logits = rng.normal(size=(B, T, C)).astype(np.float32)
+    log_probs = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    label_lengths = rng.integers(1, Umax, size=B)
+    input_lengths = rng.integers(Umax * 2, T + 1, size=B)
+    labels = np.zeros((B, Umax), np.int64)
+    for b in range(B):
+        # labels exclude the blank id (last class)
+        labels[b, : label_lengths[b]] = rng.integers(0, C - 1, size=label_lengths[b])
+    return log_probs, labels, input_lengths, label_lengths
+
+
+def test_ctc_matches_torch_oracle():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    log_probs, labels, input_lengths, label_lengths = _random_case(rng)
+    C = log_probs.shape[-1]
+
+    ours = ctc_loss(
+        jnp.asarray(log_probs),
+        jnp.asarray(labels),
+        jnp.asarray(input_lengths),
+        jnp.asarray(label_lengths),
+        reduction="none",
+    )
+
+    t_fn = torch.nn.CTCLoss(blank=C - 1, reduction="none")
+    theirs = t_fn(
+        torch.from_numpy(log_probs).transpose(0, 1),  # (T, B, C)
+        torch.from_numpy(labels),
+        torch.from_numpy(input_lengths),
+        torch.from_numpy(label_lengths),
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_ctc_sum_reduction_matches_reference_usage():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    log_probs, labels, input_lengths, label_lengths = _random_case(rng, B=2, T=32, C=12)
+    C = log_probs.shape[-1]
+    ours = float(
+        ctc_loss(
+            jnp.asarray(log_probs),
+            jnp.asarray(labels),
+            jnp.asarray(input_lengths),
+            jnp.asarray(label_lengths),
+        )
+    )
+    t_fn = torch.nn.CTCLoss(blank=C - 1, reduction="sum")
+    theirs = float(
+        t_fn(
+            torch.from_numpy(log_probs).transpose(0, 1),
+            torch.from_numpy(labels),
+            torch.from_numpy(input_lengths),
+            torch.from_numpy(label_lengths),
+        )
+    )
+    assert abs(ours - theirs) / abs(theirs) < 1e-4
+
+
+def test_ctc_perfect_prediction_low_loss():
+    # log-probs peaked exactly on [a, blank, b] for labels [a, b] → small loss
+    C, T = 5, 3
+    blank = C - 1
+    lp = np.full((1, T, C), -20.0, np.float32)
+    lp[0, 0, 1] = 0.0
+    lp[0, 1, blank] = 0.0
+    lp[0, 2, 2] = 0.0
+    loss = float(
+        ctc_loss(
+            jnp.asarray(lp),
+            jnp.asarray([[1, 2]]),
+            jnp.asarray([3]),
+            jnp.asarray([2]),
+        )
+    )
+    assert loss < 1e-3
+
+
+def test_ctc_gradients_flow():
+    import jax
+
+    rng = np.random.default_rng(2)
+    log_probs, labels, input_lengths, label_lengths = _random_case(rng, B=2, T=16, C=6)
+
+    def loss_fn(lp):
+        return ctc_loss(
+            lp,
+            jnp.asarray(labels),
+            jnp.asarray(input_lengths),
+            jnp.asarray(label_lengths),
+        )
+
+    g = jax.grad(loss_fn)(jnp.asarray(log_probs))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_wctc_leq_ctc():
+    """Wildcard CTC marginalizes more paths → likelihood ≥ CTC → loss ≤ CTC."""
+    rng = np.random.default_rng(3)
+    log_probs, labels, input_lengths, label_lengths = _random_case(rng, B=4)
+    a = np.asarray(
+        ctc_loss(
+            jnp.asarray(log_probs),
+            jnp.asarray(labels),
+            jnp.asarray(input_lengths),
+            jnp.asarray(label_lengths),
+            reduction="none",
+        )
+    )
+    b = np.asarray(
+        wctc_loss(
+            jnp.asarray(log_probs),
+            jnp.asarray(labels),
+            jnp.asarray(input_lengths),
+            jnp.asarray(label_lengths),
+            reduction="none",
+        )
+    )
+    assert (b <= a + 1e-4).all()

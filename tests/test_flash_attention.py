@@ -1,0 +1,85 @@
+"""Pallas flash attention vs exact jnp oracle.
+
+On CPU these run through the pallas interpreter (slow → tiny sizes); the same
+checks run on real TPU hardware in the verify drives and bench harness.
+Tolerances reflect MXU bf16-multiply/f32-accumulate precision — the same
+numerics FlashAttention-2 delivers for the reference (which casts to
+fp16/bf16 before attention, reference `lcasr/components/attention.py:521-523`).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lcasr_tpu.ops.attention import reference_attention
+from lcasr_tpu.ops.flash_attention import flash_attention
+
+B, T, H, D = 2, 320, 2, 128
+
+
+@pytest.fixture(scope="module")
+def qkv():
+    rng = np.random.default_rng(0)
+    mk = lambda: jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    return mk(), mk(), mk()
+
+
+@pytest.mark.parametrize("window", [(-1, -1), (32, 32), (64, -1)])
+def test_forward_matches_oracle(qkv, window):
+    q, k, v = qkv
+    lengths = jnp.array([T, 200], jnp.int32)
+    out_p = flash_attention(q, k, v, lengths=lengths, window=window, block_q=128, block_k=128)
+    out_r = reference_attention(
+        q, k, v, q_lengths=lengths, kv_lengths=lengths, window=window
+    )
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=2e-2, rtol=2e-2)
+
+
+def test_forward_no_lengths(qkv):
+    q, k, v = qkv
+    out_p = flash_attention(q, k, v, block_q=128, block_k=128)
+    out_r = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=2e-2, rtol=2e-2)
+
+
+def test_gradients_match_oracle(qkv):
+    q, k, v = qkv
+    lengths = jnp.array([T, 160], jnp.int32)
+
+    def lp(q, k, v):
+        return (flash_attention(q, k, v, lengths=lengths, window=(32, 32), block_q=128, block_k=128) ** 2).sum()
+
+    def lr(q, k, v):
+        return (
+            reference_attention(
+                q, k, v, q_lengths=lengths, kv_lengths=lengths, window=(32, 32)
+            )
+            ** 2
+        ).sum()
+
+    gp = jax.grad(lp, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        scale = float(jnp.abs(b).max()) + 1e-6
+        assert float(jnp.abs(a - b).max()) / scale < 2e-2
+
+
+def test_padded_queries_are_zero(qkv):
+    q, k, v = qkv
+    lengths = jnp.array([128, 64], jnp.int32)
+    out = np.asarray(
+        flash_attention(q, k, v, lengths=lengths, block_q=128, block_k=128)
+    )
+    assert np.abs(out[0, 128:]).max() == 0.0
+    assert np.abs(out[1, 64:]).max() == 0.0
+
+
+def test_bf16_inputs(qkv):
+    q, k, v = qkv
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    out = flash_attention(qb, kb, vb, block_q=128, block_k=128)
+    ref = reference_attention(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32), np.asarray(ref), atol=5e-2, rtol=5e-2
+    )
