@@ -1,0 +1,90 @@
+"""Benchmark: streaming-decode RTFx at 20-minute context on one TPU chip.
+
+Measures the paper's primary long-context decode configuration — the flagship
+lcasr-9L-768D-6H (rotary θ=1.5M, ~120M params, BASELINE.md row 1) running the
+averaged-moving-window decode (overlap ratio 0.875, reference
+`eval/eval_manager.py:30`) with a 16384-frame window over a 20-minute
+(120,000-frame) recording — and reports RTFx = audio-seconds transcribed per
+wall-second per chip.
+
+The reference publishes no RTFx (BASELINE.md: "not published"), so
+`vs_baseline` is reported against 1× real time: vs_baseline == RTFx.
+
+Prints ONE JSON line:
+  {"metric": "rtfx_20min_decode", "value": N, "unit": "audio_s/s/chip",
+   "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+SEQ_LEN = 16384
+OVERLAP_RATIO = 0.875
+AUDIO_MINUTES = 20
+FRAMES_PER_SECOND = 100
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from __graft_entry__ import FLAGSHIP
+    from lcasr_tpu.models.sconformer_xl import SCConformerXL
+    from lcasr_tpu.evaluation.streaming import fetch_logits
+
+    model = SCConformerXL(**FLAGSHIP, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 80, SEQ_LEN), jnp.float32)
+    )
+    variables = jax.device_put(variables)
+
+    @jax.jit
+    def _fwd(variables, audio, length):
+        out = model.apply(variables, audio, length=length)
+        return out["final_posteriors"], out["length"]
+
+    def model_fn(audio, length):
+        return _fwd(variables, audio, length)
+
+    total_frames = AUDIO_MINUTES * 60 * FRAMES_PER_SECOND  # 120,000
+    spec = rng.normal(size=(1, 80, total_frames)).astype(np.float32)
+    overlap = int(SEQ_LEN * OVERLAP_RATIO)
+    n_classes = FLAGSHIP["vocab_size"] + 1
+
+    # warmup: compile the window program
+    w = spec[:, :, :SEQ_LEN]
+    lp, ol = model_fn(jnp.asarray(w), jnp.asarray([SEQ_LEN], np.int32))
+    lp.block_until_ready()
+
+    t0 = time.perf_counter()
+    logits = fetch_logits(
+        model_fn, spec, seq_len=SEQ_LEN, overlap=overlap, n_classes=n_classes
+    )
+    wall = time.perf_counter() - t0
+
+    audio_seconds = total_frames / FRAMES_PER_SECOND
+    rtfx = audio_seconds / wall
+    assert logits.shape[-1] == n_classes
+
+    print(
+        json.dumps(
+            {
+                "metric": "rtfx_20min_decode",
+                "value": round(rtfx, 3),
+                "unit": "audio_s/s/chip",
+                "vs_baseline": round(rtfx, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Training CLI: `python -m lcasr_tpu.cli.train -config cfg.yaml`.
+
+Counterpart of reference `exp/train.py:354-475` (main): config → tokenizer →
+model → optimizer/schedulers → checkpoint resume (seen_ids/step/epoch) →
+duration-bucketed dataloader → train loop.
+"""
+from __future__ import annotations
+
+import argparse
+import random
+import time
+
+import jax
+
+from lcasr_tpu.config import Config
+from lcasr_tpu.data.dataloading import VariableBatchSimpleDataloader, load_json
+from lcasr_tpu.data.tokenizer import load_tokenizer
+from lcasr_tpu.models.base import print_total_params
+from lcasr_tpu.models.registry import get_model_class, load_model
+from lcasr_tpu.training.trainer import Trainer
+
+
+def main(args=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-config", "--config", type=str, required=True)
+    parser.add_argument("-reset_step", "--reset_step", action="store_true")
+    parser.add_argument("-o", "--overrides", nargs="*", default=[])
+    ns = parser.parse_args(args)
+
+    config = Config.load(ns.config)
+    if ns.overrides:
+        config = config.apply_overrides(ns.overrides)
+
+    tokenizer = load_tokenizer()
+    model = load_model(config, tokenizer.vocab_size(), get_model_class(config))
+
+    trainer = Trainer(config, model, tokenizer)
+    state = trainer.init_state(jax.random.PRNGKey(12345))
+    print_total_params(state["params"])
+
+    state, step, epoch, seen_ids = trainer.resume(state)
+    if ns.reset_step:
+        step, epoch, seen_ids = 0, 0, []
+    print(f"Starting from podcast: {len(seen_ids)}")
+
+    random_seed = config.get("training", Config({})).get("random_seed", 1234)
+    if random_seed == "random":
+        random_seed = int(time.time()) % 10000
+        print(f"random seed: {random_seed}")
+    random.seed(random_seed)
+
+    paired_data = load_json(config["data"]["path"])
+    dataloader = VariableBatchSimpleDataloader(
+        pairs=paired_data,
+        tokenizer=tokenizer,
+        batch_size=trainer.batch_size,
+        chunk_size=config["audio_chunking"]["size"],
+        chunk_overlap=config["audio_chunking"].get("overlap", 0),
+        seen_ids=seen_ids,
+        random_seed=random_seed,
+    )
+    if dataloader.batch_size != trainer.batch_size:
+        dataloader.update(batch_size=trainer.batch_size, seen_ids=seen_ids)
+
+    trainer.train(state, dataloader, step=step, epoch=epoch, seen_ids=seen_ids)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+"""Earnings-22 adapter (reference `eval/earnings22/run.py:28-79`):
+mp3 recordings + a full_transcripts.json keyed by meeting id; transcripts get
+tag stripping (<silence>/<inaudible>/... ) + punctuation normalization before
+Whisper text normalization."""
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from lcasr_tpu.data.audio import processing_chain
+from lcasr_tpu.evaluation.datasets import register_dataset
+from lcasr_tpu.evaluation.normalizer import normalize
+
+_TAGS = (
+    "<silence>", "<inaudible>", "<laugh>", "<noise>", "<affirmative>", "<crosstalk>"
+)
+
+
+def preprocess_transcript(text: str) -> str:
+    text = text.lower()
+    for tag in _TAGS:
+        text = text.replace(tag, "")
+    text = text.replace("…", "")
+    text = text.replace(",", "")
+    text = text.replace("-", " ")
+    text = text.replace(".", "")
+    text = text.replace("?", "")
+    text = re.sub(" +", " ", text)
+    return normalize(text).lower()
+
+
+@register_dataset("earnings22")
+def get_text_and_audio(split: str, base_path: str = None, text_path: str = None, **kwargs):
+    assert split in ("test", "dev"), f"Split must be test or dev (got {split})"
+    assert base_path, "earnings22 requires base_path"
+    data_path = os.path.join(base_path, f"{split}_original")
+    text_path = text_path or os.path.join(base_path, "full_transcripts.json")
+    with open(text_path) as f:
+        all_text = json.load(f)
+
+    items = []
+    for el in sorted(os.listdir(data_path)):
+        stem, ext = os.path.splitext(el)
+        if ext not in (".mp3", ".wav", ".npy"):
+            continue
+
+        def process_fn(item, path=os.path.join(data_path, el), meeting=stem):
+            spec = processing_chain(path)
+            return spec, preprocess_transcript(all_text[meeting])
+
+        items.append({"id": stem, "process_fn": process_fn})
+    return items

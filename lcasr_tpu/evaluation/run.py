@@ -1,0 +1,190 @@
+"""Unified eval CLI: checkpoint → model → streaming decode → WER rows.
+
+Counterpart of reference `eval/run.py:30-148`:
+  * the model is rebuilt purely from the checkpoint-embedded config,
+  * `evaluation_mode` selects averaged_moving_window | windowed_attention
+    (model built with attention_window_size = (seq_len/subsampling)/2 and
+    seq_len raised to cover the recording in ONE forward) | buffered,
+  * per-recording greedy decode + Whisper-normalized WER, then aggregate.
+
+Accepts both this framework's orbax checkpoints and reference `.pt`
+checkpoints (converted on the fly via `import_torch`).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from lcasr_tpu.config import Config
+from lcasr_tpu.data.tokenizer import load_tokenizer
+from lcasr_tpu.decoding.greedy import GreedyCTCDecoder
+from lcasr_tpu.evaluation.datasets import get_dataset_fn
+from lcasr_tpu.evaluation.normalizer import normalize
+from lcasr_tpu.evaluation.streaming import (
+    fetch_logits,
+    fetch_logits_buffered,
+    make_windowed_model_fn,
+)
+from lcasr_tpu.evaluation.wer import word_error_rate_detail
+from lcasr_tpu.models.registry import get_model_class, load_model
+
+MAX_WINDOWED_SECONDS = 36000  # 10 h cap in windowed-attention mode (ref :41)
+
+
+def load_any_checkpoint(path: str):
+    """Returns (config: Config, variables dict)."""
+    if path.endswith(".pt"):
+        from lcasr_tpu.models.import_torch import load_torch_checkpoint, variables_from_torch
+
+        cfg_dict, sd = load_torch_checkpoint(path)
+        cfg = Config.from_dict(dict(cfg_dict))
+        variables = variables_from_torch(sd, cfg.get("model", Config({})).to_dict())
+        return cfg, variables
+    from lcasr_tpu.training.checkpointing import load_checkpoint
+
+    tree, meta = load_checkpoint(path)
+    cfg = Config.from_dict(meta["config"])
+    variables = {"params": tree["params"]}
+    if "batch_stats" in tree:
+        variables["batch_stats"] = tree["batch_stats"]
+    return cfg, variables
+
+
+def evaluate(
+    checkpoint: str,
+    dataset: str,
+    split: str = "test",
+    seq_len: int = 16384,
+    overlap: int = -1,
+    overlap_ratio: float = 0.875,
+    evaluation_mode: str = "averaged_moving_window",
+    dataset_kwargs: Optional[Dict[str, Any]] = None,
+    verbose: bool = True,
+) -> Dict[str, Any]:
+    import jax
+    import jax.numpy as jnp
+
+    cfg, variables = load_any_checkpoint(checkpoint)
+    tokenizer = load_tokenizer()
+    n_classes = tokenizer.vocab_size() + 1
+
+    if overlap == -1:
+        overlap = int(seq_len * overlap_ratio)
+
+    model_cfg = cfg.get("model", Config({})).to_dict()
+    subsampling_factor = model_cfg.get("subsampling_factor", 8)
+
+    if evaluation_mode == "windowed_attention":
+        # local attention window = downsampled seq_len / 2; single forward
+        # covering the recording (reference eval/run.py:38-43)
+        model_cfg["attention_window_size"] = (seq_len // subsampling_factor) // 2
+        seq_len = MAX_WINDOWED_SECONDS * 100
+        overlap = 0
+        eval_fn = fetch_logits
+    elif evaluation_mode == "buffered":
+        eval_fn = fetch_logits_buffered
+    elif evaluation_mode == "averaged_moving_window":
+        eval_fn = fetch_logits
+    else:
+        raise ValueError(f"unknown evaluation_mode {evaluation_mode!r}")
+
+    cfg_model = Config({"model": model_cfg})
+    model = load_model(cfg_model, tokenizer.vocab_size(), get_model_class(cfg))
+    model_fn = make_windowed_model_fn(model, variables)
+
+    decoder = GreedyCTCDecoder(tokenizer, blank_id=n_classes - 1)
+    data = get_dataset_fn(dataset)(split, **(dataset_kwargs or {}))
+
+    rows: List[Dict[str, Any]] = []
+    hyps, refs = [], []
+    total_audio_s, total_wall = 0.0, 0.0
+    for item in data:
+        spec, gold = item["process_fn"](item)
+        spec = np.asarray(spec)
+        t0 = time.perf_counter()
+        logits = eval_fn(
+            model_fn,
+            spec,
+            seq_len=seq_len,
+            overlap=overlap,
+            n_classes=n_classes,
+            subsampling_factor=subsampling_factor,
+        )
+        wall = time.perf_counter() - t0
+        hyp = normalize(decoder(logits)).lower()
+        ref = normalize(gold).lower()
+        wer, words, ins_r, del_r, sub_r = word_error_rate_detail([hyp], [ref])
+        audio_s = spec.shape[-1] / 100.0
+        total_audio_s += audio_s
+        total_wall += wall
+        rows.append(
+            {
+                "recording": item["id"],
+                "wer": wer,
+                "words": words,
+                "ins_rate": ins_r,
+                "del_rate": del_r,
+                "sub_rate": sub_r,
+                "audio_seconds": audio_s,
+                "wall_seconds": wall,
+            }
+        )
+        hyps.append(hyp)
+        refs.append(ref)
+        if verbose:
+            print(f"{item['id']}: WER {wer:.4f} ({words} words, {audio_s:.0f}s audio)")
+
+    wer, words, ins_r, del_r, sub_r = word_error_rate_detail(hyps, refs)
+    summary = {
+        "dataset": dataset,
+        "split": split,
+        "seq_len": seq_len,
+        "overlap": overlap,
+        "evaluation_mode": evaluation_mode,
+        "wer": wer,
+        "words": words,
+        "ins_rate": ins_r,
+        "del_rate": del_r,
+        "sub_rate": sub_r,
+        "rtfx": total_audio_s / total_wall if total_wall > 0 else None,
+        "rows": rows,
+    }
+    if verbose:
+        print(json.dumps({k: v for k, v in summary.items() if k != "rows"}, indent=2))
+    return summary
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-c", "--checkpoint", required=True)
+    parser.add_argument("-d", "--dataset", required=True)
+    parser.add_argument("-split", "--split", default="test")
+    parser.add_argument("-seq", "--seq_len", type=int, default=16384)
+    parser.add_argument("-overlap", "--overlap", type=int, default=-1)
+    parser.add_argument(
+        "-mode",
+        "--evaluation_mode",
+        default="averaged_moving_window",
+        choices=["averaged_moving_window", "windowed_attention", "buffered"],
+    )
+    parser.add_argument("--dataset_base_path", default=None)
+    args = parser.parse_args()
+    evaluate(
+        checkpoint=args.checkpoint,
+        dataset=args.dataset,
+        split=args.split,
+        seq_len=args.seq_len,
+        overlap=args.overlap,
+        evaluation_mode=args.evaluation_mode,
+        dataset_kwargs={"base_path": args.dataset_base_path}
+        if args.dataset_base_path
+        else {},
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -146,12 +146,22 @@ def fetch_logits_buffered(
 
 
 def make_windowed_model_fn(model, variables) -> Callable:
-    """Build the fixed-shape jitted forward used by both loops."""
+    """Build the fixed-shape jitted forward used by both loops.
+
+    `variables` is passed as a jit ARGUMENT (not a closure constant) so the
+    weights live on device as buffers instead of being baked into the HLO —
+    closure constants would bloat the program by the full parameter size.
+    """
     import jax
 
+    variables = jax.device_put(variables)
+
     @jax.jit
-    def fn(audio, length):
+    def fn(variables, audio, length):
         out = model.apply(variables, audio, length=length)
         return out["final_posteriors"], out["length"]
 
-    return fn
+    def call(audio, length):
+        return fn(variables, audio, length)
+
+    return call

@@ -140,9 +140,13 @@ class ConformerLayer(nn.Module):
 
         if not self.transformer:
             h = Norm(self.d_model, name="ff1_norm")(x)
+            # NOTE: FF hidden is ALWAYS 4×d_model — the reference's
+            # expansion_factor never reaches the FF (it lands in unused
+            # **kwargs, reference sconformer_xl.py:300-310); kept faithful
+            # for checkpoint compatibility.
             h = ConformerFeedForward(
                 self.d_model,
-                hidden_dim=self.d_model * self.expansion_factor,
+                hidden_dim=self.d_model * 4,
                 bias1=self.bias_in_ff,
                 bias2=self.bias_in_ff,
                 dtype=self.dtype,
@@ -183,7 +187,7 @@ class ConformerLayer(nn.Module):
         h = Norm(self.d_model, name="ff2_norm")(x)
         h = ConformerFeedForward(
             self.d_model,
-            hidden_dim=self.d_model * self.expansion_factor,
+            hidden_dim=self.d_model * 4,  # see ff1 note
             bias1=self.bias_in_ff,
             bias2=self.bias_in_ff,
             dtype=self.dtype,

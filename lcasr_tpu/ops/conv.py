@@ -281,7 +281,8 @@ class ConvSubsampling(nn.Module):
         act = {
             "silu": jax.nn.silu,
             "relu": jax.nn.relu,
-            "gelu": jax.nn.gelu,
+            # exact erf GELU (torch nn.GELU default, reference helpers.py:12)
+            "gelu": lambda v: jax.nn.gelu(v, approximate=False),
             "none": lambda v: v,
         }[self.activation]
 
@@ -337,9 +338,12 @@ class ConvSubsampling(nn.Module):
         B, T, F, _ = h.shape
         h = h.reshape(B, T, F * C)
         fc_scale = (self.feat_out * self.feat_in / self._sampling_num) ** -0.5
+        # NOTE: bias iff norm_out — reference `subsampling.py:374` passes
+        # `bias=norm_out` (comment there says the opposite; behavior wins,
+        # since published checkpoints carry this layout)
         h = nn.Dense(
             self.feat_out,
-            use_bias=not self.norm_out,
+            use_bias=self.norm_out,
             kernel_init=_uniform_init(fc_scale),
             bias_init=_uniform_init(fc_scale),
             dtype=self.dtype,

@@ -33,8 +33,11 @@ class LayerNorm(nn.Module):
 
 
 class RMSNorm(nn.Module):
+    """RMS norm, apex-FusedRMSNorm semantics (x·rsqrt(ms+eps)·scale, eps=1e-6)
+    — the implementation the reference's published checkpoints trained with."""
+
     dim: int
-    eps: float = 1e-8
+    eps: float = 1e-6
     dtype: Any = jnp.float32
 
     @nn.compact

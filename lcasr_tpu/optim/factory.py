@@ -29,7 +29,9 @@ def build_optimizer(
 ) -> optax.GradientTransformation:
     name = name.lower()
     if name in ("madgrad",):
-        inner = optax.inject_hyperparams(madgrad)(
+        inner = optax.inject_hyperparams(
+            madgrad, static_args=("momentum", "weight_decay", "eps", "weight_decay_mask")
+        )(
             learning_rate=lr,
             momentum=momentum,
             weight_decay=weight_decay,
@@ -37,7 +39,10 @@ def build_optimizer(
             weight_decay_mask=weight_decay_mask,
         )
     elif name in ("mirror_madgrad", "mirrormadgrad"):
-        inner = optax.inject_hyperparams(mirror_madgrad)(
+        inner = optax.inject_hyperparams(
+            mirror_madgrad,
+            static_args=("momentum", "weight_decay", "eps", "weight_decay_mask"),
+        )(
             learning_rate=lr,
             momentum=momentum,
             weight_decay=weight_decay,
@@ -45,7 +50,9 @@ def build_optimizer(
             weight_decay_mask=weight_decay_mask,
         )
     elif name in ("adam", "adamw"):
-        inner = optax.inject_hyperparams(optax.adamw)(
+        inner = optax.inject_hyperparams(
+            optax.adamw, static_args=("mask", "b1", "b2", "eps", "weight_decay")
+        )(
             learning_rate=lr,
             b1=betas[0],
             b2=betas[1],

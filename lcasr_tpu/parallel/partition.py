@@ -1,0 +1,71 @@
+"""Sharding rules: parameter partition specs (TP) + activation shardings.
+
+The tensor-parallel layout reproduces the reference's Megatron-style split
+(reference `fused_dense.py:155-198,501-558`):
+  * QKV / FFN-up projections: column-parallel → kernel P(None, "model")
+  * attention-out / FFN-down:  row-parallel   → kernel P("model", None)
+  * decoder vocab projection:  column-parallel (4096 classes shard well)
+  * everything else (norms, biases, convs, subsampling): replicated
+
+Sequence parallelism is expressed as activation sharding of the time axis
+(P("data", "seq", None) on (B, T, D)) — the reference's explicit
+all-gather-before-matmul / reduce-scatter-after (`fused_dense.py:51-53,
+104-105`) becomes XLA-inserted collectives around the annotated ops.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_COLUMN_PARALLEL_LEAVES = ("qkv_proj", "fc1", "ff")  # kernel P(None, model)
+_ROW_PARALLEL_LEAVES = ("out_proj", "fc2", "reprojection")  # kernel P(model, None)
+
+
+def param_spec(path) -> P:
+    names = [p.key for p in path if hasattr(p, "key")]
+    if not names or names[-1] != "kernel":
+        return P()  # biases / norms / conv kernels replicated
+    parents = names[:-1]
+    if any(n in _COLUMN_PARALLEL_LEAVES for n in parents):
+        return P(None, "model")
+    if any(n in _ROW_PARALLEL_LEAVES for n in parents):
+        return P("model", None)
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh):
+    """Pytree of NamedShardings implementing the TP layout.
+
+    Leaves whose dimensions don't divide the mesh axis fall back to
+    replication (e.g. the vocab+1 = 4096+... decoder head on odd meshes).
+    """
+
+    def rule(path, leaf):
+        spec = param_spec(path)
+        for dim, axis in zip(leaf.shape, spec):
+            if axis is not None and dim % mesh.shape[axis] != 0:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
+    """Input batch (B, 80, T): batch on `data`."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def sequence_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, T, D) activations: batch on `data`, time on `seq`."""
+    return NamedSharding(mesh, P("data", "seq", None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params: Any, mesh: Mesh):
+    """Device-put params according to the TP layout."""
+    return jax.device_put(params, param_shardings(params, mesh))

@@ -1,0 +1,457 @@
+"""Chunked long-form CTC training loop.
+
+TPU-native counterpart of reference `exp/train.py:80-349`:
+
+  * one batch = a set of full podcasts; chunk_spectogram / chunk_text_json
+    split them into `chunk_size`-frame windows trained sequentially,
+  * gradient accumulation split into `backwards_every` (grad computation per
+    n chunks) and `backprop_every` (optimizer step per n chunks), loss
+    weighted by 100·steps_since_backwards/(chunk_size·batch_size)
+    (reference `:274-293` — weighting kept faithful, including the
+    steps_since_backwards factor),
+  * loss logged per acoustic frame (`:280-284`), blank-probability metric,
+  * NaN-loss skip with accumulator reset + abort after 100 consecutive NaNs
+    (`:253-261`),
+  * mid-epoch checkpointing every save_every_n_steps podcasts (`:156-171`),
+    epoch rollover reshuffles with fresh seed (`:135-148`),
+  * SequenceWarmupManager integration: ×2 seq len / ×0.5 batch, dataloader
+    rebuild, optional rotary-interpolation bump (`:322-335`),
+  * warmup-by-steps → cosine-by-podcasts scheduler handoff (`:203-207,319-320`).
+
+XLA-specific design:
+  * every chunk is padded to the static (batch, 80, chunk_size) shape with a
+    per-sample validity mask instead of the reference's shrinking batches —
+    one compiled program per (chunk_size, batch, label-bucket),
+  * finished samples get weight 0 rather than being removed (static shapes),
+  * label tensors are bucketed to multiples of 64 to bound recompiles,
+  * grad accumulation happens on-device in an fp32 tree; the LR is a dynamic
+    scalar through inject_hyperparams (no recompile on schedule changes),
+  * the dreaded "CUDA illegal memory access skip" (`:311-314`) has no TPU
+    analogue and is intentionally absent.
+"""
+from __future__ import annotations
+
+import functools
+import random
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lcasr_tpu.config import Config
+from lcasr_tpu.data.augmentation import SpecAugment
+from lcasr_tpu.data.dataloading import (
+    VariableBatchSimpleDataloader,
+    chunk_spectogram,
+    chunk_text_json,
+    reset_seen_ids,
+)
+from lcasr_tpu.models.base import decay_mask
+from lcasr_tpu.ops.ctc import ctc_loss
+from lcasr_tpu.optim.factory import build_optimizer, set_learning_rate
+from lcasr_tpu.optim.scheduling import CosineLRScheduler, SequenceWarmupManager
+from lcasr_tpu.training import checkpointing
+from lcasr_tpu.training.metrics import MetricsLogger
+
+LABEL_BUCKET = 64
+
+
+def _bucket(n: int, multiple: int = LABEL_BUCKET) -> int:
+    return max(multiple, -(-n // multiple) * multiple)
+
+
+def make_chunks(
+    audio: np.ndarray,  # (B, 80, T)
+    audio_lengths: np.ndarray,  # (B,)
+    txt: List[list],
+    tokenizer,
+    chunk_size: int,
+    chunk_overlap: int,
+    pad_id: int,
+) -> List[Dict[str, np.ndarray]]:
+    """Chunk a batch of podcasts into fixed-shape training chunks.
+
+    Mirrors reference `exp/train.py:174-201` but keeps the batch dimension
+    static: finished samples stay in the batch with weight 0.
+    """
+    B = audio.shape[0]
+    audio_chunks = chunk_spectogram(audio, chunk_size, chunk_overlap)
+    txt_chunks = [
+        chunk_text_json(t, chunk_size, chunk_overlap, audio.shape[-1]) for t in txt
+    ]
+    culm = np.zeros(B, np.int64)
+    out = []
+    for ix, chunk in enumerate(audio_chunks):
+        active = culm <= audio_lengths  # sample still has frames left
+        u_len = chunk.shape[-1]
+        cur_lengths = np.clip(audio_lengths - culm, 0, u_len) * active
+
+        enc = [
+            tokenizer.encode(txt_chunks[b][ix]) if active[b] else []
+            for b in range(B)
+        ]
+        t_lens = np.array([len(e) for e in enc], np.int64)
+        if t_lens.max(initial=0) == 0:
+            culm += u_len - (chunk_overlap if ix != 0 else 0)
+            continue  # skip textless chunk (reference :191-192)
+        U = _bucket(int(t_lens.max()))
+        labels = np.full((B, U), pad_id, np.int64)
+        for b, e in enumerate(enc):
+            labels[b, : len(e)] = e
+
+        padded = chunk
+        if u_len < chunk_size:
+            padded = np.pad(chunk, ((0, 0), (0, 0), (0, chunk_size - u_len)))
+
+        weight = (active & (cur_lengths > 0) & (t_lens > 0)).astype(np.float32)
+        out.append(
+            {
+                "audio": padded.astype(np.float32),
+                "audio_lengths": cur_lengths.astype(np.int32),
+                "labels": labels,
+                "label_lengths": t_lens.astype(np.int32),
+                "weight": weight,
+            }
+        )
+        culm += u_len - (chunk_overlap if ix != 0 else 0)
+    return out
+
+
+class Trainer:
+    def __init__(self, config: Config, model, tokenizer, checkpoint_dir: Optional[str] = None):
+        self.config = config
+        self.model = model
+        self.tokenizer = tokenizer
+        self.checkpoint_dir = checkpoint_dir or config.get("checkpointing", Config({})).get("dir", "./checkpoints")
+
+        tr = config.get("training", Config({}))
+        self.backprop_every = tr.get("backprop_every", 1)
+        self.backwards_every = tr.get("backwards_every", 1)
+        assert self.backprop_every >= self.backwards_every
+        self.clip_value = tr.get("clip_value", 0.8)
+        self.max_epochs = tr.get("max_epochs", 1)
+        self.batch_size = tr.get("batch_size", 2)
+        self.chunk_size = config.get("audio_chunking", Config({})).get("size", 2048)
+        self.chunk_overlap = 0  # reference uses 0 in training (exp/train.py:115)
+
+        self.blank_id = tokenizer.vocab_size()  # blank is last of vocab+1
+
+        opt_cfg = config.get("optimizer", Config({}))
+        self.opt_args = opt_cfg.get("args", Config({}))
+        self.optimizer_name = opt_cfg.get("name", "madgrad")
+
+        sched_cfg = config.get("scheduler", Config({}))
+        self.scheduler = CosineLRScheduler(
+            warmup_steps=sched_cfg.get("warmup_steps", 0),
+            peak_value=self.opt_args.get("lr", 1e-3),
+            final_value=sched_cfg.get("final_value", self.opt_args.get("lr", 1e-3) * 0.01),
+        )
+
+        self.sequence_scheduler = None
+        if "sequence_scheduler" in config:
+            self.sequence_scheduler = SequenceWarmupManager(
+                initial_batch_size=self.batch_size,
+                initial_sequence_length=self.chunk_size,
+                **config["sequence_scheduler"].to_dict(),
+            )
+            self.chunk_size = self.sequence_scheduler.cur_sequence_length
+            self.batch_size = self.sequence_scheduler.cur_batch_size
+
+        self.augmentation = None
+        if "spec_augment" in config:
+            self.augmentation = SpecAugment(**config["spec_augment"].to_dict())
+        self.start_augment_after_n_epochs = tr.get("start_spec_augment_after_n_epochs", -1)
+
+        self.rotary_interp_bump = bool(
+            config.get("model", Config({})).get("use_rotary", False)
+            and config.get("sequence_scheduler", Config({})).get("interpolate_rotary", False)
+        )
+        self.rotary_interpolation_factor = config.get("model", Config({})).get(
+            "rotary_interpolation_factor", 1.0
+        )
+
+        self.metrics = MetricsLogger(
+            log_dir=self.checkpoint_dir,
+            use_wandb=config.get("wandb", Config({})).get("use", False),
+            wandb_config=config.get("wandb", Config({})).to_dict() if "wandb" in config else None,
+        )
+
+        self._step_fns: Dict[Tuple, Any] = {}
+        self._apply_fn = None
+
+    # -- state ----------------------------------------------------------------
+    def init_state(self, rng_key=None):
+        key = rng_key if rng_key is not None else jax.random.PRNGKey(12345)
+        dummy = jnp.zeros((1, 80, 256), jnp.float32)
+        variables = self.model.init(key, dummy, length=jnp.array([256]))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.optimizer = build_optimizer(
+            name=self.optimizer_name,
+            lr=self.opt_args.get("lr", 1e-3),
+            weight_decay=self.opt_args.get("weight_decay", 0.0),
+            momentum=self.opt_args.get("momentum", 0.9),
+            clip_value=self.clip_value,
+            weight_decay_mask=decay_mask(params),
+        )
+        opt_state = self.optimizer.init(params)
+        return {
+            "params": params,
+            "batch_stats": batch_stats,
+            "opt_state": opt_state,
+            "key": jax.random.PRNGKey(999),
+        }
+
+    # -- compiled steps ---------------------------------------------------------
+    def _micro_step_fn(self):
+        model = self.model
+        blank_id = self.blank_id
+        augmentation = self.augmentation
+
+        # NOTE: no buffer donation — the axon tunnel backend does not
+        # support input/output aliasing (donated buffers trigger
+        # INVALID_ARGUMENT on reuse); revisit on direct-attached TPUs.
+        @functools.partial(jax.jit, static_argnames=("augment",))
+        def micro_step(params, batch_stats, batch, key, grads_acc, augment=False):
+            audio = batch["audio"]
+            if augment and augmentation is not None:
+                audio = augmentation(key, audio, batch["audio_lengths"])
+
+            def loss_fn(p):
+                out, mutated = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    audio,
+                    length=batch["audio_lengths"],
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                log_probs = out["final_posteriors"].astype(jnp.float32)
+                nll = ctc_loss(
+                    log_probs,
+                    batch["labels"],
+                    out["length"],
+                    batch["label_lengths"],
+                    blank_id=blank_id,
+                    reduction="none",
+                )
+                loss = (nll * batch["weight"]).sum()
+                # blank probability metric (reference exp/train.py:35-43)
+                am = log_probs.argmax(-1)
+                blank_p = (am == blank_id).mean()
+                return loss, (mutated["batch_stats"], blank_p)
+
+            (loss, (new_stats, blank_p)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            grads_acc = jax.tree.map(
+                lambda a, g: a + g.astype(jnp.float32), grads_acc, grads
+            )
+            return loss, grads_acc, new_stats, blank_p
+
+        return micro_step
+
+    def _apply_updates_fn(self):
+        optimizer = self.optimizer
+
+        @jax.jit
+        def apply_updates(params, opt_state, grads, weight):
+            grads = jax.tree.map(lambda g: g * weight, grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state
+
+        return apply_updates
+
+    # -- training loop ----------------------------------------------------------
+    def train(
+        self,
+        state: Dict[str, Any],
+        dataloader: VariableBatchSimpleDataloader,
+        step: int = 0,
+        epoch: int = 0,
+        seen_ids: Optional[List[str]] = None,
+    ):
+        cfg = self.config
+        seen_ids = list(seen_ids or [])
+        pad_id = self.tokenizer.pad_id()
+        save_every = cfg.get("checkpointing", Config({})).get("save_every_n_steps", 1000)
+
+        micro_step = self._micro_step_fn()
+        apply_updates = self._apply_updates_fn()
+
+        zero_grads = lambda: jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state["params"]
+        )
+        grads_acc = zero_grads()
+
+        cur_podcast, last_save = step, step
+        total_recordings = dataloader.total_recordings() * self.max_epochs
+        nans_in_a_row = 0
+        finished = False
+        data_iter = iter(dataloader)
+        rng = random.Random(cfg.get("training", Config({})).get("random_seed", 12345))
+
+        while not finished:
+            try:
+                audio, audio_lengths, txt, ids = next(data_iter)
+            except StopIteration:
+                epoch += 1
+                seen_ids = reset_seen_ids(seen_ids, epoch - 1)
+                if epoch >= self.max_epochs:
+                    finished = True
+                    continue
+                dataloader.update(
+                    batch_size=dataloader.batch_size,
+                    seen_ids=seen_ids,
+                    random_seed=rng.randint(0, 10000),
+                )
+                data_iter = iter(dataloader)
+                continue
+
+            seen_ids.extend(ids)
+            cur_batch_size = audio.shape[0]
+            cur_podcast += cur_batch_size
+
+            if cur_podcast - last_save > save_every:
+                self.save(state, cur_podcast, epoch, seen_ids)
+                last_save = cur_podcast
+
+            # warmup → cosine handoff (reference :203-207)
+            if self.scheduler.is_warmup and not self.scheduler.is_warming_up():
+                self.scheduler.set_cosine_schedule(
+                    total_recordings=total_recordings, cur_podcast=cur_podcast
+                )
+
+            chunks = make_chunks(
+                audio, audio_lengths, txt, self.tokenizer,
+                self.chunk_size, self.chunk_overlap, pad_id,
+            )
+
+            augment = (
+                self.start_augment_after_n_epochs != -1
+                and epoch >= self.start_augment_after_n_epochs
+                and self.augmentation is not None
+                and not self.scheduler.is_warmup
+            )
+
+            cur_loss, cur_frames, steps_since_bw = 0.0, 0, 0
+            pending_loss = 0.0
+            blank_prob = 0.0
+
+            for ix, chunk in enumerate(chunks):
+                batch = {k: jnp.asarray(v) for k, v in chunk.items()}
+                state["key"], sub = jax.random.split(state["key"])
+                loss, grads_acc, new_stats, blank_p = micro_step(
+                    state["params"], state["batch_stats"], batch, sub, grads_acc,
+                    augment=augment,
+                )
+                loss_f = float(loss)
+                if not np.isfinite(loss_f):
+                    self.metrics.log({"nan": True})
+                    grads_acc = zero_grads()
+                    nans_in_a_row += 1
+                    if nans_in_a_row > 100:
+                        raise RuntimeError("100 NaNs in a row, aborting")
+                    continue
+                nans_in_a_row = 0
+                state["batch_stats"] = new_stats
+                blank_prob = float(blank_p)
+
+                pending_loss += loss_f
+                cur_loss += loss_f
+                cur_frames += int(chunk["audio_lengths"].sum())
+                steps_since_bw += 1
+
+                is_last = ix + 1 == len(chunks)
+                if (ix + 1) % self.backprop_every == 0 or is_last:
+                    # reference loss weighting (exp/train.py:275)
+                    weight = (
+                        100.0
+                        * steps_since_bw
+                        / (self.chunk_size * self.batch_size)
+                    )
+                    lr = self.scheduler.get_last_lr()
+                    state["opt_state"] = set_learning_rate(state["opt_state"], lr)
+                    state["params"], state["opt_state"] = apply_updates(
+                        state["params"], state["opt_state"], grads_acc, weight
+                    )
+                    grads_acc = zero_grads()
+                    if self.scheduler.is_warmup:
+                        self.scheduler.step()
+                    loss_per_frame = 100.0 * cur_loss / max(cur_frames, 1)
+                    self.metrics.log(
+                        {
+                            "loss": loss_per_frame,
+                            "blank_p": blank_prob,
+                            "learning_rate": lr,
+                            "sequence_length": self.chunk_size,
+                            "batch_size": self.batch_size,
+                            "epoch": epoch,
+                            "podcast": cur_podcast,
+                            "spec_augment": int(augment),
+                        }
+                    )
+                    cur_loss, cur_frames, steps_since_bw = 0.0, 0, 0
+
+            if not self.scheduler.is_warmup:
+                self.scheduler.step(epoch=cur_podcast)
+
+            if self.sequence_scheduler is not None:
+                updated, new_seq, new_bs = self.sequence_scheduler.step(steps=cur_batch_size)
+                if updated:
+                    self.chunk_size = new_seq
+                    self.batch_size = new_bs
+                    dataloader.update(batch_size=new_bs, seen_ids=seen_ids)
+                    data_iter = iter(dataloader)
+                    if self.rotary_interp_bump:
+                        self.rotary_interpolation_factor *= (
+                            self.sequence_scheduler.increase_by_multiplier
+                        )
+                        # rebuild the model with the new interpolation factor
+                        self.model = self.model.clone(
+                            rotary_interpolation_factor=self.rotary_interpolation_factor
+                        )
+                        micro_step = self._micro_step_fn()
+
+        self.save(state, cur_podcast, epoch, seen_ids)
+        return state
+
+    def save(self, state, step: int, epoch: int, seen_ids: List[str]) -> str:
+        return checkpointing.save_checkpoint(
+            self.checkpoint_dir,
+            step=step,
+            params=state["params"],
+            opt_state=state["opt_state"],
+            batch_stats=state["batch_stats"],
+            config=self.config,
+            scheduler_state=self.scheduler.state_dict(),
+            sequence_scheduler_state=(
+                self.sequence_scheduler.state_dict() if self.sequence_scheduler else None
+            ),
+            seen_ids=seen_ids,
+            epoch=epoch,
+        )
+
+    def resume(self, state):
+        """Load the latest checkpoint in checkpoint_dir into `state`;
+        returns (state, step, epoch, seen_ids)."""
+        latest = checkpointing.find_latest_checkpoint(self.checkpoint_dir)
+        if latest is None:
+            return state, 0, 0, []
+        target = {
+            "params": state["params"],
+            "opt_state": state["opt_state"],
+        }
+        if state["batch_stats"]:
+            target["batch_stats"] = state["batch_stats"]
+        tree, meta = checkpointing.load_checkpoint(latest, target=target)
+        state["params"] = tree["params"]
+        state["opt_state"] = tree["opt_state"]
+        state["batch_stats"] = tree.get("batch_stats", state["batch_stats"])
+        self.scheduler.load_state_dict(meta["scheduler"]) if meta.get("scheduler") else None
+        if self.sequence_scheduler is not None and meta.get("sequence_scheduler"):
+            self.sequence_scheduler.load_state_dict(meta["sequence_scheduler"])
+            self.chunk_size = self.sequence_scheduler.cur_sequence_length
+            self.batch_size = self.sequence_scheduler.cur_batch_size
+        return state, meta["podcast_step"], meta["epoch"], meta["seen_ids"]

@@ -51,6 +51,18 @@ def install_reference_package_stubs() -> None:
                 __import__(missing)
             except ImportError:
                 _stub(missing)
+    try:
+        import omegaconf  # noqa: F401
+    except ImportError:
+        om = _stub("omegaconf")
+        om_sub = _stub("omegaconf.omegaconf")
+
+        class _FakeOmegaConf:  # only referenced, never called in oracle paths
+            pass
+
+        om.OmegaConf = _FakeOmegaConf
+        om_sub.OmegaConf = _FakeOmegaConf
+        om.omegaconf = om_sub
 
     for pkg_name, rel in [
         ("lcasr", "lcasr"),
