@@ -36,7 +36,7 @@ def main() -> None:
 
     from __graft_entry__ import FLAGSHIP
     from lcasr_tpu.models.sconformer_xl import SCConformerXL
-    from lcasr_tpu.evaluation.streaming import fetch_logits
+    from lcasr_tpu.evaluation.streaming import StreamingDecoder
 
     model = SCConformerXL(**FLAGSHIP, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
@@ -44,35 +44,24 @@ def main() -> None:
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 80, SEQ_LEN), jnp.float32)
     )
-    variables = jax.device_put(variables)
-
-    @jax.jit
-    def _fwd(variables, audio, length):
-        out = model.apply(variables, audio, length=length)
-        return out["final_posteriors"], out["length"]
-
-    def model_fn(audio, length):
-        return _fwd(variables, audio, length)
 
     total_frames = AUDIO_MINUTES * 60 * FRAMES_PER_SECOND  # 120,000
     spec = rng.normal(size=(1, 80, total_frames)).astype(np.float32)
     overlap = int(SEQ_LEN * OVERLAP_RATIO)
     n_classes = FLAGSHIP["vocab_size"] + 1
 
-    # warmup: compile the window program
-    w = spec[:, :, :SEQ_LEN]
-    lp, ol = model_fn(jnp.asarray(w), jnp.asarray([SEQ_LEN], np.int32))
-    lp.block_until_ready()
+    decoder = StreamingDecoder(model, variables, n_classes, window_batch_size=8)
+
+    # warmup: compile + run once end-to-end
+    _ = decoder.greedy(spec, seq_len=SEQ_LEN, overlap=overlap)
 
     t0 = time.perf_counter()
-    logits = fetch_logits(
-        model_fn, spec, seq_len=SEQ_LEN, overlap=overlap, n_classes=n_classes
-    )
+    ids = decoder.greedy(spec, seq_len=SEQ_LEN, overlap=overlap)
     wall = time.perf_counter() - t0
 
     audio_seconds = total_frames / FRAMES_PER_SECOND
     rtfx = audio_seconds / wall
-    assert logits.shape[-1] == n_classes
+    assert ids.ndim == 1 and ids.shape[0] >= total_frames // 8 - 8
 
     print(
         json.dumps(

@@ -25,6 +25,7 @@ from lcasr_tpu.decoding.greedy import GreedyCTCDecoder
 from lcasr_tpu.evaluation.datasets import get_dataset_fn
 from lcasr_tpu.evaluation.normalizer import normalize
 from lcasr_tpu.evaluation.streaming import (
+    StreamingDecoder,
     fetch_logits,
     fetch_logits_buffered,
     make_windowed_model_fn,
@@ -94,7 +95,12 @@ def evaluate(
 
     cfg_model = Config({"model": model_cfg})
     model = load_model(cfg_model, tokenizer.vocab_size(), get_model_class(cfg))
-    model_fn = make_windowed_model_fn(model, variables)
+    if evaluation_mode == "buffered":
+        model_fn = make_windowed_model_fn(model, variables)
+    else:
+        streamer = StreamingDecoder(
+            model, variables, n_classes, subsampling_factor=subsampling_factor
+        )
 
     decoder = GreedyCTCDecoder(tokenizer, blank_id=n_classes - 1)
     data = get_dataset_fn(dataset)(split, **(dataset_kwargs or {}))
@@ -106,14 +112,17 @@ def evaluate(
         spec, gold = item["process_fn"](item)
         spec = np.asarray(spec)
         t0 = time.perf_counter()
-        logits = eval_fn(
-            model_fn,
-            spec,
-            seq_len=seq_len,
-            overlap=overlap,
-            n_classes=n_classes,
-            subsampling_factor=subsampling_factor,
-        )
+        if evaluation_mode == "buffered":
+            logits = eval_fn(
+                model_fn,
+                spec,
+                seq_len=seq_len,
+                overlap=overlap,
+                n_classes=n_classes,
+                subsampling_factor=subsampling_factor,
+            )
+        else:
+            logits = streamer.logits(spec, seq_len=seq_len, overlap=overlap)
         wall = time.perf_counter() - t0
         hyp = normalize(decoder(logits)).lower()
         ref = normalize(gold).lower()

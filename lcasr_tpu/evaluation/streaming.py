@@ -1,30 +1,184 @@
 """Long-context streaming inference: averaged-moving-window and buffered modes.
 
 TPU ports of the reference decode loops:
-  * `fetch_logits` — overlapping windows, per-frame posterior-probability
+  * averaged moving window — overlapping windows, per-frame posterior
     averaging at overlapped positions (reference `lcasr/eval/utils.py:46-110`,
     the paper's decode; paper overlap ratio 0.875),
-  * `fetch_logits_buffered` — NeMo-style buffered transcription keeping only
-    each chunk's central region (reference
+  * buffered — NeMo-style center-crop transcription (reference
     `lcasr/eval/buffered_transcription.py:11-97`),
   * windowed-attention mode is not a loop: the model is built with
     `attention_window_size` set and the whole recording is one forward
     (reference `eval/run.py:38-43`).
 
-TPU-first behavior: every window is padded up to `seq_len` so ONE compiled
-(B=1, 80, seq_len) program serves the whole decode — the ragged final window
-is handled with a length argument instead of a shape change (XLA static
-shapes; the reference instead ran a smaller last chunk and killed the loop,
-`utils.py:70-81`).  Accumulation happens in fp32 numpy on host; the device
-only sees fixed-shape forwards.
+TPU-first design (the decode is heavily link-bound on remote-attached chips):
+  1. the spectrogram is uploaded ONCE; window extraction is a device-side
+     gather with traced start offsets (no per-window host slices),
+  2. windows are batched `window_batch_size` at a time into one forward —
+     they are independent at eval time (running-stat norms),
+  3. the overlap-average accumulation runs ON DEVICE into an fp32 buffer;
+     the only host transfer is the final merged logits (or, for the greedy
+     path, just the per-frame argmax ids — 4 bytes/frame),
+  4. the ragged tail window rides in the same compiled program via its true
+     length (static shapes, no recompile).
 """
 from __future__ import annotations
 
+import functools
+import math
 from typing import Callable, Optional
 
 import numpy as np
 
 
+def _out_len(u_len: int, subsampling_factor: int) -> int:
+    """calc_length mirror for dw-striding subsampling (host side)."""
+    n = u_len
+    for _ in range(int(math.log2(subsampling_factor))):
+        n = math.floor((n - 1) / 2 + 1)
+    return n
+
+
+def _window_positions(spec_n: int, seq_len: int, overlap: int):
+    """Window (start, true_length) pairs with the reference's truncation
+    guard (one trailing short window allowed, then stop —
+    reference `utils.py:70-81`)."""
+    positions, last_ulen, kill_next = [], None, False
+    for i in range(0, spec_n, seq_len - overlap):
+        u_len = min(seq_len, spec_n - i)
+        if kill_next:
+            break
+        if last_ulen is not None and u_len < last_ulen:
+            kill_next = True
+        last_ulen = u_len
+        positions.append((i, u_len))
+    return positions
+
+
+class StreamingDecoder:
+    """Device-resident moving-window decoder for one (model, variables)."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        n_classes: int,
+        subsampling_factor: int = 8,
+        window_batch_size: int = 8,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self.jax, self.jnp = jax, jnp
+        self.model = model
+        self.variables = jax.device_put(variables)
+        self.n_classes = n_classes
+        self.ds = subsampling_factor
+        self.W = window_batch_size
+
+        @functools.partial(jax.jit, static_argnames=("seq_len",))
+        def step(variables, spec, starts, lengths, offsets, sums, counts, seq_len):
+            # spec: (80, T) on device; extract W windows by gather
+            T = spec.shape[-1]
+            idx = starts[:, None] + jnp.arange(seq_len)[None, :]  # (W, seq_len)
+            idx = jnp.minimum(idx, T - 1)
+            windows = jnp.take(spec, idx, axis=1)  # (80, W, seq_len)
+            windows = jnp.swapaxes(windows, 0, 1)  # (W, 80, seq_len)
+            valid_t = jnp.arange(seq_len)[None, :] < lengths[:, None]
+            windows = jnp.where(valid_t[:, None, :], windows, 0.0)
+
+            out = self.model.apply(variables, windows, length=lengths)
+            log_probs = out["final_posteriors"]
+            out_lens = out["length"]
+
+            def body(j, carry):
+                sums, counts = carry
+                lp = log_probs[j].astype(jnp.float32)
+                n = out_lens[j]
+                valid = (jnp.arange(lp.shape[0]) < n)[:, None]
+                probs = jnp.where(valid, jnp.exp(lp), 0.0)
+                seg = jax.lax.dynamic_slice(
+                    sums, (offsets[j], 0), (lp.shape[0], self.n_classes)
+                )
+                sums = jax.lax.dynamic_update_slice(sums, seg + probs, (offsets[j], 0))
+                cseg = jax.lax.dynamic_slice(counts, (offsets[j], 0), (lp.shape[0], 1))
+                counts = jax.lax.dynamic_update_slice(
+                    counts, cseg + valid.astype(jnp.float32), (offsets[j], 0)
+                )
+                return sums, counts
+
+            return jax.lax.fori_loop(0, log_probs.shape[0], body, (sums, counts))
+
+        @jax.jit
+        def finalize_logits(sums, counts):
+            return jnp.log(sums / jnp.maximum(counts, 1.0))
+
+        @jax.jit
+        def finalize_argmax(sums, counts):
+            return jnp.argmax(sums / jnp.maximum(counts, 1.0), axis=-1)
+
+        self._step = step
+        self._finalize_logits = finalize_logits
+        self._finalize_argmax = finalize_argmax
+
+    def _run(self, spec: np.ndarray, seq_len: int, overlap: int):
+        jnp = self.jnp
+        spec = np.asarray(spec)
+        if spec.ndim == 3:
+            spec = spec[0]
+        spec_n = spec.shape[-1]
+        if seq_len > spec_n:
+            seq_len, overlap = spec_n, 0
+        assert overlap % self.ds == 0, (
+            "Overlap must be a multiple of the downsampling factor"
+        )
+        assert seq_len > overlap
+        positions = _window_positions(spec_n, seq_len, overlap)
+
+        # deterministic output offsets (calc_length is data-independent)
+        out_offsets, pos = [], 0
+        for i, u_len in positions:
+            n_valid = _out_len(u_len, self.ds)
+            if i != 0:
+                pos -= int(overlap / (u_len / n_valid))
+            out_offsets.append(pos)
+            pos += n_valid
+        n_out = pos
+
+        total = spec_n // self.ds + seq_len
+        sums = jnp.zeros((total, self.n_classes), jnp.float32)
+        counts = jnp.zeros((total, 1), jnp.float32)
+        spec_dev = self.jax.device_put(jnp.asarray(spec, jnp.float32))
+
+        W = self.W
+        for b0 in range(0, len(positions), W):
+            group = positions[b0 : b0 + W]
+            starts = np.zeros((W,), np.int32)
+            lengths = np.zeros((W,), np.int32)
+            offs = np.zeros((W,), np.int32)
+            for j, (i, u_len) in enumerate(group):
+                starts[j], lengths[j], offs[j] = i, u_len, out_offsets[b0 + j]
+            sums, counts = self._step(
+                self.variables, spec_dev,
+                jnp.asarray(starts), jnp.asarray(lengths), jnp.asarray(offs),
+                sums, counts, seq_len=seq_len,
+            )
+        return sums, counts, n_out
+
+    def logits(self, spec: np.ndarray, seq_len: int, overlap: int) -> np.ndarray:
+        """Merged averaged log-probs (T', C) — the reference fetch_logits
+        contract."""
+        sums, counts, n_out = self._run(spec, seq_len, overlap)
+        return np.asarray(self._finalize_logits(sums, counts))[:n_out]
+
+    def greedy(self, spec: np.ndarray, seq_len: int, overlap: int) -> np.ndarray:
+        """Merged per-frame argmax ids — minimal-transfer greedy path."""
+        sums, counts, n_out = self._run(spec, seq_len, overlap)
+        return np.asarray(self._finalize_argmax(sums, counts))[:n_out]
+
+
+# ---------------------------------------------------------------------------
+# functional API (reference-parity contract, used by eval/run + tests)
+# ---------------------------------------------------------------------------
 def fetch_logits(
     model_fn: Callable,
     spec: np.ndarray,  # (1, 80, T)
@@ -33,12 +187,17 @@ def fetch_logits(
     n_classes: int,
     subsampling_factor: int = 8,
     use_tqdm: bool = False,
+    window_batch_size: int = 8,
 ) -> np.ndarray:
     """Averaged moving window decode → (T', n_classes) log-probs.
 
-    model_fn(chunk (1, 80, seq_len), length (1,)) → (log_probs (1, N, C),
-    out_length (1,)); must be a fixed-shape jitted callable.
+    model_fn(chunks (W, 80, seq_len), lengths (W,)) → (log_probs, out_lens).
+    Host-slicing variant kept for model_fn-style callers; prefer
+    StreamingDecoder for device-resident decoding.
     """
+    import jax
+    import jax.numpy as jnp
+
     spec_n = spec.shape[-1]
     if seq_len > spec_n:
         seq_len, overlap = spec_n, 0
@@ -46,46 +205,61 @@ def fetch_logits(
         "Overlap must be a multiple of the downsampling factor"
     )
     assert seq_len > overlap
+    positions = _window_positions(spec_n, seq_len, overlap)
 
-    positions = list(range(0, spec_n, seq_len - overlap))
-    it = positions
+    out_offsets, pos = [], 0
+    for i, u_len in positions:
+        n_valid = _out_len(u_len, subsampling_factor)
+        if i != 0:
+            pos -= int(overlap / (u_len / n_valid))
+        out_offsets.append(pos)
+        pos += n_valid
+    n_out = pos
+
+    total = spec_n // subsampling_factor + seq_len
+
+    @jax.jit
+    def accumulate(sums, counts, log_probs, out_lens, offsets):
+        def body(j, carry):
+            sums, counts = carry
+            lp = log_probs[j].astype(jnp.float32)
+            n = out_lens[j]
+            valid = (jnp.arange(lp.shape[0]) < n)[:, None]
+            probs = jnp.where(valid, jnp.exp(lp), 0.0)
+            seg = jax.lax.dynamic_slice(sums, (offsets[j], 0), (lp.shape[0], n_classes))
+            sums = jax.lax.dynamic_update_slice(sums, seg + probs, (offsets[j], 0))
+            cseg = jax.lax.dynamic_slice(counts, (offsets[j], 0), (lp.shape[0], 1))
+            counts = jax.lax.dynamic_update_slice(
+                counts, cseg + valid.astype(jnp.float32), (offsets[j], 0)
+            )
+            return sums, counts
+
+        return jax.lax.fori_loop(0, log_probs.shape[0], body, (sums, counts))
+
+    sums = jnp.zeros((total, n_classes), jnp.float32)
+    counts = jnp.zeros((total, 1), jnp.float32)
+
+    W = window_batch_size
+    it = range(0, len(positions), W)
     if use_tqdm:
         from tqdm import tqdm
 
-        it = tqdm(positions)
+        it = tqdm(list(it))
+    for b0 in it:
+        group = positions[b0 : b0 + W]
+        batch = np.zeros((W, 80, seq_len), np.float32)
+        lengths = np.zeros((W,), np.int32)
+        offs = np.zeros((W,), np.int32)
+        for j, (i, u_len) in enumerate(group):
+            batch[j, :, :u_len] = spec[0, :, i : i + u_len]
+            lengths[j] = u_len
+            offs[j] = out_offsets[b0 + j]
+        log_probs, out_len = model_fn(batch, lengths)
+        out_len = jnp.where(jnp.arange(W) < len(group), out_len, 0)
+        sums, counts = accumulate(sums, counts, log_probs, out_len, jnp.asarray(offs))
 
-    all_logits = np.zeros((spec_n // subsampling_factor + seq_len, n_classes), np.float64)
-    logit_count = np.zeros_like(all_logits)
-
-    logit_position = 0
-    last_ulen, kill_next = None, False
-    for i in it:
-        audio_chunk = spec[:, :, i : i + seq_len]
-        u_len = audio_chunk.shape[-1]
-        if kill_next:
-            break
-        if last_ulen is not None and u_len < last_ulen:
-            kill_next = True
-        last_ulen = u_len
-
-        # pad to the compiled window size, track true length
-        if u_len < seq_len:
-            audio_chunk = np.pad(audio_chunk, ((0, 0), (0, 0), (0, seq_len - u_len)))
-        log_probs, out_len = model_fn(audio_chunk, np.array([u_len], np.int32))
-        n_valid = int(np.asarray(out_len)[0])
-        probs = np.exp(np.asarray(log_probs, dtype=np.float64))[0, :n_valid]
-
-        ratio = u_len / n_valid
-        overlap_ds = int(overlap / ratio)
-        if i != 0:
-            logit_position -= overlap_ds
-        all_logits[logit_position : logit_position + n_valid] += probs
-        logit_count[logit_position : logit_position + n_valid] += 1
-        logit_position += n_valid
-
-    seen = logit_count[:, 0] != 0
-    avg = all_logits[seen] / logit_count[seen]
-    return np.log(avg).astype(np.float32)
+    merged = jnp.log(sums / jnp.maximum(counts, 1.0))
+    return np.asarray(merged)[:n_out]
 
 
 def fetch_logits_buffered(
@@ -109,11 +283,7 @@ def fetch_logits_buffered(
     assert chunk_size > 0
     buf = overlap // 2
 
-    ds = subsampling_factor
-    out_frames_total = None
     outputs = []
-    written = 0
-
     positions = list(range(0, spec_n, chunk_size))
     it = positions
     if use_tqdm:
@@ -133,24 +303,39 @@ def fetch_logits_buffered(
         lp = np.asarray(log_probs, dtype=np.float32)[0, :n_valid]
 
         ratio = u_len / n_valid
-        # central region in downsampled coordinates
         rel_start = start - ctx_start
         center_lo = int(rel_start / ratio)
         center_hi = int(min(rel_start + chunk_size, u_len) / ratio)
         outputs.append(lp[center_lo:center_hi])
-        written += center_hi - center_lo
         if start + chunk_size >= spec_n:
             break
 
     return np.concatenate(outputs, axis=0)
 
 
+def greedy_ids(
+    model_fn: Callable,
+    spec: np.ndarray,
+    seq_len: int,
+    overlap: int,
+    n_classes: int,
+    subsampling_factor: int = 8,
+    window_batch_size: int = 8,
+) -> np.ndarray:
+    """Deprecated shim — use StreamingDecoder.greedy for the device-resident
+    path; this computes merged logits then argmaxes on host."""
+    logits = fetch_logits(
+        model_fn, spec, seq_len, overlap, n_classes,
+        subsampling_factor, window_batch_size=window_batch_size,
+    )
+    return logits.argmax(-1)
+
+
 def make_windowed_model_fn(model, variables) -> Callable:
-    """Build the fixed-shape jitted forward used by both loops.
+    """Build the fixed-shape jitted forward used by the functional loops.
 
     `variables` is passed as a jit ARGUMENT (not a closure constant) so the
-    weights live on device as buffers instead of being baked into the HLO —
-    closure constants would bloat the program by the full parameter size.
+    weights live on device as buffers instead of being baked into the HLO.
     """
     import jax
 

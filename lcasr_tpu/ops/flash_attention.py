@@ -71,6 +71,7 @@ def _block_in_band(q_start, k_start, block_q, block_k, window, kv_len):
 # ---------------------------------------------------------------------------
 def _fwd_kernel(
     lengths_ref,  # scalar-prefetch SMEM (B,)
+    qoff_ref,  # scalar-prefetch SMEM (1,): global offset of local q rows
     q_ref,  # (1, 1, BQ, D)
     k_ref,  # (1, 1, BK, D)
     v_ref,  # (1, 1, BK, D)
@@ -97,7 +98,7 @@ def _fwd_kernel(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q_start = qi * block_q
+    q_start = qi * block_q + qoff_ref[0]
     k_start = ki * block_k
     kv_len = lengths_ref[b]
 
@@ -151,24 +152,26 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _flash_attention_bhtd(
-    q: jnp.ndarray,  # (B, H, T, D), T a multiple of the block sizes
-    k: jnp.ndarray,
+    q: jnp.ndarray,  # (B, H, Tq, D), Tq a multiple of the block sizes
+    k: jnp.ndarray,  # (B, H, Tk, D)
     v: jnp.ndarray,
-    lengths: jnp.ndarray,  # (B,) int32
+    lengths: jnp.ndarray,  # (B,) int32 global kv lengths
+    q_offset: jnp.ndarray,  # (1,) int32 global offset of q rows (context parallel)
     window: Tuple[int, int],
     scale: float,
     block_q: int,
     block_k: int,
 ) -> jnp.ndarray:
-    o, _ = _fwd(q, k, v, lengths, window, scale, block_q, block_k)
+    o, _ = _fwd(q, k, v, lengths, q_offset, window, scale, block_q, block_k)
     return o
 
 
-def _fwd(q, k, v, lengths, window, scale, block_q, block_k):
-    B, H, T, D = q.shape
-    nQ, nK = T // block_q, T // block_k
+def _fwd(q, k, v, lengths, q_offset, window, scale, block_q, block_k):
+    B, H, Tq, D = q.shape
+    Tk = k.shape[2]
+    nQ, nK = Tq // block_q, Tk // block_k
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -181,17 +184,17 @@ def _fwd(q, k, v, lengths, window, scale, block_q, block_k):
     o, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(B, H, nQ, nK),
             in_specs=[
-                pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki, lens: (b, h, qi, 0)),
-                pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki, lens: (b, h, ki, 0)),
-                pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki, lens: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki, *s: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki, *s: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki, *s: (b, h, ki, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki, lens: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki, *s: (b, h, qi, 0)),
                 pl.BlockSpec(
-                    (1, 1, block_q, 128), lambda b, h, qi, ki, lens: (b, h, qi, 0)
+                    (1, 1, block_q, 128), lambda b, h, qi, ki, *s: (b, h, qi, 0)
                 ),
             ],
             scratch_shapes=[
@@ -201,15 +204,15 @@ def _fwd(q, k, v, lengths, window, scale, block_q, block_k):
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, T, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Tq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tq, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(lengths, q, k, v)
-    return o, lse  # lse kept in (B, H, T, 128) residual layout
+    )(lengths, q_offset, q, k, v)
+    return o, lse  # lse kept in (B, H, Tq, 128) residual layout
 
 
 # ---------------------------------------------------------------------------
@@ -217,6 +220,7 @@ def _fwd(q, k, v, lengths, window, scale, block_q, block_k):
 # ---------------------------------------------------------------------------
 def _bwd_dq_kernel(
     lengths_ref,
+    qoff_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref,
     dq_acc,
@@ -235,7 +239,7 @@ def _bwd_dq_kernel(
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    q_start = qi * block_q
+    q_start = qi * block_q + qoff_ref[0]
     k_start = ki * block_k
     kv_len = lengths_ref[b]
 
@@ -269,6 +273,7 @@ def _bwd_dq_kernel(
 
 def _bwd_dkv_kernel(
     lengths_ref,
+    qoff_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
     dk_acc, dv_acc,
@@ -288,7 +293,7 @@ def _bwd_dkv_kernel(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q_start = qi * block_q
+    q_start = qi * block_q + qoff_ref[0]
     k_start = ki * block_k
     kv_len = lengths_ref[b]
 
@@ -324,23 +329,24 @@ def _bwd_dkv_kernel(
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _fwd_rule(q, k, v, lengths, window, scale, block_q, block_k):
-    o, lse = _fwd(q, k, v, lengths, window, scale, block_q, block_k)
-    return o, (q, k, v, lengths, o, lse)
+def _fwd_rule(q, k, v, lengths, q_offset, window, scale, block_q, block_k):
+    o, lse = _fwd(q, k, v, lengths, q_offset, window, scale, block_q, block_k)
+    return o, (q, k, v, lengths, q_offset, o, lse)
 
 
 def _bwd_rule(window, scale, block_q, block_k, residuals, do):
-    q, k, v, lengths, o, lse = residuals
+    q, k, v, lengths, q_offset, o, lse = residuals
     B, H, T, D = q.shape
-    nQ, nK = T // block_q, T // block_k
+    Tk = k.shape[2]
+    nQ, nK = T // block_q, Tk // block_k
 
     delta = (do.astype(jnp.float32) * o.astype(jnp.float32)).sum(-1)  # (B,H,T)
     lse_q = lse  # already (B, H, T, 128)
     delta_q = jnp.broadcast_to(delta[..., None], (B, H, T, 128))
 
-    qspec = lambda b, h, qi, ki, lens: (b, h, qi, 0)
-    kspec = lambda b, h, qi, ki, lens: (b, h, ki, 0)
-    qspec128 = lambda b, h, qi, ki, lens: (b, h, qi, 0)
+    qspec = lambda b, h, qi, ki, *s: (b, h, qi, 0)
+    kspec = lambda b, h, qi, ki, *s: (b, h, ki, 0)
+    qspec128 = lambda b, h, qi, ki, *s: (b, h, qi, 0)
 
     dq = pl.pallas_call(
         functools.partial(
@@ -349,7 +355,7 @@ def _bwd_rule(window, scale, block_q, block_k, residuals, do):
             num_k_blocks=nK,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(B, H, nQ, nK),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, D), qspec),
@@ -367,11 +373,11 @@ def _bwd_rule(window, scale, block_q, block_k, residuals, do):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(lengths, q, k, v, do, lse_q, delta_q)[0]
+    )(lengths, q_offset, q, k, v, do, lse_q, delta_q)[0]
 
-    kqspec_q = lambda b, h, ki, qi, lens: (b, h, qi, 0)
-    kqspec_k = lambda b, h, ki, qi, lens: (b, h, ki, 0)
-    kqspec128 = lambda b, h, ki, qi, lens: (b, h, qi, 0)
+    kqspec_q = lambda b, h, ki, qi, *s: (b, h, qi, 0)
+    kqspec_k = lambda b, h, ki, qi, *s: (b, h, ki, 0)
+    kqspec128 = lambda b, h, ki, qi, *s: (b, h, qi, 0)
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel,
@@ -379,7 +385,7 @@ def _bwd_rule(window, scale, block_q, block_k, residuals, do):
             num_q_blocks=nQ,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(B, H, nK, nQ),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, D), kqspec_q),
@@ -399,60 +405,76 @@ def _bwd_rule(window, scale, block_q, block_k, residuals, do):
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tk, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tk, D), q.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(lengths, q, k, v, do, lse_q, delta_q)
+    )(lengths, q_offset, q, k, v, do, lse_q, delta_q)
 
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _flash_attention_bhtd.defvjp(_fwd_rule, _bwd_rule)
 
 
 def flash_attention(
-    q: jnp.ndarray,  # (B, T, H, D)
-    k: jnp.ndarray,
+    q: jnp.ndarray,  # (B, Tq, H, D)
+    k: jnp.ndarray,  # (B, Tk, H, D) — Tk may exceed Tq (context parallel)
     v: jnp.ndarray,
     lengths: Optional[jnp.ndarray] = None,
     window: Tuple[int, int] = (-1, -1),
     softmax_scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    q_offset: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Public entry: (B, T, H, D) in, (B, T, H, D) out.
+    """Public entry: (B, Tq, H, D) in, (B, Tq, H, D) out.
 
     Pads T up to a block multiple; padded keys AND padded query rows are
     masked via `lengths` (padded queries return zeros, matching
     `lcasr_tpu.ops.attention.reference_attention` with q_lengths=kv_lengths).
+
+    `q_offset` (traced scalar) is the GLOBAL index of local row 0 — used by
+    sequence-sharded (context-parallel) attention where each shard holds a
+    slice of queries against the gathered K/V; window banding and length
+    masks are evaluated in global coordinates.
     """
     B, T, H, D = q.shape
     scale = softmax_scale if softmax_scale is not None else D ** -0.5
 
     # shrink blocks for short sequences (min 128 for MXU/lane alignment)
-    t_pow2 = max(128, 1 << (T - 1).bit_length())
+    t_pow2 = max(128, 1 << (max(T, k.shape[1]) - 1).bit_length())
     block_q = min(block_q, t_pow2)
     block_k = min(block_k, t_pow2)
 
     if lengths is None:
-        lengths_arr = jnp.full((B,), T, dtype=jnp.int32)
+        lengths_arr = jnp.full((B,), k.shape[1], dtype=jnp.int32)
     else:
         lengths_arr = lengths.astype(jnp.int32)
 
-    qt = jnp.swapaxes(q, 1, 2)  # (B, H, T, D)
+    qt = jnp.swapaxes(q, 1, 2)  # (B, H, Tq, D)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
     blk = max(block_q, block_k)
     T_pad = _cdiv(T, blk) * blk
+    Tk = k.shape[1]
+    Tk_pad = _cdiv(Tk, blk) * blk
     if T_pad != T:
         qt = _pad_to(qt, 2, T_pad)
-        kt = _pad_to(kt, 2, T_pad)
-        vt = _pad_to(vt, 2, T_pad)
+    if Tk_pad != Tk:
+        kt = _pad_to(kt, 2, Tk_pad)
+        vt = _pad_to(vt, 2, Tk_pad)
 
-    out = _flash_attention_bhtd(qt, kt, vt, lengths_arr, window, scale, block_q, block_k)
+    if q_offset is None:
+        qoff = jnp.zeros((1,), jnp.int32)
+    else:
+        qoff = jnp.reshape(q_offset, (1,)).astype(jnp.int32)
+
+    out = _flash_attention_bhtd(
+        qt, kt, vt, lengths_arr, qoff, window, scale, block_q, block_k
+    )
     out = out[:, :, :T]
     return jnp.swapaxes(out, 1, 2)

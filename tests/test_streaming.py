@@ -1,0 +1,89 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lcasr_tpu.evaluation.streaming import (
+    StreamingDecoder,
+    fetch_logits,
+    fetch_logits_buffered,
+    make_windowed_model_fn,
+)
+from lcasr_tpu.models.sconformer_xl import SCConformerXL
+
+TINY = dict(
+    vocab_size=16,
+    d_model=64,
+    n_layers=1,
+    n_heads=2,
+    head_dim=32,
+    subsampling_conv_channels=32,
+    use_pallas=False,
+)
+N_CLASSES = TINY["vocab_size"] + 1
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = SCConformerXL(**TINY)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 256)))
+    return model, variables
+
+
+def test_streaming_decoder_matches_functional_loop(model_and_vars):
+    model, variables = model_and_vars
+    rng = np.random.default_rng(0)
+    spec = rng.normal(size=(1, 80, 700)).astype(np.float32)
+
+    fn = make_windowed_model_fn(model, variables)
+    ref = fetch_logits(
+        fn, spec, seq_len=256, overlap=192, n_classes=N_CLASSES, window_batch_size=4
+    )
+
+    dec = StreamingDecoder(model, variables, N_CLASSES, window_batch_size=4)
+    got = dec.logits(spec, seq_len=256, overlap=192)
+
+    assert got.shape == ref.shape
+    # TPU matmul rounding is batch-layout dependent → bf16-level tolerance
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(
+        got.argmax(-1), dec.greedy(spec, seq_len=256, overlap=192)
+    )
+
+
+def test_single_window_equals_direct_forward(model_and_vars):
+    """When the whole recording fits one window, the merged logits equal a
+    plain forward (overlap collapses to 0)."""
+    model, variables = model_and_vars
+    rng = np.random.default_rng(1)
+    spec = rng.normal(size=(1, 80, 200)).astype(np.float32)
+
+    dec = StreamingDecoder(model, variables, N_CLASSES)
+    merged = dec.logits(spec, seq_len=512, overlap=448)
+
+    out = model.apply(variables, jnp.asarray(spec), length=jnp.array([200]))
+    direct = np.asarray(out["final_posteriors"][0])[: int(out["length"][0])]
+    np.testing.assert_allclose(merged, direct, rtol=2e-2, atol=2e-2)
+
+
+def test_overlap_averaging_improves_over_nothing(model_and_vars):
+    """Structural check: output frame count equals the full recording's
+    downsampled length regardless of windowing."""
+    model, variables = model_and_vars
+    rng = np.random.default_rng(2)
+    spec = rng.normal(size=(1, 80, 1024)).astype(np.float32)
+    dec = StreamingDecoder(model, variables, N_CLASSES)
+    merged = dec.logits(spec, seq_len=256, overlap=128)
+    # positions: starts 0,128,...,896 each 256-long except tail; total
+    # downsampled frames == ~1024/8
+    assert abs(merged.shape[0] - 1024 // 8) <= 2
+
+
+def test_buffered_writes_each_frame_once(model_and_vars):
+    model, variables = model_and_vars
+    rng = np.random.default_rng(3)
+    spec = rng.normal(size=(1, 80, 600)).astype(np.float32)
+    fn = make_windowed_model_fn(model, variables)
+    out = fetch_logits_buffered(fn, spec, seq_len=256, overlap=64, n_classes=N_CLASSES)
+    assert out.shape[1] == N_CLASSES
+    assert abs(out.shape[0] - 600 // 8) <= 4
