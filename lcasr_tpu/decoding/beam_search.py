@@ -1,0 +1,174 @@
+"""CTC beam search with optional language-model fusion.
+
+Counterpart of reference `lcasr/decoding/ctc_beam_search.py:18-322` (and the
+pyctcdecode usage in `lcasr/eval/utils.py:14-43`): frame-synchronous prefix
+beam search over CTC posteriors, score = AM + α·LM + β·|tokens|, with
+  * top-AM candidate pruning per frame (`logit > max + threshold`,
+    reference `:224-228`),
+  * merging of prefixes (logsumexp over blank/non-blank AM mass),
+  * batched LM scoring: all beams needing LM probabilities are evaluated in
+    ONE call per frame (reference `:287-317`) — the LM hook receives the
+    full prefix batch and returns next-token log-probs.
+
+The LM is any callable `lm_scores(prefixes: List[List[int]]) -> np.ndarray
+(n_prefixes, vocab)` of next-token log-probs; `FlaxLMScorer` adapts a jitted
+causal LM.  With `lm_scores=None` this is plain CTC prefix beam search (the
+pyctcdecode-equivalent path).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+LOG0 = -1e30
+
+
+def _logsumexp(a: float, b: float) -> float:
+    if a <= LOG0 / 2:
+        return b
+    if b <= LOG0 / 2:
+        return a
+    m = max(a, b)
+    return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+
+@dataclass
+class Beam:
+    prefix: Tuple[int, ...] = ()
+    p_blank: float = 0.0  # log prob of prefix ending in blank
+    p_non_blank: float = LOG0  # log prob of prefix ending in its last token
+    lm_score: float = 0.0  # cumulative α·LM + β·len bonus
+
+    @property
+    def am_score(self) -> float:
+        return _logsumexp(self.p_blank, self.p_non_blank)
+
+    @property
+    def score(self) -> float:
+        return self.am_score + self.lm_score
+
+
+class BeamSearch:
+    def __init__(
+        self,
+        tokenizer=None,
+        beam_width: int = 25,
+        blank_id: Optional[int] = None,
+        alpha: float = 0.45,
+        beta: float = 1.53,
+        prune_less_than_val: float = -6.0,  # AM top-candidate threshold
+        top_am_threshold: float = -6.0,
+        lm_scores: Optional[Callable[[List[List[int]]], np.ndarray]] = None,
+        max_cache_length: int = -1,
+    ):
+        self.tokenizer = tokenizer
+        self.beam_width = beam_width
+        self.blank_id = blank_id
+        self.alpha = alpha
+        self.beta = beta
+        self.top_am_threshold = top_am_threshold
+        self.lm_scores = lm_scores
+
+    def run_search(self, log_probs: np.ndarray, decode: bool = True):
+        """log_probs: (T, C) CTC log posteriors → best transcript (or ids)."""
+        T, C = log_probs.shape
+        blank = self.blank_id if self.blank_id is not None else C - 1
+
+        beams: Dict[Tuple[int, ...], Beam] = {(): Beam()}
+
+        for t in range(T):
+            frame = log_probs[t]
+            # top-AM pruning (reference :224-228)
+            keep = np.where(frame > frame.max() + self.top_am_threshold)[0]
+
+            # one batched LM call per frame for all current prefixes that may
+            # extend with a new token (reference :287-317)
+            lm_next: Optional[Dict[Tuple[int, ...], np.ndarray]] = None
+            if self.lm_scores is not None and any(k != blank for k in keep):
+                prefixes = list(beams.keys())
+                scores = self.lm_scores([list(p) for p in prefixes])
+                lm_next = {p: scores[i] for i, p in enumerate(prefixes)}
+
+            new_beams: Dict[Tuple[int, ...], Beam] = {}
+
+            def upd(prefix, lm_score, p_blank=LOG0, p_non_blank=LOG0):
+                b = new_beams.get(prefix)
+                if b is None:
+                    b = Beam(prefix, LOG0, LOG0, lm_score)
+                    new_beams[prefix] = b
+                b.p_blank = _logsumexp(b.p_blank, p_blank)
+                b.p_non_blank = _logsumexp(b.p_non_blank, p_non_blank)
+                b.lm_score = lm_score  # deterministic per prefix
+
+            for prefix, beam in beams.items():
+                last = prefix[-1] if prefix else None
+                for c in keep:
+                    p = float(frame[c])
+                    if c == blank:
+                        upd(prefix, beam.lm_score, p_blank=beam.am_score + p)
+                    elif c == last:
+                        # repeat collapses into same prefix...
+                        upd(prefix, beam.lm_score, p_non_blank=beam.p_non_blank + p)
+                        # ...or extends after an explicit blank
+                        new_prefix = prefix + (int(c),)
+                        lm_add = self._lm_add(lm_next, prefix, c)
+                        upd(
+                            new_prefix,
+                            beam.lm_score + lm_add,
+                            p_non_blank=beam.p_blank + p,
+                        )
+                    else:
+                        new_prefix = prefix + (int(c),)
+                        lm_add = self._lm_add(lm_next, prefix, c)
+                        upd(
+                            new_prefix,
+                            beam.lm_score + lm_add,
+                            p_non_blank=beam.am_score + p,
+                        )
+
+            ranked = sorted(new_beams.values(), key=lambda b: -b.score)
+            beams = {b.prefix: b for b in ranked[: self.beam_width]}
+
+        best = max(beams.values(), key=lambda b: b.score)
+        ids = list(best.prefix)
+        if decode and self.tokenizer is not None:
+            return self.tokenizer.decode(ids)
+        return ids
+
+    def _lm_add(self, lm_next, prefix, c) -> float:
+        if lm_next is None:
+            return 0.0
+        return self.alpha * float(lm_next[prefix][int(c)]) + self.beta
+
+    # reference-compatible alias
+    __call__ = run_search
+
+
+class FlaxLMScorer:
+    """Adapt a jitted causal LM `fn(tokens (B, U)) -> logits (B, U, V)` into
+    the batched `lm_scores` hook (prefixes padded to a shared bucket; one
+    forward per frame, mirroring the reference's stacked-KV batching)."""
+
+    def __init__(self, fn: Callable, bos_id: int = 2, pad_id: int = 0, bucket: int = 32):
+        self.fn = fn
+        self.bos_id = bos_id
+        self.pad_id = pad_id
+        self.bucket = bucket
+
+    def __call__(self, prefixes: List[List[int]]) -> np.ndarray:
+        n = len(prefixes)
+        max_len = max(len(p) for p in prefixes) + 1  # + bos
+        U = -(-max_len // self.bucket) * self.bucket
+        tokens = np.full((n, U), self.pad_id, np.int32)
+        last = np.zeros((n,), np.int32)
+        for i, p in enumerate(prefixes):
+            tokens[i, 0] = self.bos_id
+            tokens[i, 1 : 1 + len(p)] = p
+            last[i] = len(p)
+        logits = np.asarray(self.fn(tokens))
+        out = logits[np.arange(n), last]
+        m = out.max(-1, keepdims=True)  # stable log-softmax
+        return out - (m + np.log(np.exp(out - m).sum(-1, keepdims=True)))

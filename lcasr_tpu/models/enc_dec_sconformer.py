@@ -1,0 +1,402 @@
+"""Attention-encoder-decoder (AED) conformer models with joint CTC loss.
+
+Counterparts of reference `lcasr/models/enc_dec_sconformer.py:29-860` and
+`enc_dec_sconformer_v2.py:30-1110`:
+
+  * conformer encoder (same stack as SCConformerXL, incl. optional CTC head
+    with self-conditioning when ctc_loss_weight > 0),
+  * cross-attention transformer decoder: token embedding + learnable Fourier
+    positions, N × [causal self-attn (rotary) → cross-attn over acoustic
+    states → FF], normed output projection,
+  * joint loss: ctc_loss_weight · CTC + (1 − w) · label-smoothing-free CE,
+    with the reference's per-token normalizations (`:177-242`),
+  * greedy `generate` as a single jitted `lax.while_loop` over a static
+    max-length buffer (TPU-friendly: one compile, no growing shapes),
+  * V2 (`EncDecSconformerV2`): cosine-similarity decoder attention with a
+    learned temperature + DynamicPositionBias instead of rotary
+    (reference v2 `:758-1026`), compatible with the LM beam-search API.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lcasr_tpu.models.decoder import ASRLinearSCDecoder
+from lcasr_tpu.models.positional import DynamicPositionBias, LearnableFourierPosEnc
+from lcasr_tpu.models.registry import register_model
+from lcasr_tpu.models.sconformer_xl import ConformerLayer
+from lcasr_tpu.ops.attention import NEG_INF, length_mask
+from lcasr_tpu.ops.conv import ConvSubsampling
+from lcasr_tpu.ops.mlp import ConformerFeedForward
+from lcasr_tpu.ops.norms import get_norm
+from lcasr_tpu.ops.rotary import RotaryEmbedding, apply_rotary
+
+
+def _masked_softmax_attention(q, k, v, mask, scale):
+    """q (B,Tq,H,D), k/v (B,Tk,H,D), mask (B,1,Tq,Tk) bool True=keep."""
+    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32) * scale, k.astype(jnp.float32))
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+class DecoderSelfAttention(nn.Module):
+    d_model: int
+    n_heads: int
+    head_dim: int
+    bias: bool = False
+    cosine: bool = False  # V2: cosine-sim attention with learned temperature
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, rotary=None, pos_bias=None):
+        B, T, _ = x.shape
+        H, D = self.n_heads, self.head_dim
+        qkv = nn.Dense(3 * H * D, use_bias=False, dtype=self.dtype, name="qkv_proj")(x)
+        q, k, v = (a.reshape(B, T, H, D) for a in jnp.split(qkv, 3, axis=-1))
+        if rotary is not None:
+            q, k = apply_rotary(q, k, *rotary)
+        if self.cosine:
+            q = q / (jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True) + 1e-6).astype(q.dtype)
+            k = k / (jnp.linalg.norm(k.astype(jnp.float32), axis=-1, keepdims=True) + 1e-6).astype(k.dtype)
+            temp = self.param("temperature", nn.initializers.constant(15.5), (H, 1, 1), jnp.float32)
+            scale = 1.0
+        causal = jnp.tril(jnp.ones((T, T), bool))[None, None]
+        if self.cosine:
+            scores = jnp.einsum(
+                "bthd,bshd->bhts", q.astype(jnp.float32), k.astype(jnp.float32)
+            ) * temp[None]
+            if pos_bias is not None:
+                scores = scores + pos_bias[None]
+            scores = jnp.where(causal, scores, NEG_INF)
+            probs = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32)).astype(x.dtype)
+        else:
+            out = _masked_softmax_attention(q, k, v, causal, D ** -0.5)
+        out = out.reshape(B, T, H * D)
+        return nn.Dense(self.d_model, use_bias=self.bias, dtype=self.dtype, name="out_proj")(out)
+
+
+class CrossAttention(nn.Module):
+    """Text queries over acoustic keys/values (reference `:616-698`)."""
+
+    d_model: int
+    n_heads: int
+    head_dim: int
+    bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xq, xkv, kv_lengths=None):
+        B, Tq, _ = xq.shape
+        Tk = xkv.shape[1]
+        H, D = self.n_heads, self.head_dim
+        q = nn.Dense(H * D, use_bias=False, dtype=self.dtype, name="q_proj")(xq).reshape(B, Tq, H, D)
+        kv = nn.Dense(2 * H * D, use_bias=False, dtype=self.dtype, name="kv_proj")(xkv)
+        k, v = (a.reshape(B, Tk, H, D) for a in jnp.split(kv, 2, axis=-1))
+        mask = None
+        if kv_lengths is not None:
+            mask = length_mask(kv_lengths, Tk)[:, None, None, :]
+        out = _masked_softmax_attention(q, k, v, mask, D ** -0.5)
+        out = out.reshape(B, Tq, H * D)
+        return nn.Dense(self.d_model, use_bias=self.bias, dtype=self.dtype, name="out_proj")(out)
+
+
+class CrossAttnDecoder(nn.Module):
+    """Transformer LM decoder with cross-attention (reference `:699-860`)."""
+
+    vocab_size: int
+    n_layers: int = 3
+    d_model: int = 768
+    n_heads: int = 6
+    head_dim: int = 128
+    decoder_norm: bool = True
+    use_rotary: bool = True
+    rotary_base_freq: float = 10000.0
+    default_norm: str = "rms_norm"
+    bias_in_ff: bool = False
+    cosine_attention: bool = False  # V2
+    use_dynamic_pos_bias: bool = False  # V2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, a_hidden, a_lengths):
+        Norm = get_norm(self.default_norm)
+        B, T = tokens.shape
+        x = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype, name="embed")(tokens)
+        x = LearnableFourierPosEnc(self.d_model, dtype=self.dtype, name="pos_enc")(x)
+        a_hidden = Norm(self.d_model, name="acoustic_norm")(a_hidden)
+
+        rotary = None
+        if self.use_rotary and not self.cosine_attention:
+            rotary = RotaryEmbedding(
+                dim=self.head_dim, base=self.rotary_base_freq, name="rotary_pos_emb"
+            )(T)
+        pos_bias = None
+        if self.use_dynamic_pos_bias:
+            pos_bias = DynamicPositionBias(
+                dim=self.d_model // 4, heads=self.n_heads, name="dynamic_pos_bias"
+            )(T, T)
+
+        for i in range(self.n_layers):
+            h = Norm(self.d_model, name=f"self_norm_{i}")(x)
+            x = x + DecoderSelfAttention(
+                self.d_model, self.n_heads, self.head_dim,
+                bias=self.bias_in_ff, cosine=self.cosine_attention,
+                dtype=self.dtype, name=f"self_attn_{i}",
+            )(h, rotary=rotary, pos_bias=pos_bias)
+            h = Norm(self.d_model, name=f"cross_norm_{i}")(x)
+            x = x + CrossAttention(
+                self.d_model, self.n_heads, self.head_dim,
+                bias=self.bias_in_ff, dtype=self.dtype, name=f"cross_attn_{i}",
+            )(h, a_hidden, kv_lengths=a_lengths)
+            h = Norm(self.d_model, name=f"ff_norm_{i}")(x)
+            x = x + ConformerFeedForward(
+                self.d_model, bias1=self.bias_in_ff, bias2=self.bias_in_ff,
+                dtype=self.dtype, name=f"ff_{i}",
+            )(h)
+
+        if self.decoder_norm:
+            x = Norm(self.d_model, name="out_norm")(x)
+        return nn.Dense(self.vocab_size, dtype=self.dtype, name="out_proj")(x)
+
+
+@register_model("EncDecSconformer")
+class EncDecSconformer(nn.Module):
+    """Conformer encoder + cross-attention decoder with joint CTC
+    (reference `enc_dec_sconformer.py:29`)."""
+
+    vocab_size: int = 4096
+    feat_in: int = 80
+    subsampling_factor: int = 8
+    subsampling_conv_channels: int = 256
+    subsampling_act: str = "silu"
+    n_layers: int = 6
+    d_model: int = 768
+    n_heads: int = 6
+    head_dim: int = 128
+    decoder_layers: int = 3
+    ctc_loss_weight: float = 0.5
+    self_conditioning: bool = True
+    default_norm: str = "layer_norm"
+    conv_kernel_size: int = 9
+    use_rotary: bool = False
+    rotary_base_freq: float = 10000.0
+    bias_in_ff: bool = False
+    cosine_attention: bool = False
+    use_dynamic_pos_bias: bool = False
+    use_pallas: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.subsampling = ConvSubsampling(
+            subsampling_factor=self.subsampling_factor,
+            feat_in=self.feat_in,
+            feat_out=self.d_model,
+            conv_channels=self.subsampling_conv_channels,
+            activation=self.subsampling_act,
+            dtype=self.dtype,
+        )
+        self.layers = [
+            ConformerLayer(
+                d_model=self.d_model,
+                n_heads=self.n_heads,
+                head_dim=self.head_dim,
+                conv_kernel_size=self.conv_kernel_size,
+                default_norm=self.default_norm,
+                bias_in_ff=self.bias_in_ff,
+                use_pallas=self.use_pallas,
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )
+            for i in range(self.n_layers)
+        ]
+        self.use_ctc = self.ctc_loss_weight > 0
+        if self.use_ctc:
+            self.ctc_decoder = ASRLinearSCDecoder(
+                d_model=self.d_model,
+                vocab_size=self.vocab_size,
+                norm=True,
+                norm_type=self.default_norm,
+                dtype=self.dtype,
+                name="decoder",
+            )
+        self.language_model_decoder = CrossAttnDecoder(
+            vocab_size=self.vocab_size,
+            n_layers=self.decoder_layers,
+            d_model=self.d_model,
+            n_heads=self.n_heads,
+            head_dim=self.head_dim,
+            default_norm="rms_norm",
+            bias_in_ff=self.bias_in_ff,
+            use_rotary=True,
+            rotary_base_freq=self.rotary_base_freq,
+            cosine_attention=self.cosine_attention,
+            use_dynamic_pos_bias=self.use_dynamic_pos_bias,
+            dtype=self.dtype,
+            name="language_model_decoder",
+        )
+        if self.use_rotary:
+            self.rotary_pos_emb = RotaryEmbedding(
+                dim=self.head_dim, base=self.rotary_base_freq, name="rotary_pos_emb"
+            )
+
+    def encode(self, audio_signal, length=None, train: bool = False):
+        x = jnp.swapaxes(audio_signal, 1, 2).astype(self.dtype)
+        B = x.shape[0]
+        have_lengths = length is not None
+        if not have_lengths:
+            length = jnp.full((B,), x.shape[1], jnp.int32)
+        x, length = self.subsampling(x, length)
+        lengths_arg = length if have_lengths else None
+        pad_mask = (~length_mask(length, x.shape[1])) if have_lengths else None
+        rotary = self.rotary_pos_emb(x.shape[1]) if self.use_rotary else None
+
+        ctc_posts = None
+        for i, layer in enumerate(self.layers):
+            x = layer(x, lengths_arg, pad_mask, rotary, train)
+            if self.use_ctc and self.self_conditioning and i != self.n_layers - 1:
+                interim = jax.nn.softmax(
+                    self.ctc_decoder(x, logits=True).astype(jnp.float32), -1
+                ).astype(x.dtype)
+                x = self.ctc_decoder.integrate_projections(
+                    x, self.ctc_decoder.project_back(interim)
+                )
+        if self.use_ctc:
+            ctc_posts = self.ctc_decoder(self.ctc_decoder.apply_norm(x))
+        return x, ctc_posts, length
+
+    def __call__(
+        self,
+        audio_signal,
+        text_sequence=None,
+        length=None,
+        train: bool = False,
+    ):
+        a_hidden, ctc_posts, length = self.encode(audio_signal, length, train)
+        out = {
+            "a_hidden": a_hidden,
+            "final_posteriors_ctc": ctc_posts,
+            "final_posteriors": ctc_posts,
+            "length": length,
+        }
+        if text_sequence is not None:
+            out["final_posteriors_lm"] = self.language_model_decoder(
+                text_sequence, a_hidden, length
+            )
+        return out
+
+    def generate_step(self, tokens, a_hidden, a_lengths):
+        """One decoder pass over the full (static) token buffer → logits."""
+        return self.language_model_decoder(tokens, a_hidden, a_lengths)
+
+
+@register_model("EncDecSconformerV2")
+class EncDecSconformerV2(EncDecSconformer):
+    """V2: cosine-attention decoder + DynamicPositionBias (reference
+    `enc_dec_sconformer_v2.py:30`); defaults flip the decoder attention."""
+
+    cosine_attention: bool = True
+    use_dynamic_pos_bias: bool = True
+
+
+def calc_loss(
+    model,
+    variables,
+    audio_signal,
+    text_sequence,
+    a_lengths,
+    t_lengths,
+    ctc_loss_weight: float = 0.5,
+    bos_id: int = 0,
+    eos_id: int = 0,
+    train: bool = False,
+):
+    """Joint CTC + CE loss with the reference's normalizations
+    (reference `enc_dec_sconformer.py:177-242`)."""
+    from lcasr_tpu.ops.ctc import ctc_loss as ctc_loss_fn
+
+    B, U = text_sequence.shape
+    text_bos = jnp.pad(text_sequence, ((0, 0), (1, 0)), constant_values=bos_id)
+    t_lengths_bos = t_lengths + 1
+
+    out = model.apply(variables, audio_signal, text_sequence=text_bos, length=a_lengths, train=train)
+    ctc_out, lm_out, a_len_out = (
+        out["final_posteriors_ctc"],
+        out["final_posteriors_lm"],
+        out["length"],
+    )
+
+    if ctc_loss_weight > 0 and ctc_out is not None:
+        nll = ctc_loss_fn(
+            ctc_out.astype(jnp.float32), text_sequence, a_len_out, t_lengths
+        )
+        ctc_to_bwd = nll / (ctc_out.shape[0] * ctc_out.shape[1]) * 100
+    else:
+        ctc_to_bwd = 0.0
+
+    # shifted targets with eos at the final position (reference :209-214)
+    targets = jnp.concatenate(
+        [text_bos[:, 1:], jnp.zeros((B, 1), text_bos.dtype)], axis=1
+    )
+    pos = jnp.arange(targets.shape[1])[None, :]
+    targets = jnp.where(pos == (t_lengths_bos - 1)[:, None], eos_id, targets)
+    valid = pos < t_lengths_bos[:, None]
+
+    logp = jax.nn.log_softmax(lm_out.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    lm_loss = jnp.where(valid, ce, 0.0).sum()
+    lm_to_bwd = lm_loss / (lm_out.shape[0] * lm_out.shape[1])
+
+    loss = ctc_to_bwd * ctc_loss_weight + lm_to_bwd * (1 - ctc_loss_weight)
+    return {
+        "loss": loss,
+        "ctc_loss": ctc_to_bwd,
+        "lm_loss": lm_to_bwd,
+        "length": a_len_out,
+    }
+
+
+def generate_greedy(
+    model,
+    variables,
+    audio_signal,
+    max_generate: int = 256,
+    bos_id: int = 0,
+    eos_id: int = 0,
+):
+    """Greedy AED decoding as one jitted while_loop over a static buffer
+    (reference `enc_dec_sconformer.py:244-270`)."""
+
+    @jax.jit
+    def run(variables, audio_signal):
+        out = model.apply(variables, audio_signal, method=model.encode)
+        a_hidden, _, length = out
+
+        tokens0 = jnp.full((1, max_generate), 0, jnp.int32)
+        tokens0 = tokens0.at[0, 0].set(bos_id)
+
+        def cond(state):
+            t, tokens, done = state
+            return (~done) & (t < max_generate - 1)
+
+        def body(state):
+            t, tokens, done = state
+            logits = model.apply(
+                variables, tokens, a_hidden, length, method=model.generate_step
+            )
+            nxt = jnp.argmax(logits[0, t], -1).astype(jnp.int32)
+            tokens = tokens.at[0, t + 1].set(nxt)
+            return t + 1, tokens, nxt == eos_id
+
+        t, tokens, _ = jax.lax.while_loop(cond, body, (0, tokens0, False))
+        return tokens, t
+
+    tokens, t = run(variables, audio_signal)
+    ids = list(map(int, tokens[0, 1 : int(t) + 1]))
+    return [i for i in ids if i != eos_id]

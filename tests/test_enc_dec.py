@@ -1,0 +1,70 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lcasr_tpu.models.enc_dec_sconformer import (
+    EncDecSconformer,
+    EncDecSconformerV2,
+    calc_loss,
+    generate_greedy,
+)
+
+TINY = dict(
+    vocab_size=32,
+    d_model=64,
+    n_layers=1,
+    n_heads=2,
+    head_dim=32,
+    decoder_layers=1,
+    subsampling_conv_channels=32,
+    use_pallas=False,
+)
+
+
+@pytest.fixture(scope="module", params=["v1", "v2"])
+def model_and_vars(request):
+    cls = EncDecSconformer if request.param == "v1" else EncDecSconformerV2
+    model = cls(**TINY)
+    audio = jnp.zeros((2, 80, 128))
+    text = jnp.zeros((2, 8), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), audio, text_sequence=text)
+    return model, variables
+
+
+def test_forward_shapes(model_and_vars):
+    model, variables = model_and_vars
+    audio = jax.random.normal(jax.random.PRNGKey(1), (2, 80, 128))
+    text = jnp.ones((2, 8), jnp.int32)
+    out = model.apply(variables, audio, text_sequence=text)
+    # ctc head: vocab+1 classes; lm head: vocab classes
+    assert out["final_posteriors_ctc"].shape == (2, 16, 33)
+    assert out["final_posteriors_lm"].shape == (2, 8, 32)
+    assert out["a_hidden"].shape == (2, 16, 64)
+
+
+def test_calc_loss_finite_and_weighted(model_and_vars):
+    model, variables = model_and_vars
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.normal(size=(2, 80, 128)).astype(np.float32))
+    text = jnp.asarray(rng.integers(3, 30, size=(2, 6)).astype(np.int32))
+    a_lengths = jnp.array([128, 100])
+    t_lengths = jnp.array([6, 4])
+    out = calc_loss(model, variables, audio, text, a_lengths, t_lengths)
+    assert np.isfinite(float(out["loss"]))
+    assert float(out["ctc_loss"]) > 0 and float(out["lm_loss"]) > 0
+    # pure-LM weighting drops the ctc term
+    out_lm = calc_loss(
+        model, variables, audio, text, a_lengths, t_lengths, ctc_loss_weight=0.0
+    )
+    np.testing.assert_allclose(
+        float(out_lm["loss"]), float(out_lm["lm_loss"]), rtol=1e-6
+    )
+
+
+def test_generate_greedy_terminates(model_and_vars):
+    model, variables = model_and_vars
+    audio = jax.random.normal(jax.random.PRNGKey(2), (1, 80, 128))
+    ids = generate_greedy(model, variables, audio, max_generate=12, bos_id=2, eos_id=0)
+    assert isinstance(ids, list) and len(ids) <= 12
+    assert all(0 <= i < TINY["vocab_size"] for i in ids)
