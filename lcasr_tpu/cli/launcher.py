@@ -1,0 +1,126 @@
+"""Experiment launcher: template expansion + job submission + crash restarts.
+
+Counterparts of reference `exp/run_launcher.py:51-84` and
+`exp/run_restarter.py:39-73`:
+
+  * a template YAML carries a `template_info` block whose `template_keys`
+    are dot-paths with per-run LIST values (e.g. 12 runs = 4 seq lens × 3
+    seeds); `expand_template` writes N concrete configs,
+  * `submit` renders a job script per config (SLURM template or plain shell),
+  * `restart` resubmits a crashed run with the same config/run id but a
+    RE-RANDOMIZED data seed, dodging the offending batch (reference
+    `run_restarter.py:49-52,69`).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import subprocess
+from typing import Any, Dict, List
+
+import yaml
+
+from lcasr_tpu.config import Config
+
+DEFAULT_JOB_TEMPLATE = """#!/bin/bash
+#SBATCH --time=96:00:00
+#SBATCH --mem=150G
+#SBATCH --output={log_path}
+python -m lcasr_tpu.cli.train -config {config_path}
+"""
+
+
+def expand_template(template_path: str, out_dir: str) -> List[str]:
+    with open(template_path) as f:
+        template = yaml.safe_load(f)
+    info = template.pop("template_info", {})
+    keys: List[str] = info.get("template_keys", [])
+    if not keys:
+        raise ValueError("template_info.template_keys missing")
+
+    def get_path(d: Dict[str, Any], path: str):
+        node = d
+        for p in path.split("."):
+            node = node[p]
+        return node
+
+    def set_path(d: Dict[str, Any], path: str, value):
+        node = d
+        parts = path.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = value
+
+    n_runs = len(get_path(template, keys[0]))
+    for k in keys:
+        assert len(get_path(template, k)) == n_runs, (
+            f"template key {k} must list {n_runs} values"
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    base = os.path.splitext(os.path.basename(template_path))[0]
+    for run in range(n_runs):
+        cfg = yaml.safe_load(yaml.safe_dump(template))  # deep copy
+        for k in keys:
+            set_path(cfg, k, get_path(template, k)[run])
+        path = os.path.join(out_dir, f"{base}_run{run}.yaml")
+        with open(path, "w") as f:
+            yaml.safe_dump(cfg, f, sort_keys=False)
+        paths.append(path)
+    return paths
+
+
+def submit(config_paths: List[str], job_template: str = DEFAULT_JOB_TEMPLATE,
+           submit_cmd: str = "sbatch", dry_run: bool = False) -> List[str]:
+    scripts = []
+    for cfg_path in config_paths:
+        script = job_template.format(
+            config_path=cfg_path, log_path=cfg_path.replace(".yaml", ".log")
+        )
+        script_path = cfg_path.replace(".yaml", ".sh")
+        with open(script_path, "w") as f:
+            f.write(script)
+        scripts.append(script_path)
+        if not dry_run:
+            subprocess.run([submit_cmd, script_path], check=False)
+    return scripts
+
+
+def restart(config_path: str, dry_run: bool = False) -> str:
+    """Resubmit a crashed run with a fresh data seed (same run identity)."""
+    cfg = Config.load(config_path)
+    new_seed = random.randint(0, 100000)
+    cfg = cfg.apply_overrides([f"training.random_seed={new_seed}"])
+    cfg.save(config_path)
+    print(f"re-randomized data seed -> {new_seed}")
+    if not dry_run:
+        submit([config_path])
+    return config_path
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    e = sub.add_parser("expand")
+    e.add_argument("-template", required=True)
+    e.add_argument("-out", required=True)
+    e.add_argument("--submit", action="store_true")
+    e.add_argument("--dry_run", action="store_true")
+    r = sub.add_parser("restart")
+    r.add_argument("-config", required=True)
+    r.add_argument("--dry_run", action="store_true")
+    args = parser.parse_args()
+
+    if args.cmd == "expand":
+        paths = expand_template(args.template, args.out)
+        print("\n".join(paths))
+        if args.submit:
+            submit(paths, dry_run=args.dry_run)
+    elif args.cmd == "restart":
+        restart(args.config, dry_run=args.dry_run)
+
+
+if __name__ == "__main__":
+    main()

@@ -99,7 +99,7 @@ def normalize_nmt_nfkc_cf(text: str) -> str:
 class SentencePieceBPE:
     """Drop-in replacement for spm.SentencePieceProcessor on BPE models."""
 
-    def __init__(self, model_path: str = DEFAULT_TOKENIZER_PATH):
+    def __init__(self, model_path: str = DEFAULT_TOKENIZER_PATH, use_native: bool = True):
         self.pieces = parse_sentencepiece_model(model_path)
         self.piece_to_id: Dict[str, int] = {p: i for i, (p, _, _) in enumerate(self.pieces)}
         self.scores = [s for (_, s, _) in self.pieces]
@@ -108,6 +108,23 @@ class SentencePieceBPE:
             (i for i, t in enumerate(self.types) if t == _UNKNOWN), 1
         )
         self._control = {i for i, t in enumerate(self.types) if t == _CONTROL}
+
+        # optional native (C++) merge loop; identical output to the Python path
+        self._native = None
+        self._native_tok = None
+        if use_native:
+            try:
+                from lcasr_tpu.native import load_bpe_native
+
+                mod = load_bpe_native()
+                if mod is not None:
+                    self._native = mod
+                    self._native_tok = mod.init(
+                        [p for (p, _, _) in self.pieces],
+                        [float(s) for s in self.scores],
+                    )
+            except Exception:
+                self._native = None
 
     # -- spm API surface -----------------------------------------------------
     def vocab_size(self) -> int:
@@ -192,7 +209,10 @@ class SentencePieceBPE:
             return []
         # add_dummy_prefix + escape whitespace (sentencepiece defaults)
         text = _WS + text.replace(" ", _WS)
-        ids = self._encode_word_or_text(list(text))
+        if self._native is not None:
+            ids = self._native.encode(self._native_tok, text, self._unk_id)
+        else:
+            ids = self._encode_word_or_text(list(text))
         if out_type is str:
             return [self.pieces[i][0] for i in ids]
         return ids

@@ -23,16 +23,25 @@ def register_dataset(name: str):
     return deco
 
 
-def get_dataset_fn(name: str):
-    # populate registry lazily
-    from lcasr_tpu.evaluation.datasets import earnings22, rev16, synthetic, tedlium  # noqa: F401
+def _populate():
+    from lcasr_tpu.evaluation.datasets import (  # noqa: F401
+        earnings22,
+        rev16,
+        spotify,
+        synthetic,
+        tedlium,
+        tedlium_concat,
+        this_american_life,
+    )
 
+
+def get_dataset_fn(name: str):
+    _populate()
     if name not in _ADAPTERS:
         raise ValueError(f"unknown dataset {name!r}; available: {sorted(_ADAPTERS)}")
     return _ADAPTERS[name]
 
 
 def available_datasets():
-    from lcasr_tpu.evaluation.datasets import earnings22, rev16, synthetic, tedlium  # noqa: F401
-
+    _populate()
     return sorted(_ADAPTERS)

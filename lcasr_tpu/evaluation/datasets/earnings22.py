@@ -31,10 +31,14 @@ def preprocess_transcript(text: str) -> str:
 
 
 @register_dataset("earnings22")
-def get_text_and_audio(split: str, base_path: str = None, text_path: str = None, **kwargs):
+def get_text_and_audio(split: str, base_path: str = None, text_path: str = None,
+                       full: bool = False, **kwargs):
     assert split in ("test", "dev"), f"Split must be test or dev (got {split})"
     assert base_path, "earnings22 requires base_path"
-    data_path = os.path.join(base_path, f"{split}_original")
+    suffix = "_full" if full else "_original"
+    data_path = os.path.join(base_path, f"{split}{suffix}")
+    if not os.path.isdir(data_path):
+        data_path = os.path.join(base_path, f"{split}_original")
     text_path = text_path or os.path.join(base_path, "full_transcripts.json")
     with open(text_path) as f:
         all_text = json.load(f)
@@ -51,3 +55,11 @@ def get_text_and_audio(split: str, base_path: str = None, text_path: str = None,
 
         items.append({"id": stem, "process_fn": process_fn})
     return items
+
+
+@register_dataset("earnings22_full")
+def get_text_and_audio_full(split: str, **kwargs):
+    """Full-length (untrimmed) earnings22 recordings
+    (reference eval/earnings22_full/)."""
+    kwargs.pop("full", None)
+    return get_text_and_audio(split, full=True, **kwargs)

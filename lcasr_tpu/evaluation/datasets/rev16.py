@@ -78,3 +78,42 @@ def get_text_and_audio_noise(split: str, base_path: str = None, snr_db: float = 
     assert split == "test", "Split must be test"
     assert base_path, "rev16 requires base_path"
     return _collect(base_path, snr_db=snr_db)
+
+
+def add_background_noise(waveform: np.ndarray, noise: np.ndarray, snr_db: float) -> np.ndarray:
+    """Mix a background-noise waveform at a target SNR
+    (reference eval/rev16_background_noise/)."""
+    if noise.shape[-1] < waveform.shape[-1]:
+        reps = -(-waveform.shape[-1] // noise.shape[-1])
+        noise = np.tile(noise, reps)[..., : waveform.shape[-1]]
+    else:
+        noise = noise[..., : waveform.shape[-1]]
+    sig_rms = np.sqrt(np.mean(waveform ** 2) + 1e-12)
+    noise_rms = np.sqrt(np.mean(noise ** 2) + 1e-12)
+    target = sig_rms / (10 ** (snr_db / 20.0))
+    return waveform + noise * (target / noise_rms)
+
+
+@register_dataset("rev16_background_noise")
+def get_text_and_audio_bg(split: str, base_path: str = None, noise_path: str = None,
+                          snr_db: float = 10.0, **kwargs):
+    assert split == "test", "Split must be test"
+    assert base_path and noise_path, "rev16_background_noise requires base_path + noise_path"
+    noise, nsr = load_audio(noise_path)
+    noise = resample(grab_left_channel(noise), nsr, SR)
+    ids = _load_ids(os.path.join(base_path, "test.txt"))
+    items = []
+    for rec_id in ids:
+        audio_path = _find_audio(base_path, rec_id)
+        txt_path = os.path.join(base_path, "transcripts", rec_id + ".txt")
+
+        def process_fn(item, audio_path=audio_path, txt_path=txt_path):
+            with open(txt_path) as f:
+                gold = normalize(f.read().strip()).lower()
+            waveform, sr = load_audio(audio_path)
+            waveform = resample(grab_left_channel(waveform), sr, SR)
+            waveform = add_background_noise(waveform, noise, snr_db)
+            return np.asarray(mel_spectrogram(waveform)), gold
+
+        items.append({"id": rec_id, "process_fn": process_fn})
+    return items

@@ -1,0 +1,107 @@
+"""Single-utterance self-training wrapper.
+
+Counterpart of reference `lcasr/eval/su_selftrain_wrapper.py:12-66`: wraps a
+model so each forward first runs n iterations of pseudo-label adaptation on
+THAT input (SpecAugmented copies vs greedy pseudo-labels of the clean pass),
+then produces the adapted posteriors.  Weight reset is implicit — the
+caller's variables are never mutated (pure-functional params).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lcasr_tpu.data.augmentation import SpecAugment
+from lcasr_tpu.decoding.greedy import GreedyCTCDecoder
+from lcasr_tpu.ops.ctc import ctc_loss
+from lcasr_tpu.optim.madgrad import madgrad
+
+
+class SelfTrainWrapper:
+    def __init__(
+        self,
+        model,
+        variables: Dict,
+        tokenizer,
+        n_iterations: int = 2,
+        num_negatives: int = 2,
+        lr: float = 8e-5,
+        spec_augment_config: Optional[Dict] = None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.variables = variables
+        self.tokenizer = tokenizer
+        self.n_iterations = n_iterations
+        self.num_negatives = num_negatives
+        self.blank_id = tokenizer.vocab_size()
+        self.augmentation = SpecAugment(
+            **(spec_augment_config or {
+                "n_time_masks": 2,
+                "n_freq_masks": 3,
+                "freq_mask_param": 42,
+                "min_p": 0.05,
+            })
+        )
+        self.decoder = GreedyCTCDecoder(tokenizer, blank_id=self.blank_id)
+        self.optimizer = madgrad(learning_rate=lr)
+        self.key = jax.random.PRNGKey(seed)
+
+    def __call__(self, audio: np.ndarray, length: Optional[np.ndarray] = None):
+        """audio (1, 80, T) → adapted model output dict (variables untouched)."""
+        model = self.model
+        batch_stats = self.variables.get("batch_stats", {})
+        params = self.variables["params"]
+        opt_state = self.optimizer.init(params)
+        audio = jnp.asarray(audio)
+        T = audio.shape[-1]
+        lengths_all = jnp.full((self.num_negatives + 1,), T, jnp.int32)
+
+        @jax.jit
+        def fwd(params, batch):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch,
+                length=lengths_all,
+            )
+
+        @jax.jit
+        def adapt(params, opt_state, batch, pseudo, pseudo_len):
+            def loss_fn(p):
+                out = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, batch, length=lengths_all
+                )
+                lp = out["final_posteriors"][: self.num_negatives].astype(jnp.float32)
+                return ctc_loss(
+                    lp, pseudo, out["length"][: self.num_negatives], pseudo_len,
+                    blank_id=self.blank_id,
+                ) / (lp.shape[0] * lp.shape[1])
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            return jax.tree.map(lambda a, u: a + u, params, updates), opt_state, loss
+
+        for _ in range(self.n_iterations):
+            self.key, k = jax.random.split(self.key)
+            reps = jnp.repeat(audio, self.num_negatives + 1, axis=0)
+            aug = self.augmentation(k, reps[: self.num_negatives])
+            batch = jnp.concatenate([aug, reps[self.num_negatives :]], axis=0)
+            out = fwd(params, batch)
+            clean_lp = np.asarray(out["final_posteriors"][-1], np.float32)
+            pseudo_text = self.decoder(clean_lp)
+            ids = self.tokenizer.encode(pseudo_text) if pseudo_text else []
+            if not ids:
+                break
+            pseudo = jnp.asarray([ids] * self.num_negatives, jnp.int32)
+            pseudo_len = jnp.full((self.num_negatives,), len(ids), jnp.int32)
+            params, opt_state, _ = adapt(params, opt_state, batch, pseudo, pseudo_len)
+
+        final = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            audio,
+            length=jnp.asarray(length) if length is not None else None,
+        )
+        return final

@@ -57,6 +57,7 @@ class Attention(nn.Module):
     qkv_bias: bool = False
     dropout: float = 0.0
     use_pallas: bool = True
+    return_attention_weights: bool = False  # sow probs into 'intermediates'
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -81,11 +82,23 @@ class Attention(nn.Module):
             cos, sin = rotary
             q, k = apply_rotary(q, k, cos, sin)
 
-        use_pallas = self.use_pallas and jax.default_backend() == "tpu"
+        use_pallas = (
+            self.use_pallas
+            and not self.return_attention_weights
+            and jax.default_backend() == "tpu"
+        )
         if use_pallas:
             from lcasr_tpu.ops.flash_attention import flash_attention
 
             out = flash_attention(q, k, v, lengths=lengths, window=self.window)
+        elif self.return_attention_weights:
+            # analysis path (reference CollectAttentionProbs,
+            # attention.py:556-595): exact attention + prob capture
+            out, probs = reference_attention(
+                q, k, v, q_lengths=lengths, kv_lengths=lengths,
+                window=self.window, return_weights=True,
+            )
+            self.sow("intermediates", "attention_probs", probs)
         else:
             out = reference_attention(
                 q, k, v, q_lengths=lengths, kv_lengths=lengths, window=self.window
@@ -120,6 +133,7 @@ class ConformerLayer(nn.Module):
     dropout_conv: float = 0.0
     dropout_attn: float = 0.0
     use_pallas: bool = True
+    return_attention_weights: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -164,6 +178,7 @@ class ConformerLayer(nn.Module):
             window=self.window,
             dropout=self.dropout_attn,
             use_pallas=self.use_pallas,
+            return_attention_weights=self.return_attention_weights,
             dtype=self.dtype,
             name="attend",
         )(h, lengths=lengths, rotary=rotary, train=train)
@@ -243,6 +258,7 @@ class SCConformerXL(nn.Module):
     attention_window_size_left: Optional[int] = None
     attention_window_size_right: Optional[int] = None
     use_pallas: bool = True
+    return_attention_weights: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -355,6 +371,7 @@ class SCConformerXL(nn.Module):
                 dropout_conv=self.dropout_conv,
                 dropout_attn=self.dropout_attn,
                 use_pallas=self.use_pallas,
+                return_attention_weights=self.return_attention_weights,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )
