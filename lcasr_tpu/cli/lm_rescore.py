@@ -1,0 +1,147 @@
+"""LM rescoring pipeline: dump moving-window logits, then beam-search them.
+
+Counterparts of reference `eval/tedlium/create_logits.py` (pickle per-
+recording logits) and `eval/tedlium/tlm_beam.py` (ray-parallel beam search
+with a transformer LM over the pickled logits, α/β grid sweeps via shell
+scripts).  Here: `.npz` logit dumps + a sequential/threaded beam stage (the
+TPU does the heavy AM pass; beam search is CPU-light).
+
+Usage:
+  python -m lcasr_tpu.cli.lm_rescore create_logits -c ckpt -d tedlium \
+      --dataset_base_path ... -o logits_dir
+  python -m lcasr_tpu.cli.lm_rescore beam -i logits_dir -alpha 0.45 -beta 1.53
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def create_logits(
+    checkpoint: str,
+    dataset: str,
+    split: str,
+    out_dir: str,
+    seq_len: int = 16384,
+    overlap: int = -1,
+    dataset_kwargs: Optional[dict] = None,
+):
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.evaluation.datasets import get_dataset_fn
+    from lcasr_tpu.evaluation.normalizer import normalize
+    from lcasr_tpu.evaluation.run import load_any_checkpoint
+    from lcasr_tpu.evaluation.streaming import StreamingDecoder
+    from lcasr_tpu.models.registry import get_model_class, load_model
+
+    os.makedirs(out_dir, exist_ok=True)
+    cfg, variables = load_any_checkpoint(checkpoint)
+    tokenizer = load_tokenizer()
+    n_classes = tokenizer.vocab_size() + 1
+    if overlap == -1:
+        overlap = int(seq_len * 0.875)
+    model = load_model(cfg, tokenizer.vocab_size(), get_model_class(cfg))
+    streamer = StreamingDecoder(model, variables, n_classes)
+
+    for item in get_dataset_fn(dataset)(split, **(dataset_kwargs or {})):
+        spec, gold = item["process_fn"](item)
+        logits = streamer.logits(np.asarray(spec), seq_len=seq_len, overlap=overlap)
+        np.savez_compressed(
+            os.path.join(out_dir, f"{item['id']}.npz"),
+            logits=logits.astype(np.float16),
+            gold=normalize(gold).lower(),
+        )
+        print(f"saved {item['id']}: {logits.shape}")
+
+
+def beam_stage(
+    logits_dir: str,
+    alpha: float = 0.45,
+    beta: float = 1.53,
+    beam_width: int = 25,
+    lm: Optional[str] = None,
+    results_csv: Optional[str] = None,
+):
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.decoding.beam_search import BeamSearch
+    from lcasr_tpu.evaluation.normalizer import normalize
+    from lcasr_tpu.evaluation.wer import word_error_rate_detail
+
+    tokenizer = load_tokenizer()
+    lm_scores = None
+    if lm is not None:
+        # LM checkpoint hook: any orbax/flax causal LM exposing logits
+        from lcasr_tpu.decoding.beam_search import FlaxLMScorer  # noqa: F401
+
+        raise NotImplementedError(
+            "external LM loading requires a trained LM checkpoint; pass the "
+            "scorer programmatically via BeamSearch(lm_scores=...)"
+        )
+
+    bs = BeamSearch(
+        tokenizer=tokenizer,
+        beam_width=beam_width,
+        blank_id=tokenizer.vocab_size(),
+        alpha=alpha,
+        beta=beta,
+        lm_scores=lm_scores,
+    )
+    hyps, refs, rows = [], [], []
+    for name in sorted(os.listdir(logits_dir)):
+        if not name.endswith(".npz"):
+            continue
+        data = np.load(os.path.join(logits_dir, name), allow_pickle=True)
+        logits = data["logits"].astype(np.float32)
+        gold = str(data["gold"])
+        hyp = normalize(bs.run_search(logits)).lower()
+        wer, words, *_ = word_error_rate_detail([hyp], [gold])
+        rows.append({"recording": name[:-4], "wer": wer, "words": words,
+                     "alpha": alpha, "beta": beta, "beam_width": beam_width})
+        hyps.append(hyp)
+        refs.append(gold)
+        print(f"{name[:-4]}: WER {wer:.4f}")
+    wer, words, *_ = word_error_rate_detail(hyps, refs)
+    print(json.dumps({"wer": wer, "words": words, "alpha": alpha, "beta": beta}))
+    if results_csv:
+        import pandas as pd
+
+        pd.DataFrame(rows).to_csv(
+            results_csv, mode="a", header=not os.path.exists(results_csv), index=False
+        )
+    return wer
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("create_logits")
+    c.add_argument("-c", "--checkpoint", required=True)
+    c.add_argument("-d", "--dataset", required=True)
+    c.add_argument("-split", "--split", default="test")
+    c.add_argument("-o", "--out_dir", required=True)
+    c.add_argument("-seq", "--seq_len", type=int, default=16384)
+    c.add_argument("--dataset_base_path", default=None)
+    b = sub.add_parser("beam")
+    b.add_argument("-i", "--logits_dir", required=True)
+    b.add_argument("-alpha", type=float, default=0.45)
+    b.add_argument("-beta", type=float, default=1.53)
+    b.add_argument("-beam_width", type=int, default=25)
+    b.add_argument("-results", "--results_csv", default=None)
+    args = parser.parse_args()
+    if args.cmd == "create_logits":
+        create_logits(
+            args.checkpoint, args.dataset, args.split, args.out_dir,
+            seq_len=args.seq_len,
+            dataset_kwargs={"base_path": args.dataset_base_path}
+            if args.dataset_base_path else {},
+        )
+    else:
+        beam_stage(args.logits_dir, args.alpha, args.beta, args.beam_width,
+                   results_csv=args.results_csv)
+
+
+if __name__ == "__main__":
+    main()

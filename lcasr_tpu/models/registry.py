@@ -46,6 +46,8 @@ def get_model_class(config: Config | Dict[str, Any] | None = None, model_class: 
             from lcasr_tpu.models.mamba import Mamba  # noqa: F401
         elif model_class in ("EncDecSconformer", "EncDecSconformerV2"):
             from lcasr_tpu.models import enc_dec_sconformer  # noqa: F401
+        elif model_class == "SCConformerMeta":
+            from lcasr_tpu.models import sconformer_meta  # noqa: F401
     if model_class not in _REGISTRY:
         raise ValueError(
             f"unknown model_class {model_class!r}; available: {sorted(_REGISTRY)}"

@@ -124,6 +124,7 @@ class ConformerLayer(nn.Module):
     expansion_factor: int = 4
     conv_expansion_factor: float = 1.0
     conv_norm: str = "batch_renorm"
+    conv_type: str = "standard"  # 'standard' | 'longconv' (arXiv:2302.06646)
     default_norm: str = "layer_norm"
     sandwich_norm: bool = False
     bias_in_ff: bool = False
@@ -189,14 +190,25 @@ class ConformerLayer(nn.Module):
 
         if not self.transformer:
             h = Norm(self.d_model, name="conv_norm")(x)
-            h = ConformerConvolution(
-                d_model=self.d_model,
-                kernel_size=self.conv_kernel_size,
-                norm_type=self.conv_norm,
-                exp_factor=self.conv_expansion_factor,
-                dtype=self.dtype,
-                name="conv",
-            )(h, pad_mask=pad_mask, train=train)
+            if self.conv_type == "longconv":
+                from lcasr_tpu.ops.long_conv import ConformerLongConvolution
+
+                h = ConformerLongConvolution(
+                    d_model=self.d_model,
+                    norm_type=self.conv_norm,
+                    exp_factor=self.conv_expansion_factor,
+                    dtype=self.dtype,
+                    name="conv",
+                )(h, pad_mask=pad_mask, train=train)
+            else:
+                h = ConformerConvolution(
+                    d_model=self.d_model,
+                    kernel_size=self.conv_kernel_size,
+                    norm_type=self.conv_norm,
+                    exp_factor=self.conv_expansion_factor,
+                    dtype=self.dtype,
+                    name="conv",
+                )(h, pad_mask=pad_mask, train=train)
             x = dropped(h, self.dropout_conv) + x
 
         h = Norm(self.d_model, name="ff2_norm")(x)
@@ -242,6 +254,7 @@ class SCConformerXL(nn.Module):
     conv_kernel_size: int = 9
     conv_expansion_factor: float = 1.0
     conv_norm: str = "batch_renorm"
+    conv_type: str = "standard"
     decoder_norm: bool = False
     use_rotary: bool = False
     rotary_base_freq: float = 10000.0
@@ -362,6 +375,7 @@ class SCConformerXL(nn.Module):
                 expansion_factor=self.expansion_factor,
                 conv_expansion_factor=self.conv_expansion_factor,
                 conv_norm=self.conv_norm,
+                conv_type=self.conv_type,
                 default_norm=self.default_norm,
                 sandwich_norm=self.sandwich_norm,
                 bias_in_ff=self.bias_in_ff,

@@ -241,12 +241,17 @@ def _uniform_init(bound: float):
 
 
 class ConvSubsampling(nn.Module):
-    """Depthwise-striding 8× conv subsampling on (B, T, feat) → (B, T/8, d_model).
+    """Conv subsampling on (B, T, feat) → (B, T/factor, d_model).
 
-    Structure of reference `subsampling.py:250-323` ('dw_striding'): one full
-    3×3 stride-2 conv to `conv_channels`, then (log2(factor) − 1) stages of
-    [3×3 stride-2 depthwise + 1×1 pointwise], activation after each stage,
-    then a linear to `feat_out` over the flattened (freq × channels) axis.
+    Modes (reference `subsampling.py:219-363`):
+      * 'dw_striding' (default, all paper checkpoints): one full 3×3 stride-2
+        conv to `conv_channels`, then (log2(factor) − 1) stages of
+        [3×3 stride-2 depthwise + 1×1 pointwise], activation per stage,
+      * 'striding': log2(factor) full 3×3 stride-2 convs,
+      * 'vggnet': per stage two 3×3 s1 convs + 2×2 stride-2 max pool
+        (ceil mode),
+      * `is_causal`: left-only padding (streaming; reference CausalConv2D).
+    Then a linear to `feat_out` over the flattened (freq × channels) axis.
     Squeezeformer-style uniform init (reference `:430-451`).
 
     Uses NHWC layout with the frequency axis as H: input (B, T, F) is viewed
@@ -262,6 +267,8 @@ class ConvSubsampling(nn.Module):
     conv_channels: int = 256
     activation: str = "silu"
     norm_out: bool = False
+    subsampling: str = "dw_striding"
+    is_causal: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -271,7 +278,11 @@ class ConvSubsampling(nn.Module):
     def output_freq(self) -> int:
         f = float(self.feat_in)
         for _ in range(self._sampling_num):
-            f = math.floor((f - 3 + 2 * 1) / 2 + 1)
+            if self.subsampling == "vggnet":
+                f = math.ceil((f - 2 + 0) / 2 + 1)
+            else:
+                pad = 2 if not self.is_causal else 3
+                f = math.floor((f - 3 + pad) / 2 + 1)
         return int(f)
 
     @nn.compact
@@ -286,54 +297,69 @@ class ConvSubsampling(nn.Module):
             "none": lambda v: v,
         }[self.activation]
 
-        new_lengths = calc_length(
-            lengths,
-            all_paddings=2,
-            kernel_size=3,
-            stride=2,
-            ceil_mode=False,
-            repeat_num=self._sampling_num,
-        )
+        if self.subsampling == "vggnet":
+            new_lengths = calc_length(
+                lengths, all_paddings=0, kernel_size=2, stride=2,
+                ceil_mode=True, repeat_num=self._sampling_num,
+            )
+        else:
+            pad_total = 2 if not self.is_causal else 3  # causal: k-1 left + s-1
+            new_lengths = calc_length(
+                lengths, all_paddings=pad_total, kernel_size=3, stride=2,
+                ceil_mode=False, repeat_num=self._sampling_num,
+            )
 
         C = self.conv_channels
         scale = 1.0 / 3.0  # 1/kernel_size
         dw_max = (3 ** 2) ** -0.5
         pw_max = C ** -0.5
+        pad2d = [(2, 0), (2, 0)] if self.is_causal else [(1, 1), (1, 1)]
 
         h = x[..., None]  # (B, T, F, 1)
-        h = nn.Conv(
-            C,
-            (3, 3),
-            strides=(2, 2),
-            padding=[(1, 1), (1, 1)],
-            kernel_init=_uniform_init(scale),
-            bias_init=_uniform_init(scale),
-            dtype=self.dtype,
-            name="conv_in",
-        )(h)
-        h = act(h)
 
-        for i in range(self._sampling_num - 1):
+        if self.subsampling == "dw_striding":
             h = nn.Conv(
-                C,
-                (3, 3),
-                strides=(2, 2),
-                padding=[(1, 1), (1, 1)],
-                feature_group_count=C,
-                kernel_init=_uniform_init(dw_max),
-                bias_init=_uniform_init(dw_max),
-                dtype=self.dtype,
-                name=f"dw_conv_{i}",
-            )(h)
-            h = nn.Conv(
-                C,
-                (1, 1),
-                kernel_init=_uniform_init(pw_max),
-                bias_init=_uniform_init(pw_max),
-                dtype=self.dtype,
-                name=f"pw_conv_{i}",
+                C, (3, 3), strides=(2, 2), padding=pad2d,
+                kernel_init=_uniform_init(scale), bias_init=_uniform_init(scale),
+                dtype=self.dtype, name="conv_in",
             )(h)
             h = act(h)
+            for i in range(self._sampling_num - 1):
+                h = nn.Conv(
+                    C, (3, 3), strides=(2, 2), padding=pad2d,
+                    feature_group_count=C,
+                    kernel_init=_uniform_init(dw_max), bias_init=_uniform_init(dw_max),
+                    dtype=self.dtype, name=f"dw_conv_{i}",
+                )(h)
+                h = nn.Conv(
+                    C, (1, 1),
+                    kernel_init=_uniform_init(pw_max), bias_init=_uniform_init(pw_max),
+                    dtype=self.dtype, name=f"pw_conv_{i}",
+                )(h)
+                h = act(h)
+        elif self.subsampling == "striding":
+            for i in range(self._sampling_num):
+                h = nn.Conv(
+                    C, (3, 3), strides=(2, 2), padding=pad2d,
+                    kernel_init=_uniform_init(scale), bias_init=_uniform_init(scale),
+                    dtype=self.dtype, name=f"conv_{i}",
+                )(h)
+                h = act(h)
+        elif self.subsampling == "vggnet":
+            for i in range(self._sampling_num):
+                h = act(nn.Conv(C, (3, 3), padding="SAME", dtype=self.dtype,
+                                name=f"vgg_conv_{i}_0")(h))
+                h = act(nn.Conv(C, (3, 3), padding="SAME", dtype=self.dtype,
+                                name=f"vgg_conv_{i}_1")(h))
+                # 2x2 stride-2 max pool, ceil mode (pad to even)
+                pt = (-h.shape[1]) % 2
+                pf = (-h.shape[2]) % 2
+                if pt or pf:
+                    h = jnp.pad(h, ((0, 0), (0, pt), (0, pf), (0, 0)),
+                                constant_values=-jnp.inf)
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        else:
+            raise ValueError(f"Not valid sub-sampling: {self.subsampling}!")
 
         B, T, F, _ = h.shape
         h = h.reshape(B, T, F * C)
@@ -393,3 +419,72 @@ class StackingSubsampling(nn.Module):
         if self.norm_out:
             x = LayerNorm(self.feat_out, name="norm_out")(x)
         return x, lengths
+
+
+class Conv1DSubsampling(nn.Module):
+    """1-D conv subsampling (reference `subsampling.py:102-160`): one 'same'
+    conv over features, then log2(factor) stride-2 convs, linear out."""
+
+    subsampling_factor: int
+    feat_in: int
+    feat_out: int
+    conv_channels: int
+    batch_norm: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray):
+        sampling_num = int(math.log2(self.subsampling_factor))
+        new_lengths = calc_length(
+            lengths, all_paddings=2, kernel_size=3, stride=2,
+            ceil_mode=False, repeat_num=sampling_num,
+        )
+        h = nn.Conv(self.conv_channels, (3,), padding="SAME", dtype=self.dtype,
+                    name="conv_in")(x)
+        h = jax.nn.silu(h)
+        for i in range(sampling_num):
+            h = nn.Conv(self.conv_channels, (3,), strides=(2,), padding=[(1, 1)],
+                        dtype=self.dtype, name=f"conv_{i}")(h)
+            if self.batch_norm:
+                h = BatchRenorm(self.conv_channels, name=f"norm_{i}")(h)
+            h = jax.nn.silu(h)
+        h = nn.Dense(self.feat_out, use_bias=False, dtype=self.dtype, name="out")(h)
+        return h, new_lengths
+
+
+class TimeReductionModule(nn.Module):
+    """Squeezeformer time reduction (reference `subsampling.py:570-632`):
+    depthwise stride-`stride` conv + pointwise projection, with the
+    reference's uniform init."""
+
+    d_model: int
+    out_dim: int
+    kernel_size: int = 5
+    stride: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None):
+        K, S = self.kernel_size, self.stride
+        pad = max(0, K - S)
+        dw_max = K ** -0.5
+        pw_max = self.d_model ** -0.5
+        kernel = self.param("dw_kernel", _uniform_init(dw_max), (K, self.d_model), jnp.float32)
+        bias = self.param("dw_bias", _uniform_init(dw_max), (self.d_model,), jnp.float32)
+        if lengths is not None:
+            x = jnp.where(
+                (jnp.arange(x.shape[1])[None, :] < lengths[:, None])[..., None], x, 0.0
+            )
+        h = jax.lax.conv_general_dilated(
+            x, kernel[:, None, :].astype(x.dtype), window_strides=(S,),
+            padding=[(pad, 0)], dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.d_model,
+        ) + bias.astype(x.dtype)
+        h = nn.Dense(
+            self.out_dim, kernel_init=_uniform_init(pw_max),
+            bias_init=_uniform_init(pw_max), dtype=self.dtype, name="pw",
+        )(h)
+        if lengths is not None:
+            lengths = calc_length(lengths, all_paddings=pad, kernel_size=K,
+                                  stride=S, ceil_mode=False)
+        return h, lengths
