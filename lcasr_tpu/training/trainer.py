@@ -126,6 +126,10 @@ class Trainer:
         self.checkpoint_dir = checkpoint_dir or config.get("checkpointing", Config({})).get("dir", "./checkpoints")
 
         tr = config.get("training", Config({}))
+        # 'ctc' (SCConformerXL/Mamba) or 'enc_dec' (AED joint loss,
+        # reference exp/train_enc_dec.py)
+        self.loss_mode = tr.get("loss_mode", "ctc")
+        self.ctc_loss_weight = config.get("model", Config({})).get("ctc_loss_weight", 0.5)
         self.backprop_every = tr.get("backprop_every", 1)
         self.backwards_every = tr.get("backwards_every", 1)
         assert self.backprop_every >= self.backwards_every
@@ -212,6 +216,9 @@ class Trainer:
         # NOTE: no buffer donation — the axon tunnel backend does not
         # support input/output aliasing (donated buffers trigger
         # INVALID_ARGUMENT on reuse); revisit on direct-attached TPUs.
+        loss_mode = self.loss_mode
+        ctc_w = self.ctc_loss_weight
+
         @functools.partial(jax.jit, static_argnames=("augment",))
         def micro_step(params, batch_stats, batch, key, grads_acc, augment=False):
             audio = batch["audio"]
@@ -219,6 +226,48 @@ class Trainer:
                 audio = augmentation(key, audio, batch["audio_lengths"])
 
             def loss_fn(p):
+                if loss_mode == "enc_dec":
+                    # joint CTC + CE (reference exp/train_enc_dec.py; loss
+                    # normalizations per enc_dec_sconformer.py:177-242)
+                    text_bos = jnp.pad(
+                        batch["labels"], ((0, 0), (1, 0)), constant_values=2
+                    )
+                    out, mutated = model.apply(
+                        {"params": p, "batch_stats": batch_stats},
+                        audio,
+                        text_sequence=text_bos,
+                        length=batch["audio_lengths"],
+                        train=True,
+                        mutable=["batch_stats"],
+                    )
+                    lm_out = out["final_posteriors_lm"].astype(jnp.float32)
+                    ctc_out = out["final_posteriors_ctc"]
+                    loss = 0.0
+                    if ctc_out is not None and ctc_w > 0:
+                        nll = ctc_loss(
+                            ctc_out.astype(jnp.float32),
+                            batch["labels"],
+                            out["length"],
+                            batch["label_lengths"],
+                            blank_id=blank_id,
+                            reduction="none",
+                        )
+                        loss = loss + ctc_w * (nll * batch["weight"]).sum()
+                    # CE on shifted targets with eos=0 at final position
+                    B, U1 = text_bos.shape
+                    targets = jnp.concatenate(
+                        [text_bos[:, 1:], jnp.zeros((B, 1), text_bos.dtype)], axis=1
+                    )
+                    pos = jnp.arange(U1)[None, :]
+                    t_len_bos = batch["label_lengths"] + 1
+                    targets = jnp.where(pos == (t_len_bos - 1)[:, None], 0, targets)
+                    valid = (pos < t_len_bos[:, None]) & (batch["weight"] > 0)[:, None]
+                    logp = jax.nn.log_softmax(lm_out, axis=-1)
+                    ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+                    loss = loss + (1 - ctc_w) * jnp.where(valid, ce, 0.0).sum()
+                    blank_p = jnp.asarray(0.0)
+                    return loss, (mutated["batch_stats"], blank_p)
+
                 out, mutated = model.apply(
                     {"params": p, "batch_stats": batch_stats},
                     audio,
@@ -415,6 +464,56 @@ class Trainer:
                         micro_step = self._micro_step_fn()
 
         self.save(state, cur_podcast, epoch, seen_ids)
+        return state
+
+    def train_utterances(self, state, dataloader, epochs: int = 1):
+        """Utterance-level training (reference exp/train_files/train_sa.py /
+        train_mamba.py): presegmented batches, one optimizer step per batch."""
+        micro_step = self._micro_step_fn()
+        apply_updates = self._apply_updates_fn()
+        zero_grads = lambda: jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state["params"]
+        )
+        step = 0
+        for epoch in range(epochs):
+            for batch_np in dataloader:
+                a_bucket = _bucket(batch_np["audio"].shape[-1], 256)
+                audio = np.zeros(
+                    (batch_np["audio"].shape[0], 80, a_bucket), np.float32
+                )
+                audio[:, :, : batch_np["audio"].shape[-1]] = batch_np["audio"]
+                U = _bucket(batch_np["text"].shape[-1])
+                labels = np.zeros((batch_np["text"].shape[0], U), np.int64)
+                labels[:, : batch_np["text"].shape[-1]] = batch_np["text"]
+                batch = {
+                    "audio": jnp.asarray(audio),
+                    "audio_lengths": jnp.asarray(batch_np["audio_lengths"], jnp.int32),
+                    "labels": jnp.asarray(labels),
+                    "label_lengths": jnp.asarray(batch_np["text_lengths"], jnp.int32),
+                    "weight": jnp.ones((audio.shape[0],), jnp.float32),
+                }
+                state["key"], sub = jax.random.split(state["key"])
+                grads = zero_grads()
+                loss, grads, new_stats, blank_p = micro_step(
+                    state["params"], state["batch_stats"], batch, sub, grads
+                )
+                if not np.isfinite(float(loss)):
+                    continue
+                state["batch_stats"] = new_stats
+                lr = self.scheduler.step()
+                state["opt_state"] = set_learning_rate(state["opt_state"], lr)
+                weight = 1.0 / max(int(batch_np["audio_lengths"].sum()), 1) * 100
+                state["params"], state["opt_state"] = apply_updates(
+                    state["params"], state["opt_state"], grads, weight
+                )
+                step += 1
+                self.metrics.log({
+                    "loss": float(loss) / max(int(batch_np["audio_lengths"].sum()), 1) * 100,
+                    "blank_p": float(blank_p),
+                    "learning_rate": lr,
+                    "epoch": epoch,
+                    "utterance_step": step,
+                })
         return state
 
     def save(self, state, step: int, epoch: int, seen_ids: List[str]) -> str:
