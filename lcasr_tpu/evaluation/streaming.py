@@ -63,10 +63,13 @@ class StreamingDecoder:
         variables,
         n_classes: int,
         subsampling_factor: int = 8,
-        window_batch_size: int = 8,
+        window_batch_size: int = 16,
+        transfer_dtype=None,  # e.g. jnp.bfloat16 halves the upload
     ):
         import jax
         import jax.numpy as jnp
+
+        self.transfer_dtype = transfer_dtype if transfer_dtype is not None else jnp.bfloat16
 
         self.jax, self.jnp = jax, jnp
         self.model = model
@@ -147,7 +150,9 @@ class StreamingDecoder:
         total = spec_n // self.ds + seq_len
         sums = jnp.zeros((total, self.n_classes), jnp.float32)
         counts = jnp.zeros((total, 1), jnp.float32)
-        spec_dev = self.jax.device_put(jnp.asarray(spec, jnp.float32))
+        # bf16 upload halves link traffic; the mel spec is per-recording
+        # normalized so bf16's ~3 decimal digits lose nothing audible
+        spec_dev = self.jax.device_put(jnp.asarray(spec, self.transfer_dtype))
 
         W = self.W
         for b0 in range(0, len(positions), W):

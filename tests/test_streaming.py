@@ -40,7 +40,8 @@ def test_streaming_decoder_matches_functional_loop(model_and_vars):
         fn, spec, seq_len=256, overlap=192, n_classes=N_CLASSES, window_batch_size=4
     )
 
-    dec = StreamingDecoder(model, variables, N_CLASSES, window_batch_size=4)
+    dec = StreamingDecoder(model, variables, N_CLASSES, window_batch_size=4,
+                           transfer_dtype=jnp.float32)
     got = dec.logits(spec, seq_len=256, overlap=192)
 
     assert got.shape == ref.shape
@@ -58,7 +59,7 @@ def test_single_window_equals_direct_forward(model_and_vars):
     rng = np.random.default_rng(1)
     spec = rng.normal(size=(1, 80, 200)).astype(np.float32)
 
-    dec = StreamingDecoder(model, variables, N_CLASSES)
+    dec = StreamingDecoder(model, variables, N_CLASSES, transfer_dtype=jnp.float32)
     merged = dec.logits(spec, seq_len=512, overlap=448)
 
     out = model.apply(variables, jnp.asarray(spec), length=jnp.array([200]))
