@@ -25,6 +25,16 @@ def trace(log_dir: str = "/tmp/lcasr_trace"):
         jax.profiler.stop_trace()
 
 
+def _sync(out) -> None:
+    """Force completion.  NOTE: on remote-attached TPUs (axon tunnel)
+    block_until_ready can return before execution finishes; fetching one
+    element guarantees a real device round trip."""
+    jax.block_until_ready(out)
+    leaves = jax.tree.leaves(out)
+    if leaves:
+        _ = leaves[0].ravel()[0].item() if hasattr(leaves[0], "ravel") else None
+
+
 def time_fn(
     fn: Callable,
     *args,
@@ -32,13 +42,11 @@ def time_fn(
     iters: int = 10,
     **kwargs,
 ) -> Dict[str, float]:
-    """Wall-time a jitted callable with compile excluded (block_until_ready)."""
+    """Wall-time a jitted callable with compile excluded (true device sync)."""
     for _ in range(warmup):
-        out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        _sync(fn(*args, **kwargs))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        _sync(fn(*args, **kwargs))
     total = time.perf_counter() - t0
     return {"mean_s": total / iters, "total_s": total, "iters": iters}
