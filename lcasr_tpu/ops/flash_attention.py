@@ -71,7 +71,7 @@ def _block_in_band(q_start, k_start, block_q, block_k, window, kv_len):
 # ---------------------------------------------------------------------------
 def _fwd_kernel(
     lengths_ref,  # scalar-prefetch SMEM (B,)
-    qoff_ref,  # scalar-prefetch SMEM (1,): global offset of local q rows
+    qoff_ref,  # scalar-prefetch SMEM (2,): [q-row offset, kv-col offset]
     q_ref,  # (1, 1, BQ, D)
     k_ref,  # (1, 1, BK, D)
     v_ref,  # (1, 1, BK, D)
@@ -99,7 +99,7 @@ def _fwd_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
 
     q_start = qi * block_q + qoff_ref[0]
-    k_start = ki * block_k
+    k_start = ki * block_k + qoff_ref[1]
     kv_len = lengths_ref[b]
 
     @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len))
@@ -158,7 +158,7 @@ def _flash_attention_bhtd(
     k: jnp.ndarray,  # (B, H, Tk, D)
     v: jnp.ndarray,
     lengths: jnp.ndarray,  # (B,) int32 global kv lengths
-    q_offset: jnp.ndarray,  # (1,) int32 global offset of q rows (context parallel)
+    q_offset: jnp.ndarray,  # (2,) int32 [q-row offset, kv-col offset] (context parallel)
     window: Tuple[int, int],
     scale: float,
     block_q: int,
@@ -240,7 +240,7 @@ def _bwd_dq_kernel(
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
     q_start = qi * block_q + qoff_ref[0]
-    k_start = ki * block_k
+    k_start = ki * block_k + qoff_ref[1]
     kv_len = lengths_ref[b]
 
     @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len))
@@ -294,7 +294,7 @@ def _bwd_dkv_kernel(
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     q_start = qi * block_q + qoff_ref[0]
-    k_start = ki * block_k
+    k_start = ki * block_k + qoff_ref[1]
     kv_len = lengths_ref[b]
 
     @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len))
@@ -430,6 +430,7 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     q_offset: Optional[jnp.ndarray] = None,
+    kv_offset: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Public entry: (B, Tq, H, D) in, (B, Tq, H, D) out.
 
@@ -468,13 +469,52 @@ def flash_attention(
         kt = _pad_to(kt, 2, Tk_pad)
         vt = _pad_to(vt, 2, Tk_pad)
 
-    if q_offset is None:
-        qoff = jnp.zeros((1,), jnp.int32)
-    else:
-        qoff = jnp.reshape(q_offset, (1,)).astype(jnp.int32)
+    qo = jnp.zeros((), jnp.int32) if q_offset is None else jnp.asarray(q_offset, jnp.int32).reshape(())
+    ko = jnp.zeros((), jnp.int32) if kv_offset is None else jnp.asarray(kv_offset, jnp.int32).reshape(())
+    qoff = jnp.stack([qo, ko])
 
     out = _flash_attention_bhtd(
         qt, kt, vt, lengths_arr, qoff, window, scale, block_q, block_k
     )
     out = out[:, :, :T]
     return jnp.swapaxes(out, 1, 2)
+
+
+def flash_attention_with_lse(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    lengths: Optional[jnp.ndarray] = None,
+    window: Tuple[int, int] = (-1, -1),
+    softmax_scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    q_offset: Optional[jnp.ndarray] = None,
+    kv_offset: Optional[jnp.ndarray] = None,
+):
+    """Forward-only variant returning (out, lse (B, H, Tq)) for cross-shard
+    online-softmax merging (ring attention).  lse = -inf for fully-masked
+    rows, so partial results combine exactly."""
+    B, T, H, D = q.shape
+    scale = softmax_scale if softmax_scale is not None else D ** -0.5
+    t_pow2 = max(128, 1 << (max(T, k.shape[1]) - 1).bit_length())
+    block_q = min(block_q, t_pow2)
+    block_k = min(block_k, t_pow2)
+    if lengths is None:
+        lengths_arr = jnp.full((B,), k.shape[1], dtype=jnp.int32)
+    else:
+        lengths_arr = lengths.astype(jnp.int32)
+    qt, kt, vt = (jnp.swapaxes(a, 1, 2) for a in (q, k, v))
+    blk = max(block_q, block_k)
+    T_pad = _cdiv(T, blk) * blk
+    Tk_pad = _cdiv(k.shape[1], blk) * blk
+    if T_pad != T:
+        qt = _pad_to(qt, 2, T_pad)
+    if Tk_pad != k.shape[1]:
+        kt = _pad_to(kt, 2, Tk_pad)
+        vt = _pad_to(vt, 2, Tk_pad)
+    qo = jnp.zeros((), jnp.int32) if q_offset is None else jnp.asarray(q_offset, jnp.int32).reshape(())
+    ko = jnp.zeros((), jnp.int32) if kv_offset is None else jnp.asarray(kv_offset, jnp.int32).reshape(())
+    o, lse128 = _fwd(qt, kt, vt, lengths_arr, jnp.stack([qo, ko]), window, scale, block_q, block_k)
+    out = jnp.swapaxes(o[:, :, :T], 1, 2)
+    return out, lse128[:, :, :T, 0]

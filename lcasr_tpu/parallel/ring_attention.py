@@ -1,0 +1,104 @@
+"""Ring attention: context-parallel exact attention with rotating KV blocks.
+
+The bandwidth-optimal upgrade of `context_parallel_attention` (which
+all-gathers KV): each `seq`-axis shard keeps its local KV block; over
+n_shards steps the KV blocks rotate around the ring via `ppermute` while
+each shard accumulates its local queries' attention over every block with
+cross-step online-softmax merging (exact — partial outputs carry their
+log-sum-exp and are combined in fp32).
+
+Per step the Pallas flash kernel runs with global `q_offset`/`kv_offset`, so
+window banding and length masks stay exact in global coordinates; with a
+local window most steps are fully out of band and the kernel's block-sparse
+skip turns them into (near) no-ops while the ppermute still pipelines.
+
+Peak memory: O(T/n) KV per device (vs O(T) for the gather variant); comm:
+same total bytes but overlapped with compute step by step over ICI.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from lcasr_tpu.ops.flash_attention import flash_attention_with_lse
+
+NEG_INF = -1e30
+
+
+def _merge(num, den, m, o_s, lse_s):
+    """Online-softmax merge of a normalized partial (o_s, lse_s) into the
+    running (num, den, m) accumulator.  All fp32.
+    num: (B, T, H, D); den/m: (B, T, H, 1); lse_s: (B, H, T)."""
+    lse = jnp.swapaxes(lse_s, 1, 2)[..., None]  # (B, T, H, 1)
+    m_new = jnp.maximum(m, lse)
+    scale_old = jnp.exp(m - m_new)
+    scale_new = jnp.exp(lse - m_new)
+    num = num * scale_old + o_s.astype(jnp.float32) * scale_new
+    den = den * scale_old + scale_new
+    return num, den, m_new
+
+
+def ring_attention(
+    q: jnp.ndarray,  # (B, T, H, D) — logically global, sharded on T
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    lengths: Optional[jnp.ndarray] = None,
+    window: Tuple[int, int] = (-1, -1),
+    seq_axis: str = "seq",
+    softmax_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    B, T, H, D = q.shape
+    n_shards = mesh.shape[seq_axis]
+    assert T % n_shards == 0
+    t_local = T // n_shards
+
+    if lengths is None:
+        lengths = jnp.full((B,), T, jnp.int32)
+
+    def local_fn(q_l, k_l, v_l, lengths_g):
+        idx = jax.lax.axis_index(seq_axis)
+        n = jax.lax.axis_size(seq_axis)
+        q_off = idx * t_local
+
+        perm = [(i, (i + 1) % n) for i in range(n)]  # send to right neighbor
+
+        def step(carry, s):
+            k_cur, v_cur, num, den, m = carry
+            # block currently held originated at shard (idx - s) mod n
+            kv_off = ((idx - s) % n) * t_local
+            o_s, lse_s = flash_attention_with_lse(
+                q_l, k_cur, v_cur,
+                lengths=lengths_g,
+                window=window,
+                softmax_scale=softmax_scale,
+                q_offset=q_off,
+                kv_offset=kv_off,
+            )
+            num, den, m = _merge(num, den, m, o_s, lse_s)
+            # rotate KV for the next step (skipped result on the last step)
+            k_nxt = jax.lax.ppermute(k_cur, seq_axis, perm)
+            v_nxt = jax.lax.ppermute(v_cur, seq_axis, perm)
+            return (k_nxt, v_nxt, num, den, m), None
+
+        num0 = jnp.zeros((B, t_local, H, D), jnp.float32)
+        den0 = jnp.zeros((B, t_local, H, 1), jnp.float32)
+        m0 = jnp.full((B, t_local, H, 1), NEG_INF, jnp.float32)
+        (k_f, v_f, num, den, m), _ = jax.lax.scan(
+            step, (k_l, v_l, num0, den0, m0), jnp.arange(n)
+        )
+        out = jnp.where(den > 0.0, num / jnp.maximum(den, 1e-37), 0.0)
+        return out.astype(q_l.dtype)
+
+    seq_sharded = P(None, seq_axis, None, None)
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(seq_sharded, seq_sharded, seq_sharded, P()),
+        out_specs=seq_sharded,
+        check_rep=False,
+    )(q, k, v, lengths)
