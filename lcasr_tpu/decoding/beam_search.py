@@ -41,6 +41,7 @@ class Beam:
     p_blank: float = 0.0  # log prob of prefix ending in blank
     p_non_blank: float = LOG0  # log prob of prefix ending in its last token
     lm_score: float = 0.0  # cumulative α·LM + β·len bonus
+    frames: Tuple[int, ...] = ()  # first-emission frame per token (timestamps)
 
     @property
     def am_score(self) -> float:
@@ -94,10 +95,10 @@ class BeamSearch:
 
             new_beams: Dict[Tuple[int, ...], Beam] = {}
 
-            def upd(prefix, lm_score, p_blank=LOG0, p_non_blank=LOG0):
+            def upd(prefix, lm_score, frames, p_blank=LOG0, p_non_blank=LOG0):
                 b = new_beams.get(prefix)
                 if b is None:
-                    b = Beam(prefix, LOG0, LOG0, lm_score)
+                    b = Beam(prefix, LOG0, LOG0, lm_score, frames)
                     new_beams[prefix] = b
                 b.p_blank = _logsumexp(b.p_blank, p_blank)
                 b.p_non_blank = _logsumexp(b.p_non_blank, p_non_blank)
@@ -108,35 +109,84 @@ class BeamSearch:
                 for c in keep:
                     p = float(frame[c])
                     if c == blank:
-                        upd(prefix, beam.lm_score, p_blank=beam.am_score + p)
+                        upd(prefix, beam.lm_score, beam.frames,
+                            p_blank=beam.am_score + p)
                     elif c == last:
                         # repeat collapses into same prefix...
-                        upd(prefix, beam.lm_score, p_non_blank=beam.p_non_blank + p)
+                        upd(prefix, beam.lm_score, beam.frames,
+                            p_non_blank=beam.p_non_blank + p)
                         # ...or extends after an explicit blank
                         new_prefix = prefix + (int(c),)
                         lm_add = self._lm_add(lm_next, prefix, c)
-                        upd(
-                            new_prefix,
-                            beam.lm_score + lm_add,
-                            p_non_blank=beam.p_blank + p,
-                        )
+                        upd(new_prefix, beam.lm_score + lm_add,
+                            beam.frames + (t,), p_non_blank=beam.p_blank + p)
                     else:
                         new_prefix = prefix + (int(c),)
                         lm_add = self._lm_add(lm_next, prefix, c)
-                        upd(
-                            new_prefix,
-                            beam.lm_score + lm_add,
-                            p_non_blank=beam.am_score + p,
-                        )
+                        upd(new_prefix, beam.lm_score + lm_add,
+                            beam.frames + (t,), p_non_blank=beam.am_score + p)
 
             ranked = sorted(new_beams.values(), key=lambda b: -b.score)
             beams = {b.prefix: b for b in ranked[: self.beam_width]}
 
         best = max(beams.values(), key=lambda b: b.score)
+        self._best = best
         ids = list(best.prefix)
         if decode and self.tokenizer is not None:
             return self.tokenizer.decode(ids)
         return ids
+
+    def decode_beams(
+        self,
+        log_probs: np.ndarray,
+        ds_factor: float = 8.0,
+        frames_per_second: float = 100.0,
+    ):
+        """Beam search with word-level timestamps.
+
+        Counterpart of the reference's pyctcdecode `decode_beams_lm` usage
+        (reference `lcasr/eval/utils.py:14-43`): returns
+        {'text', 'frames': [{'word','start','end'} in seconds], 'am_score'}.
+        Word boundaries come from the tokenizer's ▁ pieces; start/end frames
+        are the first/last piece-emission frames scaled by the subsampling
+        factor.
+        """
+        T, C = log_probs.shape
+        blank = self.blank_id if self.blank_id is not None else C - 1
+        # rerun tracking the best beam
+        self._keep_best = True
+        beams_best = self._search_best(log_probs, blank)
+        ids, frames = list(beams_best.prefix), list(beams_best.frames)
+        words, cur, cur_frames = [], [], []
+        pieces = [self.tokenizer.id_to_piece(i) for i in ids] if self.tokenizer else []
+        for piece, i, f in zip(pieces, ids, frames):
+            if piece.startswith("▁") and cur:
+                words.append(("".join(cur).replace("▁", " ").strip(), cur_frames))
+                cur, cur_frames = [], []
+            cur.append(piece)
+            cur_frames.append(f)
+        if cur:
+            words.append(("".join(cur).replace("▁", " ").strip(), cur_frames))
+        to_sec = lambda fr: fr * ds_factor / frames_per_second
+        out_words = [
+            {"word": w, "start": to_sec(fs[0]), "end": to_sec(fs[-1] + 1)}
+            for w, fs in words if w
+        ]
+        return {
+            "text": self.tokenizer.decode(ids) if self.tokenizer else ids,
+            "frames": out_words,
+            "am_score": beams_best.am_score,
+            "score": beams_best.score,
+        }
+
+    def _search_best(self, log_probs: np.ndarray, blank: int) -> Beam:
+        saved_blank = self.blank_id
+        self.blank_id = blank
+        try:
+            self.run_search(log_probs, decode=False)
+        finally:
+            self.blank_id = saved_blank
+        return self._best
 
     def _lm_add(self, lm_next, prefix, c) -> float:
         if lm_next is None:

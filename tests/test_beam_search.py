@@ -71,3 +71,24 @@ def test_tokenizer_decode_path():
     lp = _peaked_log_probs(path, tok.vocab_size() + 1)
     bs = BeamSearch(tokenizer=tok, beam_width=4, blank_id=blank)
     assert bs.run_search(lp) == "hello world"
+
+
+def test_decode_beams_word_timestamps():
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+
+    tok = load_tokenizer()
+    blank = tok.vocab_size()
+    ids = tok.encode("hello world")
+    path = []
+    for i in ids:
+        path += [i, blank, blank]
+    lp = _peaked_log_probs(path, tok.vocab_size() + 1, peak=14.0)
+    bs = BeamSearch(tokenizer=tok, beam_width=4, blank_id=blank)
+    out = bs.decode_beams(lp, ds_factor=8)
+    assert out["text"] == "hello world"
+    words = [w["word"] for w in out["frames"]]
+    assert words == ["hello", "world"]
+    # monotonically increasing, start < end
+    starts = [w["start"] for w in out["frames"]]
+    assert starts == sorted(starts)
+    assert all(w["start"] < w["end"] for w in out["frames"])
