@@ -40,13 +40,16 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _block_band_mask(q_start, k_start, block_q, block_k, window, kv_len):
-    """(BQ, BK) validity mask for one score tile: key-length + window band +
-    query-row padding (padded q rows fully masked → zero output rows)."""
+def _block_band_mask(q_start, k_start, block_q, block_k, window, q_len, kv_hi):
+    """(BQ, BK) validity mask for one score tile: key bounds + window band +
+    query-row padding (padded q rows fully masked → zero output rows).
+
+    q_len: global sequence length (row validity); kv_hi: upper bound on
+    valid key columns (min(q_len, local-KV extent) under banding/CP)."""
     left, right = window
     rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    mask = (cols < kv_len) & (rows < kv_len)
+    mask = (cols < kv_hi) & (rows < q_len)
     if right >= 0:
         mask &= cols <= rows + right
     if left >= 0:
@@ -54,11 +57,11 @@ def _block_band_mask(q_start, k_start, block_q, block_k, window, kv_len):
     return mask
 
 
-def _block_in_band(q_start, k_start, block_q, block_k, window, kv_len):
+def _block_in_band(q_start, k_start, block_q, block_k, window, q_len, kv_hi):
     """Whole-tile skip predicate (block-sparse window skip)."""
     left, right = window
-    in_band = k_start < kv_len
-    in_band = jnp.logical_and(in_band, q_start < kv_len)
+    in_band = k_start < kv_hi
+    in_band = jnp.logical_and(in_band, q_start < q_len)
     if left >= 0:
         in_band = jnp.logical_and(in_band, k_start + block_k - 1 >= q_start - left)
     if right >= 0:
@@ -87,6 +90,8 @@ def _fwd_kernel(
     block_k: int,
     window: Tuple[int, int],
     num_k_blocks: int,
+    banded: bool = False,
+    kv_extent: int = 0,  # local KV length (padded); bounds virtual indices
 ):
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -99,10 +104,20 @@ def _fwd_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
 
     q_start = qi * block_q + qoff_ref[0]
-    k_start = ki * block_k + qoff_ref[1]
-    kv_len = lengths_ref[b]
+    if banded:
+        # kv grid iterates only the window band; recover the VIRTUAL global
+        # block index (matches the index_map).  Virtual indices past the
+        # local KV extent get a clamped DMA — the extent check below rejects
+        # them so a duplicate block never contributes.
+        left = window[0]
+        start_blk = jnp.maximum(0, q_start - left - qoff_ref[1]) // block_k
+        k_start = (start_blk + ki) * block_k + qoff_ref[1]
+    else:
+        k_start = ki * block_k + qoff_ref[1]
+    q_len = lengths_ref[b]
+    kv_hi = jnp.minimum(q_len, qoff_ref[1] + kv_extent) if banded else q_len
 
-    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len))
+    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, q_len, kv_hi))
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)  # (BQ, D)
         k = k_ref[0, 0].astype(jnp.float32)  # (BK, D)
@@ -111,7 +126,7 @@ def _fwd_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (BQ, BK)
-        mask = _block_band_mask(q_start, k_start, block_q, block_k, window, kv_len)
+        mask = _block_band_mask(q_start, k_start, block_q, block_k, window, q_len, kv_hi)
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[:, 0:1]  # (BQ, 1)
@@ -173,23 +188,42 @@ def _fwd(q, k, v, lengths, q_offset, window, scale, block_q, block_k):
     Tk = k.shape[2]
     nQ, nK = Tq // block_q, Tk // block_k
 
+    left, right = window
+    banded = left >= 0 and right >= 0
+    if banded:
+        # only iterate kv blocks that can intersect the band — DMA skip,
+        # O(T·band) traffic instead of O(T²/block)
+        nK_band = min(nK, _cdiv(left + right + block_q, block_k) + 1)
+    else:
+        nK_band = nK
+
     kernel = functools.partial(
         _fwd_kernel,
         scale=scale,
         block_q=block_q,
         block_k=block_k,
         window=window,
-        num_k_blocks=nK,
+        num_k_blocks=nK_band,
+        banded=banded,
+        kv_extent=Tk,
     )
+    if banded:
+        def kv_index(b, h, qi, ki, lens, offs):
+            start_blk = jnp.maximum(0, qi * block_q + offs[0] - left - offs[1]) // block_k
+            return (b, h, jnp.minimum(start_blk + ki, nK - 1), 0)
+    else:
+        def kv_index(b, h, qi, ki, *s):
+            return (b, h, ki, 0)
+
     o, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, H, nQ, nK),
+            grid=(B, H, nQ, nK_band),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki, *s: (b, h, qi, 0)),
-                pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki, *s: (b, h, ki, 0)),
-                pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki, *s: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, D), kv_index),
+                pl.BlockSpec((1, 1, block_k, D), kv_index),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki, *s: (b, h, qi, 0)),
@@ -243,7 +277,7 @@ def _bwd_dq_kernel(
     k_start = ki * block_k + qoff_ref[1]
     kv_len = lengths_ref[b]
 
-    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len))
+    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len, kv_len))
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)
         k = k_ref[0, 0].astype(jnp.float32)
@@ -255,7 +289,7 @@ def _bwd_dq_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        mask = _block_band_mask(q_start, k_start, block_q, block_k, window, kv_len)
+        mask = _block_band_mask(q_start, k_start, block_q, block_k, window, kv_len, kv_len)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
 
         dp = jax.lax.dot_general(
@@ -297,7 +331,7 @@ def _bwd_dkv_kernel(
     k_start = ki * block_k + qoff_ref[1]
     kv_len = lengths_ref[b]
 
-    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len))
+    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len, kv_len))
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)
         k = k_ref[0, 0].astype(jnp.float32)
@@ -309,7 +343,7 @@ def _bwd_dkv_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (BQ, BK)
-        mask = _block_band_mask(q_start, k_start, block_q, block_k, window, kv_len)
+        mask = _block_band_mask(q_start, k_start, block_q, block_k, window, kv_len, kv_len)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
 
         dv_acc[:] += jax.lax.dot_general(
