@@ -1,0 +1,90 @@
+"""Causal transformer language model for CTC beam-search fusion.
+
+The reference's LM rescoring uses an EXTERNAL package (`lming`, reference
+`eval/tedlium/tlm_beam.py:5-6`); this first-party equivalent makes the
+rescoring pipeline self-contained: a pre-norm causal transformer over the
+same BPE vocab, trainable on transcript text, adapted into the beam search
+via `decoding.beam_search.FlaxLMScorer`.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lcasr_tpu.models.registry import register_model
+from lcasr_tpu.ops.attention import NEG_INF
+from lcasr_tpu.ops.mlp import ConformerFeedForward
+from lcasr_tpu.ops.norms import get_norm
+from lcasr_tpu.ops.rotary import RotaryEmbedding, apply_rotary
+
+
+@register_model("TransformerLM")
+class TransformerLM(nn.Module):
+    vocab_size: int = 4095
+    d_model: int = 512
+    n_layers: int = 6
+    n_heads: int = 8
+    head_dim: int = 64
+    rotary_base_freq: float = 10000.0
+    default_norm: str = "rms_norm"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """tokens (B, U) → logits (B, U, vocab)."""
+        Norm = get_norm(self.default_norm)
+        B, U = tokens.shape
+        H, D = self.n_heads, self.head_dim
+        x = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype, name="embed")(tokens)
+        rotary = RotaryEmbedding(dim=D, base=self.rotary_base_freq, name="rotary")(U)
+        causal = jnp.tril(jnp.ones((U, U), bool))[None, None]
+
+        for i in range(self.n_layers):
+            h = Norm(self.d_model, name=f"attn_norm_{i}")(x)
+            qkv = nn.Dense(3 * H * D, use_bias=False, dtype=self.dtype, name=f"qkv_{i}")(h)
+            q, k, v = (a.reshape(B, U, H, D) for a in jnp.split(qkv, 3, -1))
+            q, k = apply_rotary(q, k, *rotary)
+            s = jnp.einsum(
+                "bthd,bshd->bhts", q.astype(jnp.float32) * D ** -0.5, k.astype(jnp.float32)
+            )
+            s = jnp.where(causal, s, NEG_INF)
+            p = jax.nn.softmax(s, -1)
+            o = jnp.einsum("bhts,bshd->bthd", p, v.astype(jnp.float32)).astype(x.dtype)
+            x = x + nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name=f"out_{i}")(
+                o.reshape(B, U, H * D)
+            )
+            h = Norm(self.d_model, name=f"ff_norm_{i}")(x)
+            x = x + ConformerFeedForward(self.d_model, dtype=self.dtype, name=f"ff_{i}")(h)
+
+        x = Norm(self.d_model, name="norm_out")(x)
+        return nn.Dense(self.vocab_size, dtype=self.dtype, name="lm_head")(x)
+
+
+def lm_loss(model, variables, tokens: jnp.ndarray, lengths: Optional[jnp.ndarray] = None):
+    """Next-token CE over valid positions; tokens include bos."""
+    logits = model.apply(variables, tokens)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
+    ce = -jnp.take_along_axis(logp, targets[..., None], -1)[..., 0]
+    if lengths is not None:
+        valid = jnp.arange(targets.shape[1])[None, :] < (lengths - 1)[:, None]
+        return jnp.where(valid, ce, 0.0).sum() / jnp.maximum(valid.sum(), 1)
+    return ce.mean()
+
+
+def make_lm_scorer(model, variables, bos_id: int = 2, pad_id: int = 0):
+    """Build the batched `lm_scores` hook for BeamSearch."""
+    import numpy as np
+
+    from lcasr_tpu.decoding.beam_search import FlaxLMScorer
+
+    variables = jax.device_put(variables)
+
+    @jax.jit
+    def fn(variables, tokens):
+        return model.apply(variables, tokens)
+
+    return FlaxLMScorer(lambda tokens: fn(variables, tokens), bos_id=bos_id, pad_id=pad_id)
