@@ -45,7 +45,7 @@ def install_reference_package_stubs() -> None:
     if "lcasr" in sys.modules:
         return
     # stub unavailable third-party deps used at module import time
-    for missing in ("torchaudio", "torchaudio.functional", "sentencepiece"):
+    for missing in ("torchaudio", "torchaudio.functional", "sentencepiece", "librosa"):
         if missing not in sys.modules:
             try:
                 __import__(missing)

@@ -108,3 +108,54 @@ def test_variable_length_parity(reference_model):
     for b in range(2):
         n = int(ref_len[b])
         np.testing.assert_allclose(got[b, :n], ref[b, :n], rtol=2e-3, atol=2e-3)
+
+
+def test_decode_loop_parity(reference_model):
+    """End-to-end decode parity: the reference's own fetch_logits loop on the
+    torch model vs this framework's StreamingDecoder on converted weights.
+    Transcript must be identical; merged logits agree to f32 accumulation
+    noise (boundary frames of the short final window differ slightly because
+    the reference runs it unpadded)."""
+    model_t, torch = reference_model
+    from tests.reference_oracle import load_reference_module
+
+    ref_utils = load_reference_module("lcasr/eval/utils.py", "ref_eval_utils")
+    if ref_utils is None:
+        pytest.skip("reference eval utils not importable")
+    model_t.device = torch.device("cpu")
+    variables = _convert(model_t)
+
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.decoding.greedy import GreedyCTCDecoder
+    from lcasr_tpu.evaluation.streaming import StreamingDecoder
+
+    tok = load_tokenizer()
+    rng = np.random.default_rng(0)
+    spec = rng.normal(size=(1, 80, 900)).astype(np.float32)
+
+    class Args:
+        config = {"audio_chunking": {"size": 384, "overlap": 320}}
+
+    # NOTE: tiny model has vocab 32+1 classes; decode ids only
+    ref_logits = ref_utils.fetch_logits(
+        Args(), model_t, torch.from_numpy(spec.copy()),
+        seq_len=384, overlap=320, tokenizer=_FakeVocab(), use_tqdm=False,
+    )
+
+    jmodel = SCConformerXL(**MODEL_CFG, use_pallas=False)
+    dec = StreamingDecoder(
+        jmodel, variables, MODEL_CFG["vocab_size"] + 1, transfer_dtype=jnp.float32
+    )
+    with jax.default_matmul_precision("highest"):
+        ours = dec.logits(spec, seq_len=384, overlap=320)
+
+    assert ours.shape == ref_logits.shape
+    g = GreedyCTCDecoder(blank_id=MODEL_CFG["vocab_size"])
+    assert g(ref_logits, decode=False) == g(ours, decode=False)
+    agreement = (ref_logits.argmax(-1) == ours.argmax(-1)).mean()
+    assert agreement == 1.0
+
+
+class _FakeVocab:
+    def vocab_size(self):
+        return MODEL_CFG["vocab_size"]
