@@ -1,0 +1,95 @@
+"""Training-step throughput: full micro-step (fwd + CTC + bwd + MADGRAD) on
+the flagship model at representative points of the sequence-warmup schedule.
+
+Prints JSON rows: audio-seconds/second of training throughput per chip.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from __graft_entry__ import FLAGSHIP
+    from lcasr_tpu.models.base import decay_mask
+    from lcasr_tpu.models.sconformer_xl import SCConformerXL
+    from lcasr_tpu.ops.ctc import ctc_loss
+    from lcasr_tpu.optim.factory import build_optimizer
+
+    rng = np.random.default_rng(0)
+
+    # (chunk_size, batch) pairs scaled from the paper's schedule to 1 chip
+    # (reference exp/configs/README.md:84-93 uses 150 GB A100 hosts)
+    for chunk, batch, remat in ((2048, 8, 0), (8192, 4, 1), (32768, 1, 1)):
+        model = SCConformerXL(
+            **FLAGSHIP, dtype=jnp.bfloat16, checkpoint_every_n_layers=remat
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 80, 512), jnp.float32),
+            length=jnp.array([512]),
+        )
+        params = jax.device_put(variables["params"])
+        batch_stats = jax.device_put(variables.get("batch_stats", {}))
+        optimizer = build_optimizer("madgrad", lr=1e-4, weight_decay_mask=decay_mask(params))
+        opt_state = jax.device_put(optimizer.init(params))
+
+        U = max(64, chunk // 32)
+        audio = jnp.asarray(rng.normal(size=(batch, 80, chunk)).astype(np.float32))
+        lengths = jnp.full((batch,), chunk, jnp.int32)
+        labels = jnp.asarray(rng.integers(0, 4094, size=(batch, U)))
+        label_lengths = jnp.full((batch,), U, jnp.int32)
+
+        @jax.jit
+        def step(params, batch_stats, opt_state, audio, lengths, labels, label_lengths):
+            def loss_fn(p):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    audio, length=lengths, train=True, mutable=["batch_stats"],
+                )
+                nll = ctc_loss(
+                    out["final_posteriors"].astype(jnp.float32),
+                    labels, out["length"], label_lengths,
+                )
+                return nll, mut["batch_stats"]
+
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state_n = optimizer.update(grads, opt_state, params)
+            params_n = jax.tree.map(lambda a, u: a + u, params, updates)
+            return params_n, stats, opt_state_n, loss
+
+        # warmup (synced via loss fetch)
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, audio, lengths, labels, label_lengths
+        )
+        float(loss)
+        t0 = time.perf_counter()
+        n = 5
+        for _ in range(n):
+            params, batch_stats, opt_state, loss = step(
+                params, batch_stats, opt_state, audio, lengths, labels, label_lengths
+            )
+            float(loss)
+        dt = (time.perf_counter() - t0) / n
+        audio_s = batch * chunk / 100.0
+        print(json.dumps({
+            "bench": "train_step",
+            "chunk_frames": chunk,
+            "batch": batch,
+            "remat": bool(remat),
+            "ms_per_step": round(dt * 1000, 1),
+            "train_audio_s_per_s": round(audio_s / dt, 1),
+        }))
+
+
+if __name__ == "__main__":
+    main()

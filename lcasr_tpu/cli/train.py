@@ -24,8 +24,16 @@ def main(args=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("-config", "--config", type=str, required=True)
     parser.add_argument("-reset_step", "--reset_step", action="store_true")
+    parser.add_argument(
+        "-anomaly", "--anomaly", action="store_true",
+        help="enable jax_debug_nans (the reference's -anomaly flag equivalent)",
+    )
+    parser.add_argument("-debug_hooks", "--debug_hooks", action="store_true",
+                        help="log per-parameter gradient statistics")
     parser.add_argument("-o", "--overrides", nargs="*", default=[])
     ns = parser.parse_args(args)
+    if ns.anomaly:
+        jax.config.update("jax_debug_nans", True)
 
     config = Config.load(ns.config)
     if ns.overrides:
@@ -35,6 +43,7 @@ def main(args=None):
     model = load_model(config, tokenizer.vocab_size(), get_model_class(config))
 
     trainer = Trainer(config, model, tokenizer)
+    trainer.debug_hooks = ns.debug_hooks
     state = trainer.init_state(jax.random.PRNGKey(12345))
     print_total_params(state["params"])
 

@@ -181,7 +181,17 @@ def main():
         choices=["averaged_moving_window", "windowed_attention", "buffered"],
     )
     parser.add_argument("--dataset_base_path", default=None)
+    parser.add_argument(
+        "--dataset_kwargs", nargs="*", default=[],
+        help="extra adapter kwargs as key=value (e.g. pairs_path=... snr_db=5)",
+    )
     args = parser.parse_args()
+    import yaml
+
+    dk = {k: yaml.safe_load(v) for k, _, v in
+          (kv.partition("=") for kv in args.dataset_kwargs)}
+    if args.dataset_base_path:
+        dk["base_path"] = args.dataset_base_path
     evaluate(
         checkpoint=args.checkpoint,
         dataset=args.dataset,
@@ -189,9 +199,7 @@ def main():
         seq_len=args.seq_len,
         overlap=args.overlap,
         evaluation_mode=args.evaluation_mode,
-        dataset_kwargs={"base_path": args.dataset_base_path}
-        if args.dataset_base_path
-        else {},
+        dataset_kwargs=dk,
     )
 
 

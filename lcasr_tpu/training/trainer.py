@@ -183,6 +183,7 @@ class Trainer:
 
         self._step_fns: Dict[Tuple, Any] = {}
         self._apply_fn = None
+        self.debug_hooks = False  # per-parameter grad stats (reference -debug_hooks)
 
     # -- state ----------------------------------------------------------------
     def init_state(self, rng_key=None):
@@ -421,6 +422,10 @@ class Trainer:
                         / (self.chunk_size * self.batch_size)
                     )
                     lr = self.scheduler.get_last_lr()
+                    if self.debug_hooks:
+                        from lcasr_tpu.training.debug_hooks import grad_statistics
+
+                        self.metrics.log(grad_statistics(grads_acc))
                     state["opt_state"] = set_learning_rate(state["opt_state"], lr)
                     state["params"], state["opt_state"] = apply_updates(
                         state["params"], state["opt_state"], grads_acc, weight
