@@ -119,11 +119,56 @@ class StreamingDecoder:
         def finalize_argmax(sums, counts):
             return jnp.argmax(sums / jnp.maximum(counts, 1.0), axis=-1)
 
+        @functools.partial(jax.jit, static_argnames=("seq_len", "total", "mode"))
+        def fused_run(variables, spec, starts, lens, offs, seq_len, total, mode):
+            """Whole decode in ONE dispatch: lax.scan over window batches,
+            finalized in-program (returning the raw 0.5 GB sum/count buffers
+            as jit outputs costs an extra HBM materialization + a second
+            dispatch round trip — measured ~300 ms at 20-min contexts)."""
+            sums = jnp.zeros((total, self.n_classes), jnp.float32)
+            counts = jnp.zeros((total, 1), jnp.float32)
+            T = spec.shape[-1]
+
+            def batch_step(carry, xs):
+                sums, counts = carry
+                st, ln, of = xs
+                idx = jnp.minimum(st[:, None] + jnp.arange(seq_len)[None, :], T - 1)
+                wins = jnp.swapaxes(jnp.take(spec, idx, axis=1), 0, 1)
+                valid_t = jnp.arange(seq_len)[None, :] < ln[:, None]
+                wins = jnp.where(valid_t[:, None, :], wins, 0.0)
+                out = self.model.apply(variables, wins, length=ln)
+                lp, ol = out["final_posteriors"], out["length"]
+
+                def body(j, c):
+                    sums, counts = c
+                    l = lp[j].astype(jnp.float32)
+                    valid = (jnp.arange(l.shape[0]) < ol[j])[:, None]
+                    probs = jnp.where(valid, jnp.exp(l), 0.0)
+                    seg = jax.lax.dynamic_slice(
+                        sums, (of[j], 0), (l.shape[0], self.n_classes)
+                    )
+                    sums = jax.lax.dynamic_update_slice(sums, seg + probs, (of[j], 0))
+                    cs = jax.lax.dynamic_slice(counts, (of[j], 0), (l.shape[0], 1))
+                    counts = jax.lax.dynamic_update_slice(
+                        counts, cs + valid.astype(jnp.float32), (of[j], 0)
+                    )
+                    return sums, counts
+
+                return jax.lax.fori_loop(0, lp.shape[0], body, (sums, counts)), None
+
+            (sums, counts), _ = jax.lax.scan(batch_step, (sums, counts), (starts, lens, offs))
+            avg = sums / jnp.maximum(counts, 1.0)
+            if mode == "argmax":
+                return jnp.argmax(avg, -1)
+            return jnp.log(avg)
+
         self._step = step
+        self._fused_run = fused_run
         self._finalize_logits = finalize_logits
         self._finalize_argmax = finalize_argmax
 
-    def _run(self, spec: np.ndarray, seq_len: int, overlap: int):
+    def _run(self, spec: np.ndarray, seq_len: int, overlap: int,
+             fused: bool = True, mode: str = "logits"):
         jnp = self.jnp
         spec = np.asarray(spec)
         if spec.ndim == 3:
@@ -148,13 +193,37 @@ class StreamingDecoder:
         n_out = pos
 
         total = spec_n // self.ds + seq_len
-        sums = jnp.zeros((total, self.n_classes), jnp.float32)
-        counts = jnp.zeros((total, 1), jnp.float32)
-        # bf16 upload halves link traffic; the mel spec is per-recording
-        # normalized so bf16's ~3 decimal digits lose nothing audible
-        spec_dev = self.jax.device_put(jnp.asarray(spec, self.transfer_dtype))
+        # bf16 upload halves link traffic (the mel spec is per-recording
+        # normalized, so ~3 decimal digits lose nothing audible).  The cast
+        # happens on HOST via numpy/ml_dtypes — jnp.asarray(np, bf16) routes
+        # through a slow device-side elementwise path (measured 19 ms host
+        # vs ~8 s device through the tunnel).
+        host = spec.astype(np.dtype(self.transfer_dtype))
+        spec_dev = self.jax.device_put(host)
 
         W = self.W
+        if fused:
+            # one dispatch: scan over (nb, W) window batches.  nb is padded
+            # to a multiple of 2 with zero-length windows to bound the
+            # number of compiled (nb, seq_len) variants per dataset.
+            nb = -(-len(positions) // W)
+            nb = -(-nb // 2) * 2
+            starts = np.zeros((nb, W), np.int32)
+            lengths = np.zeros((nb, W), np.int32)
+            offs = np.zeros((nb, W), np.int32)
+            for j, (i, u_len) in enumerate(positions):
+                starts[j // W, j % W] = i
+                lengths[j // W, j % W] = u_len
+                offs[j // W, j % W] = out_offsets[j]
+            result = self._fused_run(
+                self.variables, spec_dev,
+                jnp.asarray(starts), jnp.asarray(lengths), jnp.asarray(offs),
+                seq_len=seq_len, total=total, mode=mode,
+            )
+            return result, None, n_out
+
+        sums = jnp.zeros((total, self.n_classes), jnp.float32)
+        counts = jnp.zeros((total, 1), jnp.float32)
         for b0 in range(0, len(positions), W):
             group = positions[b0 : b0 + W]
             starts = np.zeros((W,), np.int32)
@@ -169,16 +238,22 @@ class StreamingDecoder:
             )
         return sums, counts, n_out
 
-    def logits(self, spec: np.ndarray, seq_len: int, overlap: int) -> np.ndarray:
+    def logits(self, spec: np.ndarray, seq_len: int, overlap: int,
+               fused: bool = True) -> np.ndarray:
         """Merged averaged log-probs (T', C) — the reference fetch_logits
         contract."""
-        sums, counts, n_out = self._run(spec, seq_len, overlap)
-        return np.asarray(self._finalize_logits(sums, counts))[:n_out]
+        res, counts, n_out = self._run(spec, seq_len, overlap, fused=fused, mode="logits")
+        if counts is None:
+            return np.asarray(res)[:n_out]
+        return np.asarray(self._finalize_logits(res, counts))[:n_out]
 
-    def greedy(self, spec: np.ndarray, seq_len: int, overlap: int) -> np.ndarray:
+    def greedy(self, spec: np.ndarray, seq_len: int, overlap: int,
+               fused: bool = True) -> np.ndarray:
         """Merged per-frame argmax ids — minimal-transfer greedy path."""
-        sums, counts, n_out = self._run(spec, seq_len, overlap)
-        return np.asarray(self._finalize_argmax(sums, counts))[:n_out]
+        res, counts, n_out = self._run(spec, seq_len, overlap, fused=fused, mode="argmax")
+        if counts is None:
+            return np.asarray(res)[:n_out]
+        return np.asarray(self._finalize_argmax(res, counts))[:n_out]
 
 
 # ---------------------------------------------------------------------------
