@@ -1,0 +1,68 @@
+"""Dataset adapter tests on synthetic fixtures (no licensed corpora)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lcasr_tpu.evaluation.datasets import available_datasets, get_dataset_fn
+from lcasr_tpu.evaluation.datasets.tedlium import parse_stm, zero_out_spectogram
+
+
+def test_registry_lists_all_adapters():
+    names = available_datasets()
+    for expected in (
+        "tedlium", "tedlium_concat", "earnings22", "earnings22_full",
+        "rev16", "rev16_gaussian_noise", "rev16_background_noise",
+        "this_american_life", "spotify", "synthetic",
+    ):
+        assert expected in names
+    with pytest.raises(ValueError):
+        get_dataset_fn("nope")
+
+
+def test_stm_parsing_and_segment_zeroing(tmp_path):
+    stm = "\n".join([
+        "talk1 1 speakerA 0.00 4.50 <o,f0,male> hello world this is a talk",
+        "talk1 1 inter_segment_gap 4.50 7.00 <o,f0,> ignore_time_segment_in_scoring",
+        "talk1 1 speakerA 7.00 10.00 <o,f0,male> and it continues <unk> here",
+    ])
+    p = tmp_path / "talk1.stm"
+    p.write_text(stm)
+    text, remove = parse_stm(str(p))
+    assert text == "hello world this is a talk and it continues here"  # <unk> stripped
+    assert remove == [{"start": 4.5, "end": 7.0}]
+
+    spec = np.ones((1, 80, 1200), np.float32)
+    out = zero_out_spectogram(spec, remove, buffer=-0.5)
+    # 4.5+0.5 → frame 500; 7.0−0.5 → frame 650
+    assert out[:, :, 500:650].sum() == 0
+    assert out[:, :, :500].sum() > 0 and out[:, :, 650:].sum() > 0
+
+
+def test_earnings22_transcript_preprocessing():
+    from lcasr_tpu.evaluation.datasets.earnings22 import preprocess_transcript
+
+    text = "Hello, <silence> WORLD - this <laugh> is… a test? <crosstalk>"
+    out = preprocess_transcript(text)
+    assert "<" not in out and "," not in out and "?" not in out
+    assert "hello" in out and "world" in out
+
+
+def test_synthetic_adapter_contract():
+    items = get_dataset_fn("synthetic")("test", n_recordings=2, n_frames=100)
+    assert len(items) == 2
+    spec, gold = items[0]["process_fn"](items[0])
+    assert spec.shape == (1, 80, 100)
+    assert isinstance(gold, str) and gold
+
+
+def test_rev16_gaussian_snr():
+    from lcasr_tpu.evaluation.datasets.rev16 import add_gaussian_snr
+
+    rng = np.random.default_rng(0)
+    sig = np.sin(np.linspace(0, 100, 16000)).astype(np.float32)[None]
+    noisy = add_gaussian_snr(sig, snr_db=10.0, seed=0)
+    noise = noisy - sig
+    snr = 10 * np.log10((sig ** 2).mean() / (noise ** 2).mean())
+    assert abs(snr - 10.0) < 0.5
