@@ -67,3 +67,30 @@ def context_attribution(
 
     g = jax.grad(target)(audio)
     return np.asarray(jnp.abs(g).sum(axis=(0, 1)))
+
+
+def rotary_interpolation_probe(
+    model,
+    variables,
+    spec: np.ndarray,  # (1, 80, T)
+    factors=(1.0, 2.0, 4.0, 8.0),
+    lengths: Optional[np.ndarray] = None,
+):
+    """Probe rotary position-interpolation factors at inference
+    (reference `eval/bin/run_interp.py`): rebuild the model with each factor
+    and report the mean max-posterior confidence per factor — a cheap proxy
+    for which interpolation best matches the evaluated context length."""
+    results = {}
+    audio = jnp.asarray(spec)
+    for f in factors:
+        probe = model.clone(rotary_interpolation_factor=float(f))
+        out = probe.apply(
+            variables, audio,
+            **({"length": jnp.asarray(lengths)} if lengths is not None else {}),
+        )
+        lp = np.asarray(out["final_posteriors"], np.float32)
+        results[float(f)] = {
+            "mean_max_logprob": float(lp.max(-1).mean()),
+            "blank_fraction": float((lp.argmax(-1) == lp.shape[-1] - 1).mean()),
+        }
+    return results
