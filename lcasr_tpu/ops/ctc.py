@@ -44,13 +44,16 @@ def _ctc_alpha_single(
 
     valid_s = jnp.arange(S) < (2 * label_length + 1)
 
+    # hoist the emission gather out of the scan: one (T, S) gather instead of
+    # T sequential (S,) gathers — the scan body becomes pure elementwise work
+    emissions = log_probs[:, z]  # (T, S)
+
     # init: alpha_0 = [logp(blank), logp(y1), -inf, ...]
-    emit0 = log_probs[0][z]
-    alpha0 = jnp.where(jnp.arange(S) < 2, emit0, _NEG_INF)
+    alpha0 = jnp.where(jnp.arange(S) < 2, emissions[0], _NEG_INF)
     alpha0 = jnp.where(valid_s, alpha0, _NEG_INF)
 
-    def step(alpha, t):
-        emit = log_probs[t][z]
+    def step(alpha, te):
+        t, emit = te
         a_stay = alpha
         a_prev = jnp.concatenate([jnp.array([_NEG_INF]), alpha[:-1]])
         a_skip = jnp.where(
@@ -67,7 +70,7 @@ def _ctc_alpha_single(
         new = jnp.where(t < input_length, new, alpha)
         return new, None
 
-    alpha_T, _ = jax.lax.scan(step, alpha0, jnp.arange(1, T))
+    alpha_T, _ = jax.lax.scan(step, alpha0, (jnp.arange(1, T), emissions[1:]))
 
     # ll = logsumexp(alpha_T at final blank and final label positions)
     end1 = 2 * label_length  # final blank
@@ -135,12 +138,12 @@ def wctc_loss(
         prev2 = jnp.concatenate([jnp.full((2,), -1, jnp.int32), z[:-2]])
         can_skip = (z != blank_id) & (z != prev2)
         valid_s = jnp.arange(S) < (2 * ll + 1)
+        emissions = lpb[:, z]  # (T, S) hoisted gather
         # wildcard start: any state may begin the path
-        alpha0 = lpb[0][z]
-        alpha0 = jnp.where(valid_s, alpha0, _NEG_INF)
+        alpha0 = jnp.where(valid_s, emissions[0], _NEG_INF)
 
-        def step(alpha, t):
-            emit = lpb[t][z]
+        def step(alpha, te):
+            t, emit = te
             a_prev = jnp.concatenate([jnp.array([_NEG_INF]), alpha[:-1]])
             a_skip = jnp.where(
                 can_skip,
@@ -155,7 +158,7 @@ def wctc_loss(
             new = jnp.where(t < il, new, alpha)
             return new, None
 
-        alpha_T, _ = jax.lax.scan(step, alpha0, jnp.arange(1, T))
+        alpha_T, _ = jax.lax.scan(step, alpha0, (jnp.arange(1, T), emissions[1:]))
         # wildcard end: sum over all end states (suffix may be untranscribed)
         masked = jnp.where(valid_s, alpha_T, _NEG_INF)
         if mode == "max_prob":
