@@ -25,6 +25,10 @@ def main(args=None):
     parser.add_argument("-config", "--config", type=str, required=True)
     parser.add_argument("-reset_step", "--reset_step", action="store_true")
     parser.add_argument(
+        "-rm_sched", "--remove_scheduler", action="store_true",
+        help="ignore the scheduler state in the checkpoint",
+    )
+    parser.add_argument(
         "-anomaly", "--anomaly", action="store_true",
         help="enable jax_debug_nans (the reference's -anomaly flag equivalent)",
     )
@@ -47,7 +51,10 @@ def main(args=None):
     state = trainer.init_state(jax.random.PRNGKey(12345))
     print_total_params(state["params"])
 
+    sched_backup = trainer.scheduler.state_dict()
     state, step, epoch, seen_ids = trainer.resume(state)
+    if ns.remove_scheduler:
+        trainer.scheduler.load_state_dict(sched_backup)
     if ns.reset_step:
         step, epoch, seen_ids = 0, 0, []
     print(f"Starting from podcast: {len(seen_ids)}")

@@ -53,6 +53,7 @@ class Attention(nn.Module):
     head_dim: int
     n_heads: int
     window: Tuple[int, int] = (-1, -1)  # (left, right), -1 = unbounded
+    causal: bool = False  # reference Attention 'causal' kwarg ≙ right window 0
     bias: bool = False
     qkv_bias: bool = False
     dropout: float = 0.0
@@ -70,6 +71,7 @@ class Attention(nn.Module):
     ) -> jnp.ndarray:
         B, N, _ = x.shape
         H, D = self.n_heads, self.head_dim
+        window = (self.window[0], 0) if self.causal else self.window
 
         if lengths is not None:
             x = jnp.where(length_mask(lengths, N)[..., None], x, 0.0)
@@ -90,18 +92,18 @@ class Attention(nn.Module):
         if use_pallas:
             from lcasr_tpu.ops.flash_attention import flash_attention
 
-            out = flash_attention(q, k, v, lengths=lengths, window=self.window)
+            out = flash_attention(q, k, v, lengths=lengths, window=window)
         elif self.return_attention_weights:
             # analysis path (reference CollectAttentionProbs,
             # attention.py:556-595): exact attention + prob capture
             out, probs = reference_attention(
                 q, k, v, q_lengths=lengths, kv_lengths=lengths,
-                window=self.window, return_weights=True,
+                window=window, return_weights=True,
             )
             self.sow("intermediates", "attention_probs", probs)
         else:
             out = reference_attention(
-                q, k, v, q_lengths=lengths, kv_lengths=lengths, window=self.window
+                q, k, v, q_lengths=lengths, kv_lengths=lengths, window=window
             )
 
         out = out.reshape(B, N, H * D)
