@@ -264,6 +264,8 @@ def _bwd_dq_kernel(
     block_k: int,
     window: Tuple[int, int],
     num_k_blocks: int,
+    banded: bool = False,
+    kv_extent: int = 0,
 ):
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -274,8 +276,15 @@ def _bwd_dq_kernel(
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
     q_start = qi * block_q + qoff_ref[0]
-    k_start = ki * block_k + qoff_ref[1]
+    if banded:
+        left = window[0]
+        start_blk = jnp.maximum(0, q_start - left - qoff_ref[1]) // block_k
+        k_start = (start_blk + ki) * block_k + qoff_ref[1]
+    else:
+        k_start = ki * block_k + qoff_ref[1]
     kv_len = lengths_ref[b]
+    if banded:
+        kv_len = jnp.minimum(kv_len, qoff_ref[1] + kv_extent)
 
     @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len, kv_len))
     def _compute():
@@ -317,6 +326,8 @@ def _bwd_dkv_kernel(
     block_k: int,
     window: Tuple[int, int],
     num_q_blocks: int,
+    banded: bool = False,
+    q_extent: int = 0,
 ):
     b = pl.program_id(0)
     ki = pl.program_id(2)
@@ -327,9 +338,20 @@ def _bwd_dkv_kernel(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q_start = qi * block_q + qoff_ref[0]
     k_start = ki * block_k + qoff_ref[1]
+    if banded:
+        # q band reachable from this kv block: [k_start - right, ...]
+        right = window[1]
+        start_blk = jnp.maximum(0, k_start - right - qoff_ref[0]) // block_q
+        q_start = (start_blk + qi) * block_q + qoff_ref[0]
+    else:
+        q_start = qi * block_q + qoff_ref[0]
     kv_len = lengths_ref[b]
+    if banded:
+        # bound virtual q rows by the local q extent
+        kv_len_q = jnp.minimum(kv_len, qoff_ref[0] + q_extent)
+    else:
+        kv_len_q = kv_len
 
     @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len, kv_len))
     def _compute():
@@ -373,6 +395,10 @@ def _bwd_rule(window, scale, block_q, block_k, residuals, do):
     B, H, T, D = q.shape
     Tk = k.shape[2]
     nQ, nK = T // block_q, Tk // block_k
+    left, right = window
+    banded = left >= 0 and right >= 0
+    nK_band = min(nK, _cdiv(left + right + block_q, block_k) + 1) if banded else nK
+    nQ_band = min(nQ, _cdiv(left + right + block_k, block_q) + 1) if banded else nQ
 
     delta = (do.astype(jnp.float32) * o.astype(jnp.float32)).sum(-1)  # (B,H,T)
     lse_q = lse  # already (B, H, T, 128)
@@ -382,19 +408,26 @@ def _bwd_rule(window, scale, block_q, block_k, residuals, do):
     kspec = lambda b, h, qi, ki, *s: (b, h, ki, 0)
     qspec128 = lambda b, h, qi, ki, *s: (b, h, qi, 0)
 
+    if banded:
+        def kspec_band(b, h, qi, ki, lens, offs):
+            start_blk = jnp.maximum(0, qi * block_q + offs[0] - left - offs[1]) // block_k
+            return (b, h, jnp.minimum(start_blk + ki, nK - 1), 0)
+    else:
+        kspec_band = kspec
+
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel,
             scale=scale, block_q=block_q, block_k=block_k, window=window,
-            num_k_blocks=nK,
+            num_k_blocks=nK_band, banded=banded, kv_extent=Tk,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, H, nQ, nK),
+            grid=(B, H, nQ, nK_band),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, D), qspec),
-                pl.BlockSpec((1, 1, block_k, D), kspec),
-                pl.BlockSpec((1, 1, block_k, D), kspec),
+                pl.BlockSpec((1, 1, block_k, D), kspec_band),
+                pl.BlockSpec((1, 1, block_k, D), kspec_band),
                 pl.BlockSpec((1, 1, block_q, D), qspec),
                 pl.BlockSpec((1, 1, block_q, 128), qspec128),
                 pl.BlockSpec((1, 1, block_q, 128), qspec128),
@@ -412,22 +445,29 @@ def _bwd_rule(window, scale, block_q, block_k, residuals, do):
     kqspec_q = lambda b, h, ki, qi, *s: (b, h, qi, 0)
     kqspec_k = lambda b, h, ki, qi, *s: (b, h, ki, 0)
     kqspec128 = lambda b, h, ki, qi, *s: (b, h, qi, 0)
+    if banded:
+        def kqspec_q_band(b, h, ki, qi, lens, offs):
+            start_blk = jnp.maximum(0, ki * block_k + offs[1] - right - offs[0]) // block_q
+            return (b, h, jnp.minimum(start_blk + qi, nQ - 1), 0)
+    else:
+        kqspec_q_band = kqspec_q
+
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel,
             scale=scale, block_q=block_q, block_k=block_k, window=window,
-            num_q_blocks=nQ,
+            num_q_blocks=nQ_band, banded=banded, q_extent=T,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, H, nK, nQ),
+            grid=(B, H, nK, nQ_band),
             in_specs=[
-                pl.BlockSpec((1, 1, block_q, D), kqspec_q),
+                pl.BlockSpec((1, 1, block_q, D), kqspec_q_band),
                 pl.BlockSpec((1, 1, block_k, D), kqspec_k),
                 pl.BlockSpec((1, 1, block_k, D), kqspec_k),
-                pl.BlockSpec((1, 1, block_q, D), kqspec_q),
-                pl.BlockSpec((1, 1, block_q, 128), kqspec128),
-                pl.BlockSpec((1, 1, block_q, 128), kqspec128),
+                pl.BlockSpec((1, 1, block_q, D), kqspec_q_band),
+                pl.BlockSpec((1, 1, block_q, 128), kqspec_q_band),
+                pl.BlockSpec((1, 1, block_q, 128), kqspec_q_band),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, block_k, D), kqspec_k),
