@@ -201,7 +201,11 @@ class StreamingDecoder:
         host = spec.astype(np.dtype(self.transfer_dtype))
         spec_dev = self.jax.device_put(host)
 
-        W = self.W
+        # clamp the window batch to the actual window count — otherwise a
+        # single-window decode (windowed-attention mode over a full 20-min
+        # recording) would shape a (W, 80, T) batch of mostly-dummy windows
+        # and blow HBM at long T
+        W = min(self.W, len(positions))
         if fused:
             # one dispatch: scan over (nb, W) window batches.  nb is padded
             # to a multiple of 2 with zero-length windows to bound the
