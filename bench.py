@@ -50,7 +50,9 @@ def main() -> None:
     overlap = int(SEQ_LEN * OVERLAP_RATIO)
     n_classes = FLAGSHIP["vocab_size"] + 1
 
-    decoder = StreamingDecoder(model, variables, n_classes, window_batch_size=8)
+    # window_batch_size=16 is the tuned config (PERFORMANCE.md: 1276 vs 1116
+    # RTFx at 8) — the windows-per-dispatch sweet spot on v5e HBM.
+    decoder = StreamingDecoder(model, variables, n_classes, window_batch_size=16)
 
     # warmup: compile + run once end-to-end
     _ = decoder.greedy(spec, seq_len=SEQ_LEN, overlap=overlap)

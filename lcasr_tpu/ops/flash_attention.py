@@ -348,12 +348,15 @@ def _bwd_dkv_kernel(
         q_start = qi * block_q + qoff_ref[0]
     kv_len = lengths_ref[b]
     if banded:
-        # bound virtual q rows by the local q extent
+        # bound virtual q rows by the local q extent: kqspec_q_band clamps
+        # out-of-extent virtual q-block indices to nQ-1, so without this
+        # row bound the clamped (duplicate) q data would pass the band
+        # check and pollute dk/dv (exact under CP only with the clamp)
         kv_len_q = jnp.minimum(kv_len, qoff_ref[0] + q_extent)
     else:
         kv_len_q = kv_len
 
-    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len, kv_len))
+    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len_q, kv_len))
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)
         k = k_ref[0, 0].astype(jnp.float32)
@@ -365,7 +368,7 @@ def _bwd_dkv_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (BQ, BK)
-        mask = _block_band_mask(q_start, k_start, block_q, block_k, window, kv_len, kv_len)
+        mask = _block_band_mask(q_start, k_start, block_q, block_k, window, kv_len_q, kv_len)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
 
         dv_acc[:] += jax.lax.dot_general(

@@ -83,3 +83,38 @@ def test_bf16_inputs(qkv):
     np.testing.assert_allclose(
         np.asarray(out, dtype=np.float32), np.asarray(ref), atol=5e-2, rtol=5e-2
     )
+
+
+@pytest.mark.parametrize("window", [(64, 64), (96, 32)])
+def test_sharded_query_gradients_match_oracle(window):
+    """Windowed attention with q_offset>0 (the context-parallel sharded-query
+    case): dk/dv must match the oracle.  Regression test for the banded dkv
+    kernel using the unclamped global kv length as the virtual-q-row bound,
+    which let clamped duplicate q blocks pollute dk/dv (ADVICE r1, high)."""
+    rng = np.random.default_rng(3)
+    # MIDDLE shard: local q rows [off, hi) with KV blocks continuing beyond
+    # the local extent — only then do virtual q-block indices past nQ-1 get
+    # clamped by the banded index map and exercise the row-bound clamp.
+    Tg, off, hi = 512, 128, 384
+    mk = lambda shape: jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    qg, k, v = mk((1, Tg, H, D)), mk((1, Tg, H, D)), mk((1, Tg, H, D))
+    lengths = jnp.array([Tg - 32], jnp.int32)
+
+    def lp(q_local, k, v):
+        out = flash_attention(
+            q_local, k, v, lengths=lengths, window=window,
+            block_q=128, block_k=128, q_offset=jnp.int32(off),
+        )
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def lr(q_full, k, v):
+        out = reference_attention(
+            q_full, k, v, q_lengths=lengths, kv_lengths=lengths, window=window
+        )
+        return (out[:, off:hi].astype(jnp.float32) ** 2).sum()
+
+    gq_p, gk_p, gv_p = jax.grad(lp, argnums=(0, 1, 2))(qg[:, off:hi], k, v)
+    gq_r, gk_r, gv_r = jax.grad(lr, argnums=(0, 1, 2))(qg, k, v)
+    for a, b in [(gq_p, gq_r[:, off:hi]), (gk_p, gk_r), (gv_p, gv_r)]:
+        scale = float(jnp.abs(b).max()) + 1e-6
+        assert float(jnp.abs(a - b).max()) / scale < 2e-2
