@@ -48,9 +48,11 @@ def _ctc_alpha_single(
     # T sequential (S,) gathers — the scan body becomes pure elementwise work
     emissions = log_probs[:, z]  # (T, S)
 
-    # init: alpha_0 = [logp(blank), logp(y1), -inf, ...]
+    # init: alpha_0 = [logp(blank), logp(y1), -inf, ...]; a fully-padded
+    # slot (input_length == 0) has no valid frame 0 → all -inf so the loss
+    # is the documented +inf-ish value, not a finite emissions[0] artifact
     alpha0 = jnp.where(jnp.arange(S) < 2, emissions[0], _NEG_INF)
-    alpha0 = jnp.where(valid_s, alpha0, _NEG_INF)
+    alpha0 = jnp.where(valid_s & (input_length > 0), alpha0, _NEG_INF)
 
     def step(alpha, te):
         t, emit = te
@@ -139,8 +141,9 @@ def wctc_loss(
         can_skip = (z != blank_id) & (z != prev2)
         valid_s = jnp.arange(S) < (2 * ll + 1)
         emissions = lpb[:, z]  # (T, S) hoisted gather
-        # wildcard start: any state may begin the path
-        alpha0 = jnp.where(valid_s, emissions[0], _NEG_INF)
+        # wildcard start: any state may begin the path (il == 0 → no valid
+        # frame 0 → all -inf, same contract as ctc_loss)
+        alpha0 = jnp.where(valid_s & (il > 0), emissions[0], _NEG_INF)
 
         def step(alpha, te):
             t, emit = te

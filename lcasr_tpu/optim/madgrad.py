@@ -71,7 +71,10 @@ def madgrad(
         if params is None:
             raise ValueError("madgrad requires params")
         k = state.count
-        lr = _lr_at(learning_rate, k) + eps
+        # eps only added for stability when lr != 0 (reference madgrad.py:101-102)
+        # — warmup schedules starting at lr=0 must leave params frozen
+        lr_raw = _lr_at(learning_rate, k)
+        lr = jnp.where(lr_raw != 0.0, lr_raw + eps, 0.0)
         lamb = lr * jnp.sqrt(k.astype(jnp.float32) + 1.0)
 
         def leaf(g, p, gss, s, x0, decay_on):
@@ -81,6 +84,9 @@ def madgrad(
                 g = g + weight_decay * p32
             gss_new = gss + lamb * g * g
             rms = jnp.cbrt(gss_new) + eps
+            # eps=0 + all-zero grad history → rms 0; reference sets inf so
+            # the z-iterate stays at x0 instead of NaN (madgrad.py:186-187)
+            rms = jnp.where(rms == 0.0, jnp.inf, rms)
             s_new = s + lamb * g
             z = x0 - s_new / rms
             p_new = (1.0 - ck) * p32 + ck * z
@@ -135,7 +141,9 @@ def mirror_madgrad(
         if params is None:
             raise ValueError("mirror_madgrad requires params")
         kf = state.count.astype(jnp.float32)
-        lr = _lr_at(learning_rate, state.count) + eps
+        # eps gated on lr != 0, as in the dense variant (reference :295-296)
+        lr_raw = _lr_at(learning_rate, state.count)
+        lr = jnp.where(lr_raw != 0.0, lr_raw + eps, 0.0)
         update_ratio = jnp.sqrt(kf / (kf + 1.0))
         lamb = jnp.cbrt(kf + 1.0)
 

@@ -313,6 +313,15 @@ class Trainer:
 
         return apply_updates
 
+    @staticmethod
+    @jax.jit
+    def _fold_group(grads_acc, group_grads, weight):
+        """Fold a backwards_every group's raw gradient into the main
+        accumulator with the reference's per-group loss weight
+        (exp/train.py:275: backward of group_loss·100·group_size/(chunk·batch)
+        — by linearity, the raw group gradient scaled by that factor)."""
+        return jax.tree.map(lambda a, g: a + g * weight, grads_acc, group_grads)
+
     # -- training loop ----------------------------------------------------------
     def train(
         self,
@@ -386,20 +395,23 @@ class Trainer:
             )
 
             cur_loss, cur_frames, steps_since_bw = 0.0, 0, 0
-            pending_loss = 0.0
             blank_prob = 0.0
+            group_grads = zero_grads()
 
             for ix, chunk in enumerate(chunks):
                 batch = {k: jnp.asarray(v) for k, v in chunk.items()}
                 state["key"], sub = jax.random.split(state["key"])
-                loss, grads_acc, new_stats, blank_p = micro_step(
-                    state["params"], state["batch_stats"], batch, sub, grads_acc,
+                loss, group_grads, new_stats, blank_p = micro_step(
+                    state["params"], state["batch_stats"], batch, sub, group_grads,
                     augment=augment,
                 )
                 loss_f = float(loss)
                 if not np.isfinite(loss_f):
+                    # reference :253-261 zeroes ALL pending gradients on NaN
                     self.metrics.log({"nan": True})
                     grads_acc = zero_grads()
+                    group_grads = zero_grads()
+                    steps_since_bw = 0
                     nans_in_a_row += 1
                     if nans_in_a_row > 100:
                         raise RuntimeError("100 NaNs in a row, aborting")
@@ -408,19 +420,24 @@ class Trainer:
                 state["batch_stats"] = new_stats
                 blank_prob = float(blank_p)
 
-                pending_loss += loss_f
                 cur_loss += loss_f
                 cur_frames += int(chunk["audio_lengths"].sum())
                 steps_since_bw += 1
 
                 is_last = ix + 1 == len(chunks)
-                if (ix + 1) % self.backprop_every == 0 or is_last:
-                    # reference loss weighting (exp/train.py:275)
+                if (ix + 1) % self.backwards_every == 0 or is_last:
+                    # reference per-GROUP loss weighting (exp/train.py:275):
+                    # each backwards_every group's gradient is scaled by
+                    # 100·group_size/(chunk·batch), not the whole accumulator
                     weight = (
                         100.0
                         * steps_since_bw
                         / (self.chunk_size * self.batch_size)
                     )
+                    grads_acc = self._fold_group(grads_acc, group_grads, weight)
+                    group_grads = zero_grads()
+                    steps_since_bw = 0
+                if (ix + 1) % self.backprop_every == 0 or is_last:
                     lr = self.scheduler.get_last_lr()
                     if self.debug_hooks:
                         from lcasr_tpu.training.debug_hooks import grad_statistics
@@ -428,7 +445,7 @@ class Trainer:
                         self.metrics.log(grad_statistics(grads_acc))
                     state["opt_state"] = set_learning_rate(state["opt_state"], lr)
                     state["params"], state["opt_state"] = apply_updates(
-                        state["params"], state["opt_state"], grads_acc, weight
+                        state["params"], state["opt_state"], grads_acc, 1.0
                     )
                     grads_acc = zero_grads()
                     if self.scheduler.is_warmup:
@@ -446,7 +463,7 @@ class Trainer:
                             "spec_augment": int(augment),
                         }
                     )
-                    cur_loss, cur_frames, steps_since_bw = 0.0, 0, 0
+                    cur_loss, cur_frames = 0.0, 0
 
             if not self.scheduler.is_warmup:
                 self.scheduler.step(epoch=cur_podcast)

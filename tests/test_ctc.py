@@ -127,3 +127,19 @@ def test_wctc_leq_ctc():
         )
     )
     assert (b <= a + 1e-4).all()
+
+
+def test_ctc_zero_input_length_is_infinite_loss():
+    """input_length==0 with a nonempty label is an impossible alignment →
+    +inf-ish loss, not a finite emissions[0] artifact (ADVICE r1 low)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from lcasr_tpu.ops.ctc import ctc_loss
+
+    rng = np.random.default_rng(0)
+    lp = jnp.asarray(
+        np.log(rng.dirichlet(np.ones(5), size=(1, 8)).astype(np.float32))
+    )
+    labels = jnp.array([[1, 2]], jnp.int32)
+    nll = ctc_loss(lp, labels, jnp.array([0]), jnp.array([2]), reduction="none")
+    assert float(nll[0]) > 1e20

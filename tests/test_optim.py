@@ -148,3 +148,35 @@ def test_state_roundtrip():
     m2.load_state_dict(st)
     assert m2.cur_sequence_length == m.cur_sequence_length
     assert m2.cur_batch_size == m.cur_batch_size
+
+
+def test_madgrad_lr_zero_freezes_params():
+    """With a warmup schedule starting at lr=0 the first steps must leave
+    params EXACTLY frozen — eps is only added when lr != 0 (reference
+    madgrad.py:101-102; ADVICE r1 low)."""
+    import jax.numpy as jnp
+    from lcasr_tpu.optim.madgrad import madgrad, mirror_madgrad
+
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    grads = {"w": jnp.full((4,), 0.5, jnp.float32)}
+    for opt in (madgrad(learning_rate=0.0, eps=1e-6),
+                mirror_madgrad(learning_rate=0.0, eps=1e-6)):
+        state = opt.init(params)
+        updates, state = opt.update(grads, state, params)
+        assert float(jnp.abs(updates["w"]).max()) == 0.0
+
+
+def test_madgrad_eps_zero_all_zero_grads_no_nan():
+    """eps=0 with all-zero gradients must not NaN (rms==0 → inf guard,
+    reference madgrad.py:186-187; ADVICE r1 low)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from lcasr_tpu.optim.madgrad import madgrad
+
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    grads = {"w": jnp.zeros((4,), jnp.float32)}
+    opt = madgrad(learning_rate=1e-3, eps=0.0)
+    state = opt.init(params)
+    updates, state = opt.update(grads, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+    assert float(jnp.abs(updates["w"]).max()) == 0.0
