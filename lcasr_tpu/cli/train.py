@@ -48,6 +48,8 @@ def main(args=None):
 
     trainer = Trainer(config, model, tokenizer)
     trainer.debug_hooks = ns.debug_hooks
+    if trainer.mesh is not None:
+        print(f"mesh: {dict(trainer.mesh.shape)} over {trainer.mesh.size} devices")
     state = trainer.init_state(jax.random.PRNGKey(12345))
     print_total_params(state["params"])
 

@@ -26,6 +26,11 @@ XLA-specific design:
   * label tensors are bucketed to multiples of 64 to bound recompiles,
   * grad accumulation happens on-device in an fp32 tree; the LR is a dynamic
     scalar through inject_hyperparams (no recompile on schedule changes),
+  * multi-chip: `config.parallel.mesh` (e.g. {data: 8}) builds a
+    (data, model, seq) mesh; inputs are batch-sharded on `data` (B padded to
+    a data-axis multiple with weight-0 rows), params laid out by
+    `parallel.partition.param_shardings` (TP on the model axis), and the
+    jitted micro/apply steps run SPMD with XLA-inserted collectives,
   * the dreaded "CUDA illegal memory access skip" (`:311-314`) has no TPU
     analogue and is intentionally absent.
 """
@@ -38,6 +43,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from lcasr_tpu.config import Config
 from lcasr_tpu.data.augmentation import SpecAugment
@@ -119,10 +125,41 @@ def make_chunks(
 
 
 class Trainer:
-    def __init__(self, config: Config, model, tokenizer, checkpoint_dir: Optional[str] = None):
+    def __init__(
+        self,
+        config: Config,
+        model,
+        tokenizer,
+        checkpoint_dir: Optional[str] = None,
+        mesh=None,
+    ):
         self.config = config
         self.model = model
         self.tokenizer = tokenizer
+
+        # multi-chip execution: a (data, model, seq) mesh either passed in or
+        # built from config.parallel.mesh — batch-axis (data) sharding is the
+        # primary scaling strategy (SURVEY §7 step 7; the reference trained
+        # one GPU per run, so DP over a v5e-8 is this framework's main win).
+        # TP falls out of param_shardings on the model axis.
+        self.mesh = mesh
+        par_cfg = config.get("parallel", Config({}))
+        mesh_shape = par_cfg.get("mesh", None)
+        if self.mesh is None and mesh_shape:
+            from lcasr_tpu.parallel.mesh import make_mesh
+
+            shape = (
+                mesh_shape.to_dict() if hasattr(mesh_shape, "to_dict") else dict(mesh_shape)
+            )
+            need = int(np.prod([max(1, int(v)) for v in shape.values()]))
+            if need <= len(jax.devices()):
+                self.mesh = make_mesh(shape)
+            else:
+                print(
+                    f"parallel.mesh {shape} needs {need} devices, have "
+                    f"{len(jax.devices())} — running single-device"
+                )
+        self._param_sh = None  # set by init_state when a mesh is active
         self.checkpoint_dir = checkpoint_dir or config.get("checkpointing", Config({})).get("dir", "./checkpoints")
 
         tr = config.get("training", Config({}))
@@ -200,13 +237,57 @@ class Trainer:
             clip_value=self.clip_value,
             weight_decay_mask=decay_mask(params),
         )
-        opt_state = self.optimizer.init(params)
+        if self.mesh is not None:
+            from lcasr_tpu.parallel.partition import param_shardings
+
+            self._param_sh = param_shardings(params, self.mesh)
+            params = jax.device_put(params, self._param_sh)
+            if batch_stats:
+                batch_stats = jax.device_put(
+                    batch_stats, NamedSharding(self.mesh, P())
+                )
+            # jitted init propagates the param shardings into the mirrored
+            # optimizer-state trees (gss/s/x0) where XLA chooses to
+            opt_state = jax.jit(self.optimizer.init)(params)
+        else:
+            opt_state = self.optimizer.init(params)
         return {
             "params": params,
             "batch_stats": batch_stats,
             "opt_state": opt_state,
             "key": jax.random.PRNGKey(999),
         }
+
+    # -- batch placement --------------------------------------------------------
+    def _device_batch(self, chunk: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Put one chunk on device.  Under a mesh the batch axis is sharded
+        over `data`; B is padded up to a data-axis multiple with weight-0
+        rows (static shapes — the finished-sample convention already gives
+        zero-length rows zero loss and zero batch-stat contribution)."""
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in chunk.items()}
+        d = self.mesh.shape["data"]
+        B = chunk["audio"].shape[0]
+        pad = (-B) % d
+        out = {}
+        for k, v in chunk.items():
+            if pad:
+                v = np.concatenate(
+                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+                )
+            spec = P("data", *([None] * (v.ndim - 1)))
+            out[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
+        return out
+
+    def _zero_grads_fn(self, params):
+        """Zero fp32 gradient tree, laid out like the params (sharded under
+        a mesh so accumulation never gathers)."""
+        zeros = lambda p: jax.tree.map(
+            lambda x: jnp.zeros(x.shape, jnp.float32), p
+        )
+        if self._param_sh is not None:
+            return jax.jit(zeros, out_shardings=self._param_sh)
+        return jax.jit(zeros)
 
     # -- compiled steps ---------------------------------------------------------
     def _micro_step_fn(self):
@@ -303,12 +384,16 @@ class Trainer:
 
     def _apply_updates_fn(self):
         optimizer = self.optimizer
+        param_sh = self._param_sh
 
         @jax.jit
         def apply_updates(params, opt_state, grads, weight):
             grads = jax.tree.map(lambda g: g * weight, grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p + u, params, updates)
+            if param_sh is not None:
+                # keep the TP layout stable across optimizer steps
+                params = jax.lax.with_sharding_constraint(params, param_sh)
             return params, opt_state
 
         return apply_updates
@@ -339,9 +424,8 @@ class Trainer:
         micro_step = self._micro_step_fn()
         apply_updates = self._apply_updates_fn()
 
-        zero_grads = lambda: jax.tree.map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), state["params"]
-        )
+        zero_fn = self._zero_grads_fn(state["params"])
+        zero_grads = lambda: zero_fn(state["params"])
         grads_acc = zero_grads()
 
         cur_podcast, last_save = step, step
@@ -399,7 +483,7 @@ class Trainer:
             group_grads = zero_grads()
 
             for ix, chunk in enumerate(chunks):
-                batch = {k: jnp.asarray(v) for k, v in chunk.items()}
+                batch = self._device_batch(chunk)
                 state["key"], sub = jax.random.split(state["key"])
                 loss, group_grads, new_stats, blank_p = micro_step(
                     state["params"], state["batch_stats"], batch, sub, group_grads,
@@ -493,9 +577,8 @@ class Trainer:
         train_mamba.py): presegmented batches, one optimizer step per batch."""
         micro_step = self._micro_step_fn()
         apply_updates = self._apply_updates_fn()
-        zero_grads = lambda: jax.tree.map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), state["params"]
-        )
+        zero_fn = self._zero_grads_fn(state["params"])
+        zero_grads = lambda: zero_fn(state["params"])
         step = 0
         for epoch in range(epochs):
             for batch_np in dataloader:
@@ -507,13 +590,13 @@ class Trainer:
                 U = _bucket(batch_np["text"].shape[-1])
                 labels = np.zeros((batch_np["text"].shape[0], U), np.int64)
                 labels[:, : batch_np["text"].shape[-1]] = batch_np["text"]
-                batch = {
-                    "audio": jnp.asarray(audio),
-                    "audio_lengths": jnp.asarray(batch_np["audio_lengths"], jnp.int32),
-                    "labels": jnp.asarray(labels),
-                    "label_lengths": jnp.asarray(batch_np["text_lengths"], jnp.int32),
-                    "weight": jnp.ones((audio.shape[0],), jnp.float32),
-                }
+                batch = self._device_batch({
+                    "audio": audio,
+                    "audio_lengths": np.asarray(batch_np["audio_lengths"], np.int32),
+                    "labels": labels,
+                    "label_lengths": np.asarray(batch_np["text_lengths"], np.int32),
+                    "weight": np.ones((audio.shape[0],), np.float32),
+                })
                 state["key"], sub = jax.random.split(state["key"])
                 grads = zero_grads()
                 loss, grads, new_stats, blank_p = micro_step(

@@ -196,3 +196,80 @@ def test_grad_accumulation_per_group_weighting(
     flat_e = jax.tree.leaves(expected)
     for a, b in zip(flat_g, flat_e):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
+def test_trainer_data_parallel_matches_single_device(corpus, tmp_path):
+    """Production Trainer on a 4-device `data` mesh: loss trajectory matches
+    single-device training to fp tolerance, params/batches actually sharded
+    (VERDICT r1 next-step #2 — the mesh must live in Trainer, not a demo)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices (run via ./run_tests.sh cpu)")
+
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.data.dataloading import VariableBatchSimpleDataloader, load_json
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.models.registry import load_model
+
+    pairs_path, _ = corpus
+
+    def run(parallel_cfg, ckpt_dir):
+        from lcasr_tpu.training.trainer import Trainer
+
+        cfg_dict = {
+            "model_class": "SCConformerXL",
+            "model": {"d_model": 64, "n_layers": 1, "n_heads": 2, "head_dim": 32,
+                      "subsampling_conv_channels": 32, "use_pallas": False},
+            "audio_chunking": {"size": 256, "overlap": 0},
+            "training": {"batch_size": 2, "backprop_every": 2, "max_epochs": 1,
+                         "clip_value": 0.8, "random_seed": 99},
+            "optimizer": {"name": "madgrad", "args": {"lr": 1e-4}},
+            "scheduler": {"warmup_steps": 2, "final_value": 1e-6},
+            "checkpointing": {"dir": str(ckpt_dir), "save_every_n_steps": 10**6},
+        }
+        if parallel_cfg:
+            cfg_dict["parallel"] = parallel_cfg
+        cfg = Config(cfg_dict)
+        tokenizer = load_tokenizer()
+        model = load_model(cfg, tokenizer.vocab_size())
+        trainer = Trainer(cfg, model, tokenizer)
+        state = trainer.init_state(jax.random.PRNGKey(7))
+        dataloader = VariableBatchSimpleDataloader(
+            pairs=load_json(pairs_path), tokenizer=tokenizer,
+            batch_size=2, chunk_size=256, chunk_overlap=0, random_seed=99,
+        )
+        state = trainer.train(state, dataloader)
+        lines = [json.loads(l) for l in open(
+            os.path.join(str(ckpt_dir), "metrics.jsonl"))]
+        losses = [l["loss"] for l in lines if "loss" in l]
+        return trainer, state, losses
+
+    tr1, state1, losses1 = run(None, tmp_path / "single")
+    tr4, state4, losses4 = run({"mesh": {"data": 4}}, tmp_path / "dp4")
+
+    assert tr4.mesh is not None and tr4.mesh.shape["data"] == 4
+    # params are actually placed over the mesh
+    leaf = jax.tree.leaves(state4["params"])[0]
+    assert len(leaf.sharding.mesh.devices.flat) == 4
+    # a device batch is sharded on the data axis (incl. B→mesh padding)
+    chunk = {"audio": np.zeros((2, 80, 64), np.float32),
+             "audio_lengths": np.array([64, 64], np.int32),
+             "labels": np.zeros((2, 8), np.int64),
+             "label_lengths": np.array([8, 8], np.int32),
+             "weight": np.ones((2,), np.float32)}
+    db = tr4._device_batch(chunk)
+    assert db["audio"].shape[0] == 4  # padded to the data-axis multiple
+    from jax.sharding import PartitionSpec
+    assert db["audio"].sharding.spec == PartitionSpec("data", None, None)
+
+    # identical data order (same seed) → fp-tolerance-identical trajectory
+    assert len(losses1) == len(losses4) and len(losses1) >= 2
+    np.testing.assert_allclose(np.array(losses1), np.array(losses4),
+                               rtol=2e-3, atol=2e-3)
+    # final params agree
+    f1 = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree.leaves(state1["params"])])
+    f4 = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree.leaves(state4["params"])])
+    np.testing.assert_allclose(f1, f4, rtol=5e-3, atol=5e-5)
