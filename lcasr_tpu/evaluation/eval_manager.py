@@ -26,13 +26,15 @@ def _row_key(row: Dict[str, Any]) -> tuple:
     )
 
 
-def load_existing(results_csv: str) -> set:
+def load_existing(results_csv: str):
+    """Returns (key set, per-row records) from the results CSV."""
     if not os.path.exists(results_csv):
-        return set()
+        return set(), []
     import pandas as pd
 
     df = pd.read_csv(results_csv)
-    return {_row_key(row) for _, row in df.iterrows()}
+    records = df.to_dict("records")
+    return {_row_key(row) for row in records}, records
 
 
 def run_sweep(config_path: str, results_csv: str | None = None) -> List[Dict[str, Any]]:
@@ -40,7 +42,7 @@ def run_sweep(config_path: str, results_csv: str | None = None) -> List[Dict[str
 
     cfg = Config.load(config_path)
     results_csv = results_csv or cfg.get("results_csv", "eval_results.csv")
-    existing = load_existing(results_csv)
+    existing, existing_rows = load_existing(results_csv)
 
     overlap_ratio = cfg.get("overlap_ratio", 0.875)
     mode = cfg.get("evaluation_mode", "averaged_moving_window")
@@ -67,6 +69,20 @@ def run_sweep(config_path: str, results_csv: str | None = None) -> List[Dict[str
                     if _row_key(probe) in existing:
                         print(f"skip (already evaluated): {probe}")
                         continue
+                    # crash-resume: per-recording rows already in the CSV for
+                    # this configuration are neither re-decoded nor
+                    # re-appended; the aggregate is re-derived from
+                    # old + new rows (WER = Σ wer_i·words_i / Σ words_i,
+                    # exact because per-row wer = distance_i / words_i)
+                    cfg_key = _row_key(probe)[:2] + _row_key(probe)[3:]
+                    prior = [
+                        r for r in existing_rows
+                        if _row_key(r)[:2] + _row_key(r)[3:] == cfg_key
+                        and str(r["recording"]) != "__aggregate__"
+                    ]
+                    done_ids = {str(r["recording"]) for r in prior}
+                    if done_ids:
+                        print(f"resume: {len(done_ids)} recordings already done")
                     summary = evaluate(
                         checkpoint=ckpt,
                         dataset=dataset,
@@ -75,6 +91,7 @@ def run_sweep(config_path: str, results_csv: str | None = None) -> List[Dict[str
                         overlap=int(seq_len * overlap_ratio),
                         evaluation_mode=mode,
                         dataset_kwargs=dataset_kwargs.get(dataset, {}),
+                        skip_recordings=done_ids,
                     )
                     rows = [
                         {
@@ -85,7 +102,13 @@ def run_sweep(config_path: str, results_csv: str | None = None) -> List[Dict[str
                         }
                         for r in summary["rows"]
                     ]
-                    rows.append({**probe, "wer": summary["wer"], "words": summary["words"]})
+                    combined = prior + rows
+                    total_words = sum(float(r["words"]) for r in combined)
+                    agg_wer = (
+                        sum(float(r["wer"]) * float(r["words"]) for r in combined)
+                        / max(total_words, 1.0)
+                    )
+                    rows.append({**probe, "wer": agg_wer, "words": total_words})
                     all_rows.extend(rows)
                     _append_csv(results_csv, rows)
     return all_rows
@@ -95,8 +118,16 @@ def _append_csv(path: str, rows: List[Dict[str, Any]]):
     import pandas as pd
 
     df = pd.DataFrame(rows)
-    header = not os.path.exists(path)
-    df.to_csv(path, mode="a", header=header, index=False)
+    if os.path.exists(path):
+        # align to the file's existing column order — appending in dict
+        # order would silently write values under the wrong headers on
+        # resume (e.g. recording ids into the model column)
+        cols = list(pd.read_csv(path, nrows=0).columns)
+        cols += [c for c in df.columns if c not in cols]
+        df = df.reindex(columns=cols)
+        df.to_csv(path, mode="a", header=False, index=False)
+    else:
+        df.to_csv(path, index=False)
 
 
 def main():

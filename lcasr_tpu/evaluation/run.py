@@ -65,6 +65,7 @@ def evaluate(
     evaluation_mode: str = "averaged_moving_window",
     dataset_kwargs: Optional[Dict[str, Any]] = None,
     verbose: bool = True,
+    skip_recordings: Optional[set] = None,
 ) -> Dict[str, Any]:
     import jax
     import jax.numpy as jnp
@@ -109,6 +110,9 @@ def evaluate(
     hyps, refs = [], []
     total_audio_s, total_wall = 0.0, 0.0
     for item in data:
+        if skip_recordings and str(item["id"]) in skip_recordings:
+            # crash-resume (eval_manager): already in the results CSV
+            continue
         spec, gold = item["process_fn"](item)
         spec = np.asarray(spec)
         t0 = time.perf_counter()

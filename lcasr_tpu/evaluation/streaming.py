@@ -30,12 +30,35 @@ from typing import Callable, Optional
 import numpy as np
 
 
-def _out_len(u_len: int, subsampling_factor: int) -> int:
-    """calc_length mirror for dw-striding subsampling (host side)."""
+def subsampled_length(
+    u_len: int,
+    factor: int,
+    mode: str = "dw_striding",
+    window_t: Optional[int] = None,
+) -> int:
+    """Host-side mirror of each subsampling mode's output-length arithmetic
+    (`ops/conv.py:calc_length` / `StackingSubsampling`), used to place
+    window outputs in the merged logit buffer.
+
+    mode: dw_striding/striding/conv1d (k3 s2 pad 1+1, floor), vggnet
+    (2x2 maxpool ceil), stacking (pad the STATIC window T to a factor
+    multiple, then integer-divide the true length — pass `window_t`)."""
+    if mode == "stacking":
+        t = window_t if window_t is not None else u_len
+        pad = (factor - t % factor) % factor
+        return max((u_len + pad) // factor, 1)
     n = u_len
-    for _ in range(int(math.log2(subsampling_factor))):
-        n = math.floor((n - 1) / 2 + 1)
-    return n
+    for _ in range(int(math.log2(factor))):
+        if mode == "vggnet":
+            n = math.ceil((n - 2) / 2 + 1)
+        else:
+            n = math.floor((n - 1) / 2 + 1)
+    return int(n)
+
+
+def _out_len(u_len: int, subsampling_factor: int) -> int:
+    """Back-compat alias (dw-striding)."""
+    return subsampled_length(u_len, subsampling_factor)
 
 
 def _window_positions(spec_n: int, seq_len: int, overlap: int):
@@ -62,9 +85,10 @@ class StreamingDecoder:
         model,
         variables,
         n_classes: int,
-        subsampling_factor: int = 8,
+        subsampling_factor: Optional[int] = None,
         window_batch_size: int = 16,
         transfer_dtype=None,  # e.g. jnp.bfloat16 halves the upload
+        subsampling_mode: Optional[str] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -75,7 +99,18 @@ class StreamingDecoder:
         self.model = model
         self.variables = jax.device_put(variables)
         self.n_classes = n_classes
-        self.ds = subsampling_factor
+        # output-length arithmetic follows the model's subsampling mode — a
+        # stacking-subsampled model has different offsets than dw-striding
+        self.ds = (
+            subsampling_factor
+            if subsampling_factor is not None
+            else getattr(model, "subsampling_factor", 8)
+        )
+        self.mode = (
+            subsampling_mode
+            if subsampling_mode is not None
+            else getattr(model, "subsampling", "dw_striding")
+        )
         self.W = window_batch_size
 
         @functools.partial(jax.jit, static_argnames=("seq_len",))
@@ -96,7 +131,9 @@ class StreamingDecoder:
             def body(j, carry):
                 sums, counts = carry
                 lp = log_probs[j].astype(jnp.float32)
-                n = out_lens[j]
+                # zero-length batch-padding windows must contribute nothing —
+                # stacking subsampling clamps out_len to ≥1 even at length 0
+                n = jnp.where(lengths[j] > 0, out_lens[j], 0)
                 valid = (jnp.arange(lp.shape[0]) < n)[:, None]
                 probs = jnp.where(valid, jnp.exp(lp), 0.0)
                 seg = jax.lax.dynamic_slice(
@@ -142,7 +179,9 @@ class StreamingDecoder:
                 def body(j, c):
                     sums, counts = c
                     l = lp[j].astype(jnp.float32)
-                    valid = (jnp.arange(l.shape[0]) < ol[j])[:, None]
+                    # see step(): guard zero-length padding windows
+                    n_ok = jnp.where(ln[j] > 0, ol[j], 0)
+                    valid = (jnp.arange(l.shape[0]) < n_ok)[:, None]
                     probs = jnp.where(valid, jnp.exp(l), 0.0)
                     seg = jax.lax.dynamic_slice(
                         sums, (of[j], 0), (l.shape[0], self.n_classes)
@@ -185,7 +224,7 @@ class StreamingDecoder:
         # deterministic output offsets (calc_length is data-independent)
         out_offsets, pos = [], 0
         for i, u_len in positions:
-            n_valid = _out_len(u_len, self.ds)
+            n_valid = subsampled_length(u_len, self.ds, self.mode, window_t=seq_len)
             if i != 0:
                 pos -= int(overlap / (u_len / n_valid))
             out_offsets.append(pos)
@@ -272,6 +311,7 @@ def fetch_logits(
     subsampling_factor: int = 8,
     use_tqdm: bool = False,
     window_batch_size: int = 8,
+    subsampling_mode: str = "dw_striding",
 ) -> np.ndarray:
     """Averaged moving window decode → (T', n_classes) log-probs.
 
@@ -293,7 +333,9 @@ def fetch_logits(
 
     out_offsets, pos = [], 0
     for i, u_len in positions:
-        n_valid = _out_len(u_len, subsampling_factor)
+        n_valid = subsampled_length(
+            u_len, subsampling_factor, subsampling_mode, window_t=seq_len
+        )
         if i != 0:
             pos -= int(overlap / (u_len / n_valid))
         out_offsets.append(pos)

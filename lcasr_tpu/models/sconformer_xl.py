@@ -59,6 +59,10 @@ class Attention(nn.Module):
     dropout: float = 0.0
     use_pallas: bool = True
     return_attention_weights: bool = False  # sow probs into 'intermediates'
+    # context parallel (inside shard_map, x time-sharded): local queries
+    # attend to the seq-axis-gathered K/V with a global q_offset, so window
+    # banding and length masks stay exact in global coordinates
+    seq_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -73,16 +77,28 @@ class Attention(nn.Module):
         H, D = self.n_heads, self.head_dim
         window = (self.window[0], 0) if self.causal else self.window
 
+        cp = self.seq_axis_name
+        q_off = jax.lax.axis_index(cp) * N if cp is not None else 0
+
         if lengths is not None:
-            x = jnp.where(length_mask(lengths, N)[..., None], x, 0.0)
+            x = jnp.where(length_mask(lengths, N, offset=q_off)[..., None], x, 0.0)
 
         qkv = nn.Dense(3 * H * D, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv_proj")(x)
         qkv = qkv.reshape(B, N, 3, H, D)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         if rotary is not None:
+            # under CP the tables are computed per shard at global positions,
+            # so q and the (still-local) k share the same offset tables
             cos, sin = rotary
             q, k = apply_rotary(q, k, cos, sin)
+
+        if cp is not None:
+            # gathered-KV context parallelism (parallel/context_parallel.py
+            # inlined): exact, differentiable; ring attention is the
+            # forward-only bandwidth-optimal variant
+            k = jax.lax.all_gather(k, cp, axis=1, tiled=True)
+            v = jax.lax.all_gather(v, cp, axis=1, tiled=True)
 
         use_pallas = (
             self.use_pallas
@@ -92,23 +108,34 @@ class Attention(nn.Module):
         if use_pallas:
             from lcasr_tpu.ops.flash_attention import flash_attention
 
-            out = flash_attention(q, k, v, lengths=lengths, window=window)
+            out = flash_attention(
+                q, k, v, lengths=lengths, window=window, q_offset=q_off
+            )
         elif self.return_attention_weights:
             # analysis path (reference CollectAttentionProbs,
             # attention.py:556-595): exact attention + prob capture
             out, probs = reference_attention(
                 q, k, v, q_lengths=lengths, kv_lengths=lengths,
-                window=window, return_weights=True,
+                window=window, return_weights=True, q_offset=q_off,
             )
             self.sow("intermediates", "attention_probs", probs)
+        elif cp is not None and window[0] >= 0 and window[1] >= 0:
+            # long banded sequences: O(chunk·band) score memory
+            from lcasr_tpu.ops.attention import banded_attention_chunked
+
+            out = banded_attention_chunked(
+                q, k, v, q_lengths=lengths, kv_lengths=lengths,
+                window=window, q_offset=q_off,
+            )
         else:
             out = reference_attention(
-                q, k, v, q_lengths=lengths, kv_lengths=lengths, window=window
+                q, k, v, q_lengths=lengths, kv_lengths=lengths,
+                window=window, q_offset=q_off,
             )
 
         out = out.reshape(B, N, H * D)
         if lengths is not None:
-            out = jnp.where(length_mask(lengths, N)[..., None], out, 0.0)
+            out = jnp.where(length_mask(lengths, N, offset=q_off)[..., None], out, 0.0)
         out = nn.Dense(self.n_feats, use_bias=self.bias, dtype=self.dtype, name="out_proj")(out)
         if self.dropout > 0.0 and train:
             out = nn.Dropout(self.dropout, deterministic=False)(out)
@@ -137,6 +164,8 @@ class ConformerLayer(nn.Module):
     dropout_attn: float = 0.0
     use_pallas: bool = True
     return_attention_weights: bool = False
+    seq_axis_name: Optional[str] = None  # context parallel (inside shard_map)
+    stat_axes: Tuple[str, ...] = ()  # mesh axes for batch-renorm statistics
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -149,6 +178,10 @@ class ConformerLayer(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         Norm = get_norm(self.default_norm)
+        if self.seq_axis_name is not None and self.conv_type == "longconv":
+            raise NotImplementedError(
+                "context parallel needs position-local convs (conv_type=standard)"
+            )
 
         def dropped(h: jnp.ndarray, rate: float) -> jnp.ndarray:
             if rate > 0.0 and train:
@@ -182,6 +215,7 @@ class ConformerLayer(nn.Module):
             dropout=self.dropout_attn,
             use_pallas=self.use_pallas,
             return_attention_weights=self.return_attention_weights,
+            seq_axis_name=self.seq_axis_name,
             dtype=self.dtype,
             name="attend",
         )(h, lengths=lengths, rotary=rotary, train=train)
@@ -208,6 +242,8 @@ class ConformerLayer(nn.Module):
                     kernel_size=self.conv_kernel_size,
                     norm_type=self.conv_norm,
                     exp_factor=self.conv_expansion_factor,
+                    seq_axis_name=self.seq_axis_name,
+                    stat_axes=self.stat_axes,
                     dtype=self.dtype,
                     name="conv",
                 )(h, pad_mask=pad_mask, train=train)
@@ -274,6 +310,14 @@ class SCConformerXL(nn.Module):
     attention_window_size_right: Optional[int] = None
     use_pallas: bool = True
     return_attention_weights: bool = False
+    # full-model context parallelism (SURVEY §2.9, a NEW capability vs the
+    # reference): set when applying this module inside shard_map with the
+    # audio time axis sharded over `seq_axis_name`.  Subsampling and the
+    # conformer convs halo-exchange across shard boundaries, rotary/length
+    # masks run in global coordinates, and attention gathers K/V over the
+    # axis.  Use `parallel.cp_model.context_parallel_apply` as the entry.
+    seq_axis_name: Optional[str] = None
+    stat_axes: Tuple[str, ...] = ()  # mesh axes for batch-renorm statistics
     dtype: Any = jnp.float32
 
     @property
@@ -305,7 +349,12 @@ class SCConformerXL(nn.Module):
 
         have_lengths = length is not None
         if not have_lengths:
-            length = jnp.full((B,), x.shape[1], dtype=jnp.int32)
+            t_global = x.shape[1] * (
+                jax.lax.axis_size(self.seq_axis_name)
+                if self.seq_axis_name is not None
+                else 1
+            )
+            length = jnp.full((B,), t_global, dtype=jnp.int32)
 
         if self.subsampling == "stacking":
             sub = StackingSubsampling(
@@ -329,14 +378,20 @@ class SCConformerXL(nn.Module):
                 ),
                 activation=self.subsampling_act,
                 norm_out=self.subsampling_norm_out,
+                seq_axis_name=self.seq_axis_name,
                 dtype=self.dtype,
                 name="subsampling",
             )
         x, length = sub(x, length)
         N = x.shape[1]
 
+        # context parallel: N is the LOCAL shard length; positions/masks run
+        # at global coordinates off + [0, N)
+        cp = self.seq_axis_name
+        off = jax.lax.axis_index(cp) * N if cp is not None else 0
+
         lengths_arg = length if have_lengths else None
-        pad_mask = (~length_mask(length, N)) if have_lengths else None
+        pad_mask = (~length_mask(length, N, offset=off)) if have_lengths else None
 
         rotary = None
         if self.use_rotary:
@@ -346,9 +401,13 @@ class SCConformerXL(nn.Module):
                 learned_freq=self.learned_rotary,
                 interpolation_factor=self.rotary_interpolation_factor,
                 name="rotary_pos_emb",
-            )(N, dtype=jnp.float32)
+            )(N, dtype=jnp.float32, offset=off)
 
         if self.fourier_pos_enc:
+            if cp is not None:
+                raise NotImplementedError(
+                    "context parallel + fourier_pos_enc: offset positions not wired"
+                )
             from lcasr_tpu.models.positional import LearnableFourierPosEnc
 
             x = LearnableFourierPosEnc(self.d_model, dtype=self.dtype, name="fourier_pos_enc")(x)
@@ -388,6 +447,8 @@ class SCConformerXL(nn.Module):
                 dropout_attn=self.dropout_attn,
                 use_pallas=self.use_pallas,
                 return_attention_weights=self.return_attention_weights,
+                seq_axis_name=self.seq_axis_name,
+                stat_axes=self.stat_axes,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )

@@ -18,6 +18,37 @@ from flax import linen as nn
 
 
 # ---------------------------------------------------------------------------
+# Context-parallel halo exchange
+# ---------------------------------------------------------------------------
+def halo_exchange(
+    x: jnp.ndarray, axis_name: str, left: int, right: int, axis: int = 1
+) -> jnp.ndarray:
+    """Prepend/append `left`/`right` frames from the ring neighbors along
+    `axis` (time).  Must run inside shard_map over `axis_name`.
+
+    Edge shards receive zeros (lax.ppermute delivers zeros to destinations
+    with no named source), which matches 'same' zero padding of the global
+    convolution — this is the conv halo-exchange story full-model context
+    parallelism needs (SURVEY §2.9; depthwise kernel 9 → 4-frame halo,
+    stride-2 subsampling stages → 1-frame left halo each)."""
+    n = jax.lax.axis_size(axis_name)
+    parts = []
+    if left > 0:
+        # receiver i gets the LAST `left` frames of shard i-1
+        tail = jax.lax.slice_in_dim(x, x.shape[axis] - left, x.shape[axis], axis=axis)
+        parts.append(
+            jax.lax.ppermute(tail, axis_name, [(i, i + 1) for i in range(n - 1)])
+        )
+    parts.append(x)
+    if right > 0:
+        head = jax.lax.slice_in_dim(x, 0, right, axis=axis)
+        parts.append(
+            jax.lax.ppermute(head, axis_name, [(i + 1, i) for i in range(n - 1)])
+        )
+    return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else x
+
+
+# ---------------------------------------------------------------------------
 # Batch renormalization
 # ---------------------------------------------------------------------------
 class BatchRenorm(nn.Module):
@@ -40,6 +71,10 @@ class BatchRenorm(nn.Module):
     eps: float = 1e-3
     momentum: float = 0.01
     affine: bool = True
+    # mesh axis names to psum batch statistics over when running inside
+    # shard_map (context/data-parallel manual shards).  Under plain jit/pjit
+    # reductions are already global — leave empty there.
+    stat_axes: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(
@@ -54,18 +89,26 @@ class BatchRenorm(nn.Module):
         steps = self.variable("batch_stats", "num_batches_tracked", lambda: jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32))
 
         orig_dtype = x.dtype
-        xf = x.astype(jnp.float32)
+        # stats in fp32 (reference fp32 master math) — or fp64 when the input
+        # already is (x64 testing); never downcast
+        xf = x.astype(jnp.promote_types(jnp.float32, x.dtype))
+
+        def _psum(val):
+            for ax in self.stat_axes:
+                val = jax.lax.psum(val, ax)
+            return val
 
         if train:
             if pad_mask is not None:
                 keep = ~pad_mask  # (B, T) True = valid
-                w = keep.astype(jnp.float32)[..., None]  # (B, T, 1)
-                count = jnp.maximum(w.sum((0, 1)), 1.0)
-                batch_mean = (xf * w).sum((0, 1)) / count
-                var = ((xf - batch_mean) ** 2 * w).sum((0, 1)) / count
+                w = keep.astype(xf.dtype)[..., None]  # (B, T, 1)
+                count = jnp.maximum(_psum(w.sum((0, 1))), 1.0)
+                batch_mean = _psum((xf * w).sum((0, 1))) / count
+                var = _psum(((xf - batch_mean) ** 2 * w).sum((0, 1))) / count
             else:
-                batch_mean = xf.mean((0, 1))
-                var = ((xf - batch_mean) ** 2).mean((0, 1))
+                count = _psum(jnp.asarray(xf.shape[0] * xf.shape[1], jnp.float32))
+                batch_mean = _psum(xf.sum((0, 1))) / count
+                var = _psum(((xf - batch_mean) ** 2).sum((0, 1))) / count
             batch_std = jnp.sqrt(var) + self.eps
 
             t = steps.value.astype(jnp.float32)
@@ -130,15 +173,29 @@ class BatchNorm(nn.Module):
 # ---------------------------------------------------------------------------
 # Conformer convolution module
 # ---------------------------------------------------------------------------
-def depthwise_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Depthwise 1-D conv, 'same' padding.  x: (B, T, C); kernel: (K, C)."""
+def depthwise_conv1d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    seq_axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """Depthwise 1-D conv, 'same' padding.  x: (B, T, C); kernel: (K, C).
+
+    With `seq_axis_name` (inside shard_map, x time-sharded) the 'same'
+    padding becomes a (K-1)/2-frame halo exchange with the ring neighbors +
+    a 'valid' conv — output identical to the unsharded conv."""
     K, C = kernel.shape
     pad = (K - 1) // 2
+    if seq_axis_name is not None and pad > 0:
+        x = halo_exchange(x, seq_axis_name, left=pad, right=pad, axis=1)
+        padding = [(0, 0)]
+    else:
+        padding = [(pad, pad)]
     out = jax.lax.conv_general_dilated(
         x,
         kernel[:, None, :],  # (K, 1, C) in WIO for grouped conv
         window_strides=(1,),
-        padding=[(pad, pad)],
+        padding=padding,
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=C,
     )
@@ -161,6 +218,8 @@ class ConformerConvolution(nn.Module):
     kernel_size: int = 9
     norm_type: str = "batch_renorm"
     exp_factor: float = 1.0
+    seq_axis_name: Optional[str] = None  # context parallel (inside shard_map)
+    stat_axes: Tuple[str, ...] = ()  # mesh axes for batch-norm statistics
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -186,10 +245,15 @@ class ConformerConvolution(nn.Module):
             jnp.float32,
         )
         dw_bias = self.param("depthwise_bias", nn.initializers.zeros, (inner,), jnp.float32)
-        x = depthwise_conv1d(x, kernel.astype(x.dtype), dw_bias.astype(x.dtype))
+        x = depthwise_conv1d(
+            x, kernel.astype(x.dtype), dw_bias.astype(x.dtype),
+            seq_axis_name=self.seq_axis_name,
+        )
 
         if self.norm_type == "batch_renorm":
-            x = BatchRenorm(inner, name="norm")(x, pad_mask=pad_mask, train=train)
+            x = BatchRenorm(inner, stat_axes=self.stat_axes, name="norm")(
+                x, pad_mask=pad_mask, train=train
+            )
         elif self.norm_type == "batch_norm":
             x = BatchNorm(inner, name="norm")(x, pad_mask=pad_mask, train=train)
         elif self.norm_type == "layer_norm":
@@ -269,6 +333,12 @@ class ConvSubsampling(nn.Module):
     norm_out: bool = False
     subsampling: str = "dw_striding"
     is_causal: bool = False
+    # context parallel: inside shard_map with the time axis sharded, each
+    # stride-2 stage left-pads via a halo exchange instead of zero padding
+    # (kernel 3, stride 2, pad (1,1): output i reads input [2i-1, 2i+1], so
+    # only output 0 of a shard needs 1 frame (2 if causal) from the left
+    # neighbor).  Requires the local T to be a multiple of the factor.
+    seq_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
     @property
@@ -313,11 +383,29 @@ class ConvSubsampling(nn.Module):
         scale = 1.0 / 3.0  # 1/kernel_size
         dw_max = (3 ** 2) ** -0.5
         pw_max = C ** -0.5
-        pad2d = [(2, 0), (2, 0)] if self.is_causal else [(1, 1), (1, 1)]
+        t_pad = (2, 0) if self.is_causal else (1, 1)
+        f_pad = (2, 0) if self.is_causal else (1, 1)
+        cp = self.seq_axis_name
+        if cp is not None and self.subsampling == "vggnet":
+            raise NotImplementedError("context parallel: use dw_striding/striding")
+
+        def strided(h):
+            """Halo-exchange the time axis for one stride-2 stage under CP:
+            left halo of t_pad[0] frames replaces the zero padding, then the
+            conv runs 'valid' in time — per-shard outputs equal the global
+            conv's slice (local T must be even)."""
+            if cp is None:
+                return h, [t_pad, f_pad]
+            h = halo_exchange(h, cp, left=t_pad[0], right=0, axis=1)
+            # no right pad: with even local T the global stride-2 windows
+            # never read the right zero pad, and haloed length Tl + t_pad[0]
+            # yields exactly Tl/2 outputs per shard
+            return h, [(0, 0), f_pad]
 
         h = x[..., None]  # (B, T, F, 1)
 
         if self.subsampling == "dw_striding":
+            h, pad2d = strided(h)
             h = nn.Conv(
                 C, (3, 3), strides=(2, 2), padding=pad2d,
                 kernel_init=_uniform_init(scale), bias_init=_uniform_init(scale),
@@ -325,6 +413,7 @@ class ConvSubsampling(nn.Module):
             )(h)
             h = act(h)
             for i in range(self._sampling_num - 1):
+                h, pad2d = strided(h)
                 h = nn.Conv(
                     C, (3, 3), strides=(2, 2), padding=pad2d,
                     feature_group_count=C,
@@ -339,6 +428,7 @@ class ConvSubsampling(nn.Module):
                 h = act(h)
         elif self.subsampling == "striding":
             for i in range(self._sampling_num):
+                h, pad2d = strided(h)
                 h = nn.Conv(
                     C, (3, 3), strides=(2, 2), padding=pad2d,
                     kernel_init=_uniform_init(scale), bias_init=_uniform_init(scale),

@@ -25,11 +25,13 @@ def rotary_tables(
     interpolation_factor: float = 1.0,
     inv_freq: Optional[jnp.ndarray] = None,
     dtype: Any = jnp.float32,
+    offset=0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Return (cos, sin), each (seq_len, dim)."""
+    """Return (cos, sin), each (seq_len, dim).  `offset` shifts the positions
+    (global coordinates of a context-parallel sequence shard)."""
     if inv_freq is None:
         inv_freq = 1.0 / (base ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
-    t = jnp.arange(seq_len, dtype=jnp.float32) / interpolation_factor
+    t = (offset + jnp.arange(seq_len, dtype=jnp.float32)) / interpolation_factor
     freqs = jnp.einsum("i,j->ij", t, inv_freq)
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
@@ -72,7 +74,7 @@ class RotaryEmbedding(nn.Module):
     interpolation_factor: float = 1.0
 
     @nn.compact
-    def __call__(self, seq_len: int, dtype: Any = jnp.float32):
+    def __call__(self, seq_len: int, dtype: Any = jnp.float32, offset=0):
         init_inv_freq = 1.0 / (
             self.base ** (jnp.arange(0, self.dim, 2, dtype=jnp.float32) / self.dim)
         )
@@ -88,4 +90,5 @@ class RotaryEmbedding(nn.Module):
             interpolation_factor=self.interpolation_factor,
             inv_freq=inv_freq,
             dtype=dtype,
+            offset=offset,
         )

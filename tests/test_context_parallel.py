@@ -58,3 +58,85 @@ def test_ring_attention_matches_oracle(mesh8, window):
     np.testing.assert_allclose(
         np.asarray(out_ring), np.asarray(out_ref), atol=2e-2, rtol=2e-2
     )
+
+
+def _tiny_model(window=(-1, -1), conv_norm="batch_renorm", **kw):
+    from lcasr_tpu.models.sconformer_xl import SCConformerXL
+
+    return SCConformerXL(
+        vocab_size=32, d_model=64, n_layers=2, n_heads=2, head_dim=32,
+        subsampling_conv_channels=16, use_rotary=True, rotary_base_freq=1.5e6,
+        conv_norm=conv_norm, use_pallas=False,
+        attention_window_size_left=window[0],
+        attention_window_size_right=window[1],
+        **kw,
+    )
+
+
+@pytest.mark.parametrize("window", [(-1, -1), (8, 8)])
+def test_full_model_cp_forward_matches_single_device(mesh8, window):
+    """Full-model context-parallel forward (VERDICT r1 next-step #4): the
+    seq-sharded SCConformerXL — subsampling + depthwise-conv halo exchange,
+    offset rotary, gathered-KV attention — matches the single-device forward,
+    length-masked, for windowed AND full attention."""
+    from lcasr_tpu.parallel.cp_model import context_parallel_apply
+
+    model = _tiny_model(window)
+    rng = np.random.default_rng(0)
+    B, T = 2, 2048
+    audio = jnp.asarray(rng.normal(size=(B, 80, T)).astype(np.float32))
+    lengths = jnp.array([T, T - 300], jnp.int32)
+
+    variables = model.init(jax.random.PRNGKey(0), audio[:, :, :256])
+
+    ref = model.apply(variables, audio, length=lengths)
+    cp = context_parallel_apply(model, variables, audio, mesh8, lengths=lengths)
+
+    np.testing.assert_array_equal(np.asarray(cp["length"]), np.asarray(ref["length"]))
+    a, b = np.asarray(cp["final_posteriors"]), np.asarray(ref["final_posteriors"])
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-3)
+
+
+def test_full_model_cp_training_step_matches_single_device(mesh8):
+    """CP TRAINING step: gradients and psum'd batch-renorm statistics match
+    the single-device step (windowed attention, masked lengths)."""
+    from lcasr_tpu.parallel.cp_model import context_parallel_apply
+
+    model = _tiny_model((8, 8))
+    rng = np.random.default_rng(1)
+    B, T = 1, 1024
+    audio = jnp.asarray(rng.normal(size=(B, 80, T)).astype(np.float32))
+    lengths = jnp.array([T - 100], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), audio[:, :, :256])
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def loss_single(p):
+        out, mut = model.apply(
+            {"params": p, "batch_stats": stats}, audio, length=lengths,
+            train=True, mutable=["batch_stats"],
+        )
+        return (out["final_posteriors"].astype(jnp.float32) ** 2).sum(), mut
+
+    def loss_cp(p):
+        out, mut = context_parallel_apply(
+            model, {"params": p, "batch_stats": stats}, audio, mesh8,
+            lengths=lengths, train=True, mutable=True,
+        )
+        return (out["final_posteriors"].astype(jnp.float32) ** 2).sum(), mut
+
+    (l1, mut1), g1 = jax.value_and_grad(loss_single, has_aux=True)(params)
+    (l2, mut2), g2 = jax.value_and_grad(loss_cp, has_aux=True)(params)
+
+    assert abs(float(l1) - float(l2)) / abs(float(l1)) < 1e-4
+    # per-leaf vs the GLOBAL gradient scale: the depthwise_bias grad sits
+    # directly before batch renorm, so its true value is the ~0 residue of
+    # large cancelling sums — per-shard fp32 partial-sum rounding makes a
+    # per-leaf relative comparison meaningless for it (verified exact in
+    # f64 end-to-end), while every non-degenerate leaf matches tightly
+    gscale = max(float(jnp.abs(x).max()) for x in jax.tree.leaves(g1)) + 1e-6
+    for a, b in zip(jax.tree.leaves(g2), jax.tree.leaves(g1)):
+        assert float(jnp.abs(a - b).max()) / gscale < 1e-3
+    # batch-renorm running stats psum'd over shards == global stats
+    for a, b in zip(jax.tree.leaves(mut2), jax.tree.leaves(mut1)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), rtol=1e-4, atol=1e-5)

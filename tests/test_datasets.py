@@ -66,3 +66,57 @@ def test_rev16_gaussian_snr():
     noise = noisy - sig
     snr = 10 * np.log10((sig ** 2).mean() / (noise ** 2).mean())
     assert abs(snr - 10.0) < 0.5
+
+
+def test_eval_manager_crash_resume_no_duplicate_rows(tmp_path, monkeypatch):
+    """A sweep interrupted after per-recording rows but before the aggregate
+    must not re-append those rows on rerun, must skip their recompute, and
+    must produce the correct combined aggregate (VERDICT r1 weak #6)."""
+    import pandas as pd
+
+    from lcasr_tpu.evaluation import eval_manager
+
+    calls = {}
+
+    def fake_evaluate(checkpoint, dataset, split, seq_len, overlap,
+                      evaluation_mode, dataset_kwargs, skip_recordings=None):
+        recs = {"r1": (0.5, 100), "r2": (0.25, 200), "r3": (0.1, 100)}
+        calls["skip"] = set(skip_recordings or ())
+        rows = [{"recording": k, "wer": w, "words": n}
+                for k, (w, n) in recs.items()
+                if not skip_recordings or k not in skip_recordings]
+        words = sum(r["words"] for r in rows)
+        wer = sum(r["wer"] * r["words"] for r in rows) / max(words, 1)
+        return {"rows": rows, "wer": wer, "words": words}
+
+    monkeypatch.setattr("lcasr_tpu.evaluation.run.evaluate", fake_evaluate)
+
+    cfg = tmp_path / "sweep.yaml"
+    cfg.write_text(
+        "models:\n- name: m\n  checkpoint: none.ckpt\n"
+        "datasets:\n- name: synthetic\n  splits: [test]\n"
+        "seq_lens: [1024]\n"
+    )
+    csv = str(tmp_path / "results.csv")
+    base = {"dataset": "synthetic", "split": "test", "model": "m",
+            "seq_len": 1024, "overlap_ratio": 0.875}
+    # simulate the crash: r1's row persisted, no aggregate row
+    pd.DataFrame([{**base, "recording": "r1", "wer": 0.5, "words": 100}]).to_csv(
+        csv, index=False)
+
+    eval_manager.run_sweep(str(cfg), csv)
+
+    assert calls["skip"] == {"r1"}  # r1 not re-decoded
+    df = pd.read_csv(csv)
+    assert (df["recording"] == "r1").sum() == 1  # no duplicate
+    agg = df[df["recording"] == "__aggregate__"]
+    assert len(agg) == 1
+    # combined aggregate over ALL THREE recordings
+    expected = (0.5 * 100 + 0.25 * 200 + 0.1 * 100) / 400
+    assert abs(float(agg["wer"].iloc[0]) - expected) < 1e-9
+    assert int(agg["words"].iloc[0]) == 400
+
+    # second rerun: everything skipped, CSV unchanged
+    n_before = len(df)
+    eval_manager.run_sweep(str(cfg), csv)
+    assert len(pd.read_csv(csv)) == n_before

@@ -88,3 +88,43 @@ def test_buffered_writes_each_frame_once(model_and_vars):
     out = fetch_logits_buffered(fn, spec, seq_len=256, overlap=64, n_classes=N_CLASSES)
     assert out.shape[1] == N_CLASSES
     assert abs(out.shape[0] - 600 // 8) <= 4
+
+
+def test_stacking_subsampled_single_window_equals_direct():
+    """StreamingDecoder must derive output-length arithmetic from the
+    model's subsampling mode (VERDICT r1 weak #7): a stacking-subsampled
+    model's single-window decode equals its direct forward."""
+    from lcasr_tpu.evaluation.streaming import subsampled_length
+
+    model = SCConformerXL(**{**TINY, "subsampling": "stacking"})
+    T = 500  # not a multiple of 8 → exercises the stacking pad path
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, T)))
+    rng = np.random.default_rng(0)
+    spec = rng.normal(size=(1, 80, T)).astype(np.float32)
+
+    dec = StreamingDecoder(model, variables, N_CLASSES, window_batch_size=2,
+                           transfer_dtype=jnp.float32)
+    assert dec.mode == "stacking" and dec.ds == 8  # derived from the model
+    merged = dec.logits(spec, seq_len=1024, overlap=0)  # clamps to one window
+
+    out = model.apply(variables, jnp.asarray(spec))
+    direct = np.asarray(out["final_posteriors"][0], np.float32)
+    assert merged.shape[0] == direct.shape[0] == subsampled_length(
+        T, 8, "stacking", window_t=T
+    )
+    np.testing.assert_allclose(merged, direct, atol=1e-4, rtol=1e-4)
+
+
+def test_subsampled_length_matches_model_lengths():
+    """Host-side length mirror == each subsampling module's own calc."""
+    from lcasr_tpu.evaluation.streaming import subsampled_length
+
+    for mode in ["dw_striding", "striding", "stacking"]:
+        model = SCConformerXL(**{**TINY, "subsampling": mode})
+        for T in [256, 499, 500, 512]:
+            variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, T)))
+            out = model.apply(variables, jnp.zeros((1, 80, T)),
+                              length=jnp.array([T], jnp.int32))
+            got = subsampled_length(T, 8, mode, window_t=T)
+            assert got == int(out["length"][0]) == out["final_posteriors"].shape[1], (
+                mode, T, got, int(out["length"][0]))
