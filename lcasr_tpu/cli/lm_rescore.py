@@ -57,6 +57,20 @@ def create_logits(
         print(f"saved {item['id']}: {logits.shape}")
 
 
+def load_lm_checkpoint(path: str):
+    """Load a trained `models/lm.py:TransformerLM` orbax checkpoint (saved
+    with the standard embedded-config contract) → (model, variables)."""
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.models.lm import TransformerLM
+    from lcasr_tpu.training.checkpointing import load_checkpoint
+
+    tree, meta = load_checkpoint(path)
+    lm_cfg = Config.from_dict(meta["config"]).get("model", Config({})).to_dict()
+    lm_cfg.pop("model_class", None)
+    model = TransformerLM(**lm_cfg)
+    return model, {"params": tree["params"]}
+
+
 def beam_stage(
     logits_dir: str,
     alpha: float = 0.45,
@@ -64,31 +78,56 @@ def beam_stage(
     beam_width: int = 25,
     lm: Optional[str] = None,
     results_csv: Optional[str] = None,
+    decoder: str = "prefix",
+    bos_id: int = 2,
 ):
+    """decoder='prefix': prefix beam search (pyctcdecode-style AM merge);
+    decoder='frame_sync': the reference tlm_beam algorithm (per-beam KV
+    caches, one batched LM call per frame, `ctc_beam_search.py:93-322`)."""
     from lcasr_tpu.data.tokenizer import load_tokenizer
     from lcasr_tpu.decoding.beam_search import BeamSearch
     from lcasr_tpu.evaluation.normalizer import normalize
     from lcasr_tpu.evaluation.wer import word_error_rate_detail
 
     tokenizer = load_tokenizer()
+    lm_model = lm_variables = None
     lm_scores = None
     if lm is not None:
-        # LM checkpoint hook: any orbax/flax causal LM exposing logits
-        from lcasr_tpu.decoding.beam_search import FlaxLMScorer  # noqa: F401
+        from lcasr_tpu.models.lm import make_lm_scorer
 
-        raise NotImplementedError(
-            "external LM loading requires a trained LM checkpoint; pass the "
-            "scorer programmatically via BeamSearch(lm_scores=...)"
+        lm_model, lm_variables = load_lm_checkpoint(lm)
+        lm_scores = make_lm_scorer(lm_model, lm_variables, bos_id=bos_id)
+
+    if decoder == "frame_sync":
+        if lm_model is None:
+            raise ValueError("frame_sync decoding needs -lm <checkpoint>")
+        from lcasr_tpu.decoding.frame_sync import (
+            CachedTransformerLM,
+            FrameSyncBeamSearch,
         )
 
-    bs = BeamSearch(
-        tokenizer=tokenizer,
-        beam_width=beam_width,
-        blank_id=tokenizer.vocab_size(),
-        alpha=alpha,
-        beta=beta,
-        lm_scores=lm_scores,
-    )
+        def search(logits):
+            cached = CachedTransformerLM(
+                lm_model, lm_variables, width=beam_width,
+                max_len=logits.shape[0] + 1, bos_id=bos_id,
+            )
+            fs = FrameSyncBeamSearch(
+                lm=cached, tokenizer=tokenizer, beam_width=beam_width,
+                alpha=alpha, beta=beta, blank_id=tokenizer.vocab_size(),
+                bos_id=bos_id,
+            )
+            return fs.run_search(logits, decode=True)
+    else:
+        bs = BeamSearch(
+            tokenizer=tokenizer,
+            beam_width=beam_width,
+            blank_id=tokenizer.vocab_size(),
+            alpha=alpha,
+            beta=beta,
+            lm_scores=lm_scores,
+        )
+        search = bs.run_search
+
     hyps, refs, rows = [], [], []
     for name in sorted(os.listdir(logits_dir)):
         if not name.endswith(".npz"):
@@ -96,7 +135,7 @@ def beam_stage(
         data = np.load(os.path.join(logits_dir, name), allow_pickle=True)
         logits = data["logits"].astype(np.float32)
         gold = str(data["gold"])
-        hyp = normalize(bs.run_search(logits)).lower()
+        hyp = normalize(search(logits)).lower()
         wer, words, *_ = word_error_rate_detail([hyp], [gold])
         rows.append({"recording": name[:-4], "wer": wer, "words": words,
                      "alpha": alpha, "beta": beta, "beam_width": beam_width})
@@ -129,6 +168,10 @@ def main():
     b.add_argument("-alpha", type=float, default=0.45)
     b.add_argument("-beta", type=float, default=1.53)
     b.add_argument("-beam_width", type=int, default=25)
+    b.add_argument("-lm", "--lm", default=None,
+                   help="trained TransformerLM orbax checkpoint")
+    b.add_argument("-decoder", "--decoder", default="prefix",
+                   choices=["prefix", "frame_sync"])
     b.add_argument("-results", "--results_csv", default=None)
     args = parser.parse_args()
     if args.cmd == "create_logits":
@@ -140,7 +183,8 @@ def main():
         )
     else:
         beam_stage(args.logits_dir, args.alpha, args.beta, args.beam_width,
-                   results_csv=args.results_csv)
+                   lm=args.lm, results_csv=args.results_csv,
+                   decoder=args.decoder)
 
 
 if __name__ == "__main__":

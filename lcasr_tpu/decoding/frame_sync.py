@@ -1,0 +1,269 @@
+"""Frame-synchronous LM-fused CTC beam search — the reference algorithm.
+
+Exact re-implementation of reference `lcasr/decoding/ctc_beam_search.py:18-322`
+(the `tlm_beam.py` rescoring decoder), alongside the prefix-beam formulation
+in `decoding/beam_search.py`:
+
+  * beams carry an `am_sequence` WITH collapsed blanks (a blank is appended
+    once after a non-blank; repeats collapse) and an `lm_sequence`
+    (bos + emitted tokens) — reference `:233-276`,
+  * per frame, candidate set = ids with `lgp > max + top_am_threshold`,
+    ids 1..vocab (id 0/pad is never proposed) — reference `:224-231`,
+  * blank/repeat extensions keep the LM state and add AM only (+ blank /
+    repetition penalties); new tokens add `am + α·lm + β` — reference
+    `:251-276`,
+  * beams with identical am_sequences merge via logsumexp — reference
+    `:160-172`,
+  * prune to beam_width, then drop beams below `top - prune_less_than_val`
+    — reference `:155-158,205-212`,
+  * ONE batched LM call per frame for all beams that emitted a token, with
+    per-beam KV caches — reference `:287-317`.  Here the caches live in a
+    fixed-shape on-device buffer; parent rows are re-gathered by index each
+    frame instead of host-side pad_sequence restacking.
+
+The LM is anything implementing the BatchedCachedLM protocol below;
+`CachedTransformerLM` adapts `models/lm.py` (true O(1)-per-step KV caching),
+`HistoryLM` adapts any full-context scorer (tests / external LMs).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+LOG0 = -1e30
+
+
+def _sum_log_scores(s1: float, s2: float) -> float:
+    # reference :161-162
+    if s1 >= s2:
+        return s1 + math.log(1 + math.exp(s2 - s1))
+    return s2 + math.log(1 + math.exp(s1 - s2))
+
+
+@dataclass
+class FSBeam:
+    am_sequence: Tuple = (None,)  # no bos for am (reference :137)
+    lm_sequence: Tuple[int, ...] = ()  # starts with bos
+    stimes: Tuple[int, ...] = (0,)
+    score: float = 0.0
+    row: int = 0  # LM cache row currently holding this beam's state
+    next_lps: Optional[np.ndarray] = None  # next-token log-probs
+
+
+class HistoryLM:
+    """BatchedCachedLM over a full-context scorer
+    `fn(histories: List[List[int]]) -> (n, V) next-token log-probs`.
+
+    `max_cache_length > 0` truncates each history to its last n tokens —
+    the reference's trim_cache semantics (`:177-184`)."""
+
+    def __init__(self, fn: Callable, bos_id: int = 2, max_cache_length: int = -1):
+        self.fn = fn
+        self.bos_id = bos_id
+        self.max_cache_length = max_cache_length
+
+    def init(self, width: int):
+        lps = self.fn([[self.bos_id]])[0]
+        return [[self.bos_id] for _ in range(width)], np.asarray(lps)
+
+    def step(self, state, parent_idx, tokens, update_mask):
+        state = [list(state[p]) for p in parent_idx]
+        feed_rows = [j for j in range(len(tokens)) if update_mask[j]]
+        for j in feed_rows:
+            state[j].append(int(tokens[j]))
+            if self.max_cache_length > 0:
+                state[j] = state[j][-self.max_cache_length:]
+        lps = np.full((len(tokens), 1), 0.0)
+        if feed_rows:
+            out = np.asarray(self.fn([state[j] for j in feed_rows]))
+            lps = np.zeros((len(tokens), out.shape[-1]), out.dtype)
+            for i, j in enumerate(feed_rows):
+                lps[j] = out[i]
+        return state, lps
+
+
+class CachedTransformerLM:
+    """BatchedCachedLM over `models/lm.py:TransformerLM` with true per-beam
+    KV caches: one jitted single-token forward per frame over all beam rows,
+    parent states re-gathered by index on device."""
+
+    def __init__(self, model, variables, width: int, max_len: int, bos_id: int = 2):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        self.jnp = jnp
+        self.bos_id = bos_id
+        self.width = width
+        L, H, D = model.n_layers, model.n_heads, model.head_dim
+        self.cache_shape = (L, 2, width, H, max_len + 1, D)
+        variables = jax.device_put(variables)
+
+        @jax.jit
+        def step_fn(variables, cache, lengths, parent_idx, tokens, update):
+            cache = cache[:, :, parent_idx]
+            lengths = lengths[parent_idx]
+            logits, new_cache, new_lengths = model.apply(
+                variables, tokens[:, None], cache=cache, cache_lengths=lengths
+            )
+            lps = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), -1)
+            cache = jnp.where(
+                update[None, None, :, None, None, None], new_cache, cache
+            )
+            lengths = jnp.where(update, new_lengths, lengths)
+            return cache, lengths, lps
+
+        self._step = functools.partial(step_fn, variables)
+
+    def init(self, width: int):
+        jnp = self.jnp
+        assert width == self.width
+        cache = jnp.zeros(self.cache_shape, jnp.float32)
+        lengths = jnp.zeros((width,), jnp.int32)
+        cache, lengths, lps = self._step(
+            cache, lengths,
+            jnp.arange(width), jnp.full((width,), self.bos_id, jnp.int32),
+            jnp.ones((width,), bool),
+        )
+        return (cache, lengths), np.asarray(lps[0])
+
+    def step(self, state, parent_idx, tokens, update_mask):
+        jnp = self.jnp
+        cache, lengths = state
+        cache, lengths, lps = self._step(
+            cache, lengths,
+            jnp.asarray(np.asarray(parent_idx, np.int32)),
+            jnp.asarray(np.asarray(tokens, np.int32)),
+            jnp.asarray(np.asarray(update_mask, bool)),
+        )
+        return (cache, lengths), np.asarray(lps)
+
+
+class FrameSyncBeamSearch:
+    def __init__(
+        self,
+        lm,
+        tokenizer=None,
+        beam_width: int = 25,
+        alpha: float = 0.4,
+        beta: float = 0.4,
+        blank_id: Optional[int] = None,
+        blank_penalty: float = 0.0,
+        repetition_penalty: float = 0.0,
+        top_am_threshold: float = -6.0,
+        prune_less_than_val: Optional[float] = None,
+        bos_id: int = 2,
+    ):
+        self.lm = lm
+        self.tokenizer = tokenizer
+        self.beam_width = beam_width
+        self.alpha = alpha
+        self.beta = beta
+        self.blank_id = blank_id
+        self.blank_penalty = blank_penalty
+        self.repetition_penalty = repetition_penalty
+        self.top_am_threshold = top_am_threshold
+        self.prune_less_than_val = prune_less_than_val
+        self.bos_id = bos_id
+
+    def run_search(self, log_probs: np.ndarray, decode: bool = False):
+        """log_probs (T, C) → token ids (lm_sequence minus bos) or text."""
+        log_probs = np.asarray(log_probs)  # scores accumulate in input dtype
+        T, C = log_probs.shape
+        blank = self.blank_id if self.blank_id is not None else C - 1
+
+        state, lps0 = self.lm.init(self.beam_width)
+        beams: List[FSBeam] = [
+            FSBeam(lm_sequence=(self.bos_id,), next_lps=lps0, row=0)
+        ]
+
+        for t in range(T):
+            frame = log_probs[t]
+            keep = np.where(frame > frame.max() + self.top_am_threshold)[0]
+            keep = [int(i) for i in keep if 1 <= i <= C - 1]  # ids 1..vocab
+
+            new_beams: List[FSBeam] = []
+            for beam in beams:
+                lm_w = beam.next_lps * self.alpha + self.beta
+                last = beam.am_sequence[-1]
+                for i in keep:
+                    if last == i or i == blank:
+                        new_beams.append(FSBeam(
+                            am_sequence=(
+                                beam.am_sequence + (i,)
+                                if i == blank and last != blank
+                                else beam.am_sequence
+                            ),
+                            lm_sequence=beam.lm_sequence,
+                            stimes=beam.stimes,
+                            score=float(frame[i]) + beam.score + (
+                                self.blank_penalty if i == blank
+                                else self.repetition_penalty
+                            ),
+                            row=beam.row,
+                            next_lps=beam.next_lps,
+                        ))
+                    else:
+                        new_beams.append(FSBeam(
+                            am_sequence=(
+                                beam.am_sequence[:-1] + (i,)
+                                if last == blank
+                                else beam.am_sequence + (i,)
+                            ),
+                            lm_sequence=beam.lm_sequence + (i,),
+                            stimes=beam.stimes + (t,),
+                            score=float(frame[i]) + float(lm_w[i]) + beam.score,
+                            row=beam.row,
+                            next_lps=None,
+                        ))
+
+            # merge identical am sequences (logsumexp; first occurrence keeps
+            # its LM identity — reference dict-insertion order :164-172)
+            merged = {}
+            for b in new_beams:
+                key = b.am_sequence
+                if key in merged:
+                    merged[key].score = _sum_log_scores(b.score, merged[key].score)
+                else:
+                    merged[key] = b
+            import heapq
+
+            new_beams = heapq.nlargest(
+                self.beam_width, merged.values(), key=lambda b: b.score
+            )
+            if self.prune_less_than_val is not None:
+                top = new_beams[0].score
+                new_beams = [
+                    b for b in new_beams
+                    if not b.score < top - self.prune_less_than_val
+                ]
+
+            if t == T - 1:
+                beams = new_beams
+                break
+
+            # ONE batched LM call for all beams that emitted a token
+            parent_idx = np.zeros((self.beam_width,), np.int32)
+            tokens = np.zeros((self.beam_width,), np.int32)
+            update = np.zeros((self.beam_width,), bool)
+            for j, b in enumerate(new_beams):
+                parent_idx[j] = b.row
+                tokens[j] = b.lm_sequence[-1]
+                update[j] = b.next_lps is None
+            state, lps = self.lm.step(state, parent_idx, tokens, update)
+            for j, b in enumerate(new_beams):
+                b.row = j
+                if update[j]:
+                    b.next_lps = lps[j]
+            beams = new_beams
+
+        self.beams = beams
+        best = beams[0]
+        ids = list(best.lm_sequence[1:])
+        if decode and self.tokenizer is not None:
+            return self.tokenizer.decode(ids)
+        return ids

@@ -33,26 +33,86 @@ class TransformerLM(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """tokens (B, U) → logits (B, U, vocab)."""
+    def __call__(
+        self,
+        tokens: jnp.ndarray,
+        train: bool = False,
+        cache: Optional[jnp.ndarray] = None,  # (L, 2, B, H, Nmax, D)
+        cache_lengths: Optional[jnp.ndarray] = None,  # (B,)
+    ):
+        """tokens (B, U) → logits (B, U, vocab).
+
+        Incremental decoding (the reference beam search's per-beam KV caches,
+        `ctc_beam_search.py:287-317`): pass `cache`/`cache_lengths` and ONE
+        new token per row (U == 1); returns
+        (logits (B, 1, vocab), new_cache, new_cache_lengths).  The cache is a
+        fixed-size buffer in the reference's (L, KV, B, H, N, D) layout; rows
+        write at their own `cache_lengths` position with per-row rotary
+        offsets, so every beam continues at its true absolute position.
+        """
         Norm = get_norm(self.default_norm)
         B, U = tokens.shape
         H, D = self.n_heads, self.head_dim
+        cached = cache is not None
+        if cached:
+            assert U == 1, "cached decoding feeds one token per row"
+
         x = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype, name="embed")(tokens)
-        rotary = RotaryEmbedding(dim=D, base=self.rotary_base_freq, name="rotary")(U)
-        causal = jnp.tril(jnp.ones((U, U), bool))[None, None]
+
+        # rotary tables; cached rows rotate at their absolute positions
+        inv_freq = 1.0 / (
+            self.rotary_base_freq ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D)
+        )
+        if cached:
+            pos = cache_lengths.astype(jnp.float32)[:, None]  # (B, 1)
+            freqs = pos[..., None] * inv_freq  # (B, 1, D/2)
+            emb = jnp.concatenate([freqs, freqs], -1)
+            cos_q, sin_q = jnp.cos(emb)[:, :, None, :], jnp.sin(emb)[:, :, None, :]
+        else:
+            rotary = RotaryEmbedding(dim=D, base=self.rotary_base_freq, name="rotary")(U)
+            causal = jnp.tril(jnp.ones((U, U), bool))[None, None]
+
+        new_cache = [] if cached else None
+        rot_half = lambda a: jnp.concatenate(
+            [-a[..., D // 2:], a[..., : D // 2]], axis=-1
+        )
 
         for i in range(self.n_layers):
             h = Norm(self.d_model, name=f"attn_norm_{i}")(x)
             qkv = nn.Dense(3 * H * D, use_bias=False, dtype=self.dtype, name=f"qkv_{i}")(h)
             q, k, v = (a.reshape(B, U, H, D) for a in jnp.split(qkv, 3, -1))
-            q, k = apply_rotary(q, k, *rotary)
-            s = jnp.einsum(
-                "bthd,bshd->bhts", q.astype(jnp.float32) * D ** -0.5, k.astype(jnp.float32)
-            )
-            s = jnp.where(causal, s, NEG_INF)
-            p = jax.nn.softmax(s, -1)
-            o = jnp.einsum("bhts,bshd->bthd", p, v.astype(jnp.float32)).astype(x.dtype)
+            if cached:
+                q = q * cos_q + rot_half(q) * sin_q
+                k = k * cos_q + rot_half(k) * sin_q
+                # write the new k/v at each row's own cache position
+                Nmax = cache.shape[4]
+                at = (
+                    jnp.arange(Nmax)[None, :] == cache_lengths[:, None]
+                )[:, None, :, None]  # (B, 1, Nmax, 1)
+                k_buf = jnp.where(at, jnp.swapaxes(k, 1, 2), cache[i, 0])
+                v_buf = jnp.where(at, jnp.swapaxes(v, 1, 2), cache[i, 1])
+                new_cache.append(jnp.stack([k_buf, v_buf]))
+                s = jnp.einsum(
+                    "bthd,bhsd->bhts",
+                    q.astype(jnp.float32) * D ** -0.5,
+                    k_buf.astype(jnp.float32),
+                )
+                visible = (
+                    jnp.arange(Nmax)[None, :] <= cache_lengths[:, None]
+                )[:, None, None, :]
+                s = jnp.where(visible, s, NEG_INF)
+                p = jax.nn.softmax(s, -1)
+                o = jnp.einsum(
+                    "bhts,bhsd->bthd", p, v_buf.astype(jnp.float32)
+                ).astype(x.dtype)
+            else:
+                q, k = apply_rotary(q, k, *rotary)
+                s = jnp.einsum(
+                    "bthd,bshd->bhts", q.astype(jnp.float32) * D ** -0.5, k.astype(jnp.float32)
+                )
+                s = jnp.where(causal, s, NEG_INF)
+                p = jax.nn.softmax(s, -1)
+                o = jnp.einsum("bhts,bshd->bthd", p, v.astype(jnp.float32)).astype(x.dtype)
             x = x + nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name=f"out_{i}")(
                 o.reshape(B, U, H * D)
             )
@@ -60,7 +120,10 @@ class TransformerLM(nn.Module):
             x = x + ConformerFeedForward(self.d_model, dtype=self.dtype, name=f"ff_{i}")(h)
 
         x = Norm(self.d_model, name="norm_out")(x)
-        return nn.Dense(self.vocab_size, dtype=self.dtype, name="lm_head")(x)
+        logits = nn.Dense(self.vocab_size, dtype=self.dtype, name="lm_head")(x)
+        if cached:
+            return logits, jnp.stack(new_cache), cache_lengths + 1
+        return logits
 
 
 def lm_loss(model, variables, tokens: jnp.ndarray, lengths: Optional[jnp.ndarray] = None):
