@@ -32,7 +32,15 @@ from lcasr_tpu.ops.attention import NEG_INF, length_mask
 from lcasr_tpu.ops.conv import ConvSubsampling
 from lcasr_tpu.ops.mlp import ConformerFeedForward
 from lcasr_tpu.ops.norms import get_norm
-from lcasr_tpu.ops.rotary import RotaryEmbedding, apply_rotary
+from lcasr_tpu.ops.rotary import RotaryEmbedding, apply_rotary, rotate_half
+
+
+def init_decoder_cache(n_layers, n_heads, head_dim, batch, max_len, dtype=jnp.float32):
+    """Zeroed per-layer self-attention (k, v) caches for incremental decoding."""
+    shape = (batch, max_len, n_heads, head_dim)
+    return tuple(
+        (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)) for _ in range(n_layers)
+    )
 
 
 def _masked_softmax_attention(q, k, v, mask, scale):
@@ -53,21 +61,62 @@ class DecoderSelfAttention(nn.Module):
     cosine: bool = False  # V2: cosine-sim attention with learned temperature
     dtype: Any = jnp.float32
 
+    def _normalize(self, a):
+        return a / (
+            jnp.linalg.norm(a.astype(jnp.float32), axis=-1, keepdims=True) + 1e-6
+        ).astype(a.dtype)
+
     @nn.compact
-    def __call__(self, x, rotary=None, pos_bias=None):
+    def __call__(self, x, rotary=None, pos_bias=None, cache=None):
+        """Full causal pass (cache=None), or one cached incremental step.
+
+        Cached step (reference `enc_dec_sconformer_v2.py:758-1026`, the
+        CosineAttention cache-index path): x is (B, 1, d_model), cache is
+        (k_cache, v_cache, t) with k/v (B, S, H, D) holding steps < t; the new
+        key/value is written at index t and attention runs over columns <= t.
+        Returns (out, (k_cache, v_cache)).
+        """
         B, T, _ = x.shape
         H, D = self.n_heads, self.head_dim
         qkv = nn.Dense(3 * H * D, use_bias=False, dtype=self.dtype, name="qkv_proj")(x)
         q, k, v = (a.reshape(B, T, H, D) for a in jnp.split(qkv, 3, axis=-1))
+        if self.cosine:
+            temp = self.param("temperature", nn.initializers.constant(15.5), (H, 1, 1), jnp.float32)
+
+        if cache is not None:
+            k_cache, v_cache, t = cache
+            S = k_cache.shape[1]
+            if rotary is not None:
+                cos, sin = rotary  # (max_len, D) tables
+                cos_t = jax.lax.dynamic_slice_in_dim(cos, t, 1, 0)[None, :, None, :]
+                sin_t = jax.lax.dynamic_slice_in_dim(sin, t, 1, 0)[None, :, None, :]
+                q = (q * cos_t) + (rotate_half(q) * sin_t)
+                k = (k * cos_t) + (rotate_half(k) * sin_t)
+            if self.cosine:
+                q = self._normalize(q)
+                k = self._normalize(k)
+            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k.astype(k_cache.dtype), t, 1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v.astype(v_cache.dtype), t, 1)
+            scores = jnp.einsum(
+                "bthd,bshd->bhts", q.astype(jnp.float32), k_cache.astype(jnp.float32)
+            )  # (B, H, 1, S)
+            scores = scores * (temp[None] if self.cosine else D ** -0.5)
+            if pos_bias is not None:
+                scores = scores + pos_bias[None]  # (1, H, 1, S)
+            valid = (jnp.arange(S) <= t)[None, None, None, :]
+            scores = jnp.where(valid, scores, NEG_INF)
+            probs = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhts,bshd->bthd", probs, v_cache.astype(jnp.float32)).astype(x.dtype)
+            out = out.reshape(B, T, H * D)
+            out = nn.Dense(self.d_model, use_bias=self.bias, dtype=self.dtype, name="out_proj")(out)
+            return out, (k_cache, v_cache)
+
         if rotary is not None:
             q, k = apply_rotary(q, k, *rotary)
-        if self.cosine:
-            q = q / (jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True) + 1e-6).astype(q.dtype)
-            k = k / (jnp.linalg.norm(k.astype(jnp.float32), axis=-1, keepdims=True) + 1e-6).astype(k.dtype)
-            temp = self.param("temperature", nn.initializers.constant(15.5), (H, 1, 1), jnp.float32)
-            scale = 1.0
         causal = jnp.tril(jnp.ones((T, T), bool))[None, None]
         if self.cosine:
+            q = self._normalize(q)
+            k = self._normalize(k)
             scores = jnp.einsum(
                 "bthd,bshd->bhts", q.astype(jnp.float32), k.astype(jnp.float32)
             ) * temp[None]
@@ -92,13 +141,23 @@ class CrossAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xq, xkv, kv_lengths=None):
-        B, Tq, _ = xq.shape
-        Tk = xkv.shape[1]
+    def __call__(self, xq, xkv=None, kv_lengths=None, kv=None):
+        """xq queries over keys/values from `xkv`, or from precomputed
+        `kv=(k, v)` (incremental decoding: the acoustic K/V are projected once
+        per recording, not once per emitted token).  Pass xq=None to return
+        the projected (k, v) pair for caching."""
         H, D = self.n_heads, self.head_dim
+        if kv is None:
+            Tk = xkv.shape[1]
+            kv_flat = nn.Dense(2 * H * D, use_bias=False, dtype=self.dtype, name="kv_proj")(xkv)
+            k, v = (a.reshape(xkv.shape[0], Tk, H, D) for a in jnp.split(kv_flat, 2, axis=-1))
+            if xq is None:
+                return k, v
+        else:
+            k, v = kv
+            Tk = k.shape[1]
+        B, Tq, _ = xq.shape
         q = nn.Dense(H * D, use_bias=False, dtype=self.dtype, name="q_proj")(xq).reshape(B, Tq, H, D)
-        kv = nn.Dense(2 * H * D, use_bias=False, dtype=self.dtype, name="kv_proj")(xkv)
-        k, v = (a.reshape(B, Tk, H, D) for a in jnp.split(kv, 2, axis=-1))
         mask = None
         if kv_lengths is not None:
             mask = length_mask(kv_lengths, Tk)[:, None, None, :]
@@ -108,7 +167,14 @@ class CrossAttention(nn.Module):
 
 
 class CrossAttnDecoder(nn.Module):
-    """Transformer LM decoder with cross-attention (reference `:699-860`)."""
+    """Transformer LM decoder with cross-attention (reference `:699-860`).
+
+    Besides the full teacher-forced pass (`__call__`), exposes O(U)
+    incremental decoding (reference `enc_dec_sconformer_v2.py:758-1026`):
+    `precompute` projects the acoustic K/V once per recording and builds the
+    rotary / position-bias tables; `step` consumes ONE new token with
+    per-layer self-attention KV caches.
+    """
 
     vocab_size: int
     n_layers: int = 3
@@ -124,46 +190,121 @@ class CrossAttnDecoder(nn.Module):
     use_dynamic_pos_bias: bool = False  # V2
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, tokens, a_hidden, a_lengths):
+    def setup(self):
         Norm = get_norm(self.default_norm)
-        B, T = tokens.shape
-        x = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype, name="embed")(tokens)
-        x = LearnableFourierPosEnc(self.d_model, dtype=self.dtype, name="pos_enc")(x)
-        a_hidden = Norm(self.d_model, name="acoustic_norm")(a_hidden)
-
-        rotary = None
+        self.embed = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype, name="embed")
+        self.pos_enc = LearnableFourierPosEnc(self.d_model, dtype=self.dtype, name="pos_enc")
+        self.acoustic_norm = Norm(self.d_model, name="acoustic_norm")
         if self.use_rotary and not self.cosine_attention:
-            rotary = RotaryEmbedding(
+            self.rotary_pos_emb = RotaryEmbedding(
                 dim=self.head_dim, base=self.rotary_base_freq, name="rotary_pos_emb"
-            )(T)
-        pos_bias = None
+            )
         if self.use_dynamic_pos_bias:
-            pos_bias = DynamicPositionBias(
+            self.dynamic_pos_bias = DynamicPositionBias(
                 dim=self.d_model // 4, heads=self.n_heads, name="dynamic_pos_bias"
-            )(T, T)
-
-        for i in range(self.n_layers):
-            h = Norm(self.d_model, name=f"self_norm_{i}")(x)
-            x = x + DecoderSelfAttention(
+            )
+        self.self_norms = [Norm(self.d_model, name=f"self_norm_{i}") for i in range(self.n_layers)]
+        self.self_attns = [
+            DecoderSelfAttention(
                 self.d_model, self.n_heads, self.head_dim,
                 bias=self.bias_in_ff, cosine=self.cosine_attention,
                 dtype=self.dtype, name=f"self_attn_{i}",
-            )(h, rotary=rotary, pos_bias=pos_bias)
-            h = Norm(self.d_model, name=f"cross_norm_{i}")(x)
-            x = x + CrossAttention(
+            )
+            for i in range(self.n_layers)
+        ]
+        self.cross_norms = [Norm(self.d_model, name=f"cross_norm_{i}") for i in range(self.n_layers)]
+        self.cross_attns = [
+            CrossAttention(
                 self.d_model, self.n_heads, self.head_dim,
                 bias=self.bias_in_ff, dtype=self.dtype, name=f"cross_attn_{i}",
-            )(h, a_hidden, kv_lengths=a_lengths)
-            h = Norm(self.d_model, name=f"ff_norm_{i}")(x)
-            x = x + ConformerFeedForward(
+            )
+            for i in range(self.n_layers)
+        ]
+        self.ff_norms = [Norm(self.d_model, name=f"ff_norm_{i}") for i in range(self.n_layers)]
+        self.ffs = [
+            ConformerFeedForward(
                 self.d_model, bias1=self.bias_in_ff, bias2=self.bias_in_ff,
                 dtype=self.dtype, name=f"ff_{i}",
-            )(h)
+            )
+            for i in range(self.n_layers)
+        ]
+        if self.decoder_norm:
+            self.out_norm = get_norm(self.default_norm)(self.d_model, name="out_norm")
+        self.out_proj = nn.Dense(self.vocab_size, dtype=self.dtype, name="out_proj")
+
+    def __call__(self, tokens, a_hidden, a_lengths):
+        B, T = tokens.shape
+        x = self.embed(tokens)
+        x = self.pos_enc(x)
+        a_hidden = self.acoustic_norm(a_hidden)
+
+        rotary = None
+        if self.use_rotary and not self.cosine_attention:
+            rotary = self.rotary_pos_emb(T)
+        pos_bias = None
+        if self.use_dynamic_pos_bias:
+            pos_bias = self.dynamic_pos_bias(T, T)
+
+        for i in range(self.n_layers):
+            h = self.self_norms[i](x)
+            x = x + self.self_attns[i](h, rotary=rotary, pos_bias=pos_bias)
+            h = self.cross_norms[i](x)
+            x = x + self.cross_attns[i](h, a_hidden, kv_lengths=a_lengths)
+            h = self.ff_norms[i](x)
+            x = x + self.ffs[i](h)
 
         if self.decoder_norm:
-            x = Norm(self.d_model, name="out_norm")(x)
-        return nn.Dense(self.vocab_size, dtype=self.dtype, name="out_proj")(x)
+            x = self.out_norm(x)
+        return self.out_proj(x)
+
+    def precompute(self, a_hidden, a_lengths, max_len: int):
+        """Per-recording tables for incremental decoding: per-layer cross
+        K/V over the normed acoustic states, rotary cos/sin over max_len,
+        and the (H, max_len, max_len) dynamic position bias table."""
+        a_hidden = self.acoustic_norm(a_hidden)
+        cross_kv = tuple(self.cross_attns[i](None, a_hidden) for i in range(self.n_layers))
+        rotary = None
+        if self.use_rotary and not self.cosine_attention:
+            rotary = self.rotary_pos_emb(max_len)
+        pos_bias = None
+        if self.use_dynamic_pos_bias:
+            pos_bias = self.dynamic_pos_bias(max_len, max_len)
+        return {"cross_kv": cross_kv, "rotary": rotary, "pos_bias": pos_bias}
+
+    def step(self, token, t, caches, pre, a_lengths):
+        """One incremental decode step.
+
+        token: (B,) int32 — token at position t; caches: tuple of per-layer
+        (k, v) buffers (B, S, H, D); pre: output of `precompute`.
+        Returns (logits (B, vocab) for position t, updated caches).
+        """
+        B = token.shape[0]
+        x = self.embed(token[:, None])  # (B, 1, d_model)
+        x = self.pos_enc(x, offsets=jnp.full((B,), t, jnp.int32))
+
+        pos_bias_row = None
+        if pre["pos_bias"] is not None:
+            H = self.n_heads
+            S = pre["pos_bias"].shape[1]
+            pos_bias_row = jax.lax.dynamic_slice(pre["pos_bias"], (0, t, 0), (H, 1, S))
+
+        new_caches = []
+        for i in range(self.n_layers):
+            h = self.self_norms[i](x)
+            sa_out, kv = self.self_attns[i](
+                h, rotary=pre["rotary"], pos_bias=pos_bias_row,
+                cache=(caches[i][0], caches[i][1], t),
+            )
+            new_caches.append(kv)
+            x = x + sa_out
+            h = self.cross_norms[i](x)
+            x = x + self.cross_attns[i](h, kv_lengths=a_lengths, kv=pre["cross_kv"][i])
+            h = self.ff_norms[i](x)
+            x = x + self.ffs[i](h)
+
+        if self.decoder_norm:
+            x = self.out_norm(x)
+        return self.out_proj(x)[:, 0], tuple(new_caches)
 
 
 @register_model("EncDecSconformer")
@@ -295,6 +436,12 @@ class EncDecSconformer(nn.Module):
         """One decoder pass over the full (static) token buffer → logits."""
         return self.language_model_decoder(tokens, a_hidden, a_lengths)
 
+    def decoder_precompute(self, a_hidden, a_lengths, max_len: int):
+        return self.language_model_decoder.precompute(a_hidden, a_lengths, max_len)
+
+    def decoder_step(self, token, t, caches, pre, a_lengths):
+        return self.language_model_decoder.step(token, t, caches, pre, a_lengths)
+
 
 @register_model("EncDecSconformerV2")
 class EncDecSconformerV2(EncDecSconformer):
@@ -395,6 +542,55 @@ def generate_greedy(
             return t + 1, tokens, nxt == eos_id
 
         t, tokens, _ = jax.lax.while_loop(cond, body, (0, tokens0, False))
+        return tokens, t
+
+    tokens, t = run(variables, audio_signal)
+    ids = list(map(int, tokens[0, 1 : int(t) + 1]))
+    return [i for i in ids if i != eos_id]
+
+
+def generate_greedy_cached(
+    model,
+    variables,
+    audio_signal,
+    max_generate: int = 256,
+    bos_id: int = 0,
+    eos_id: int = 0,
+):
+    """O(U) greedy AED decoding with per-layer self-attention KV caches and
+    precomputed cross-attention K/V (reference `enc_dec_sconformer_v2.py:
+    758-1026`, the cache-index incremental path).  Emits the same ids as
+    `generate_greedy` (which re-forwards the whole prefix per token, O(U²))."""
+
+    @jax.jit
+    def run(variables, audio_signal):
+        a_hidden, _, length = model.apply(variables, audio_signal, method=model.encode)
+        pre = model.apply(
+            variables, a_hidden, length, max_generate, method=model.decoder_precompute
+        )
+        caches = init_decoder_cache(
+            model.decoder_layers, model.n_heads, model.head_dim,
+            batch=1, max_len=max_generate, dtype=model.dtype,
+        )
+
+        tokens0 = jnp.full((1, max_generate), 0, jnp.int32)
+        tokens0 = tokens0.at[0, 0].set(bos_id)
+
+        def cond(state):
+            t, tokens, caches, done = state
+            return (~done) & (t < max_generate - 1)
+
+        def body(state):
+            t, tokens, caches, done = state
+            tok_t = jax.lax.dynamic_slice_in_dim(tokens, t, 1, 1)[:, 0]
+            logits, caches = model.apply(
+                variables, tok_t, t, caches, pre, length, method=model.decoder_step
+            )
+            nxt = jnp.argmax(logits[0], -1).astype(jnp.int32)
+            tokens = tokens.at[0, t + 1].set(nxt)
+            return t + 1, tokens, caches, nxt == eos_id
+
+        t, tokens, _, _ = jax.lax.while_loop(cond, body, (0, tokens0, caches, False))
         return tokens, t
 
     tokens, t = run(variables, audio_signal)

@@ -8,6 +8,8 @@ from lcasr_tpu.models.enc_dec_sconformer import (
     EncDecSconformerV2,
     calc_loss,
     generate_greedy,
+    generate_greedy_cached,
+    init_decoder_cache,
 )
 
 TINY = dict(
@@ -68,3 +70,44 @@ def test_generate_greedy_terminates(model_and_vars):
     ids = generate_greedy(model, variables, audio, max_generate=12, bos_id=2, eos_id=0)
     assert isinstance(ids, list) and len(ids) <= 12
     assert all(0 <= i < TINY["vocab_size"] for i in ids)
+
+
+def test_cached_step_logits_match_full_pass(model_and_vars):
+    """Per-step logits from the KV-cached incremental decoder equal the full
+    teacher-forced pass at every position (U=64 — the O(U) vs O(U²) contract,
+    reference enc_dec_sconformer_v2.py:758-1026)."""
+    model, variables = model_and_vars
+    U = 64
+    rng = np.random.default_rng(3)
+    audio = jnp.asarray(rng.normal(size=(1, 80, 128)).astype(np.float32))
+    tokens = jnp.asarray(rng.integers(2, 30, size=(1, U)).astype(np.int32))
+
+    a_hidden, _, length = model.apply(variables, audio, method=model.encode)
+    full_logits = model.apply(
+        variables, tokens, a_hidden, length, method=model.generate_step
+    )  # (1, U, V)
+
+    pre = model.apply(variables, a_hidden, length, U, method=model.decoder_precompute)
+    caches = init_decoder_cache(
+        model.decoder_layers, model.n_heads, model.head_dim, batch=1, max_len=U
+    )
+    step_logits = []
+    for t in range(U):
+        logits_t, caches = model.apply(
+            variables, tokens[:, t], t, caches, pre, length, method=model.decoder_step
+        )
+        step_logits.append(np.asarray(logits_t))
+    step_logits = np.stack(step_logits, axis=1)  # (1, U, V)
+    np.testing.assert_allclose(
+        step_logits, np.asarray(full_logits), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_generate_greedy_cached_matches_uncached(model_and_vars):
+    model, variables = model_and_vars
+    audio = jax.random.normal(jax.random.PRNGKey(2), (1, 80, 128))
+    ids_full = generate_greedy(model, variables, audio, max_generate=12, bos_id=2, eos_id=0)
+    ids_cached = generate_greedy_cached(
+        model, variables, audio, max_generate=12, bos_id=2, eos_id=0
+    )
+    assert ids_cached == ids_full
