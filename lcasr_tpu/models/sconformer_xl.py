@@ -154,6 +154,10 @@ class ConformerLayer(nn.Module):
     conv_expansion_factor: float = 1.0
     conv_norm: str = "batch_renorm"
     conv_type: str = "standard"  # 'standard' | 'longconv' (arXiv:2302.06646)
+    longconv_weight_init: str = "random"  # 'random' | 'double_exp'
+    longconv_ma_smoothing: bool = False
+    longconv_ma_window_len: int = 7
+    longconv_smooth_freq: bool = False
     default_norm: str = "layer_norm"
     sandwich_norm: bool = False
     bias_in_ff: bool = False
@@ -233,6 +237,10 @@ class ConformerLayer(nn.Module):
                     d_model=self.d_model,
                     norm_type=self.conv_norm,
                     exp_factor=self.conv_expansion_factor,
+                    weight_init=self.longconv_weight_init,
+                    use_ma_smoothing=self.longconv_ma_smoothing,
+                    ma_window_len=self.longconv_ma_window_len,
+                    smooth_freq=self.longconv_smooth_freq,
                     dtype=self.dtype,
                     name="conv",
                 )(h, pad_mask=pad_mask, train=train)
@@ -293,6 +301,10 @@ class SCConformerXL(nn.Module):
     conv_expansion_factor: float = 1.0
     conv_norm: str = "batch_renorm"
     conv_type: str = "standard"
+    longconv_weight_init: str = "random"
+    longconv_ma_smoothing: bool = False
+    longconv_ma_window_len: int = 7
+    longconv_smooth_freq: bool = False
     decoder_norm: bool = False
     use_rotary: bool = False
     rotary_base_freq: float = 10000.0
@@ -437,6 +449,10 @@ class SCConformerXL(nn.Module):
                 conv_expansion_factor=self.conv_expansion_factor,
                 conv_norm=self.conv_norm,
                 conv_type=self.conv_type,
+                longconv_weight_init=self.longconv_weight_init,
+                longconv_ma_smoothing=self.longconv_ma_smoothing,
+                longconv_ma_window_len=self.longconv_ma_window_len,
+                longconv_smooth_freq=self.longconv_smooth_freq,
                 default_norm=self.default_norm,
                 sandwich_norm=self.sandwich_norm,
                 bias_in_ff=self.bias_in_ff,
