@@ -69,6 +69,20 @@ def _block_in_band(q_start, k_start, block_q, block_k, window, q_len, kv_hi):
     return in_band
 
 
+def _block_fully_valid(q_start, k_start, block_q, block_k, window, q_len, kv_hi):
+    """True iff EVERY (row, col) of the tile passes `_block_band_mask` — the
+    interior-tile fast path: masks (iota + compares + selects) are VPU work
+    that rivals the MXU time at D=128, so interior tiles skip them entirely
+    and only boundary tiles pay the masking cost."""
+    left, right = window
+    ok = jnp.logical_and(k_start + block_k <= kv_hi, q_start + block_q <= q_len)
+    if right >= 0:
+        ok = jnp.logical_and(ok, k_start + block_k - 1 <= q_start + right)
+    if left >= 0:
+        ok = jnp.logical_and(ok, k_start >= q_start + block_q - 1 - left)
+    return ok
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -85,7 +99,6 @@ def _fwd_kernel(
     m_ref,  # VMEM scratch (BQ, 128) f32
     l_ref,  # VMEM scratch (BQ, 128) f32
     *,
-    scale: float,
     block_q: int,
     block_k: int,
     window: Tuple[int, int],
@@ -119,29 +132,45 @@ def _fwd_kernel(
 
     @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, q_len, kv_hi))
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)  # (BQ, D)
-        k = k_ref[0, 0].astype(jnp.float32)  # (BK, D)
-        v = v_ref[0, 0].astype(jnp.float32)
+        # matmuls run in the INPUT dtype (bf16 on the training path) with fp32
+        # accumulation — the MXU's native mode.  q arrives PRE-SCALED by the
+        # softmax scale (folded in once outside the kernel), so the score tile
+        # needs no per-element multiply.  Softmax statistics stay fp32.
+        q = q_ref[0, 0]  # (BQ, D)
+        k = k_ref[0, 0]  # (BK, D)
+        v = v_ref[0, 0]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (BQ, BK)
-        mask = _block_band_mask(q_start, k_start, block_q, block_k, window, q_len, kv_hi)
-        s = jnp.where(mask, s, NEG_INF)
-
+        )  # (BQ, BK) f32
         m_prev = m_ref[:, 0:1]  # (BQ, 1)
         l_prev = l_ref[:, 0:1]
-        m_cur = s.max(axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+
+        def _masked(s):
+            mask = _block_band_mask(q_start, k_start, block_q, block_k, window, q_len, kv_hi)
+            s = jnp.where(mask, s, NEG_INF)
+            m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
+            return m_new, jnp.where(mask, jnp.exp(s - m_new), 0.0)
+
+        def _fast(s):  # interior tile: no masking VPU work at all
+            m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
+            return m_new, jnp.exp(s - m_new)
+
+        m_new, p = jax.lax.cond(
+            _block_fully_valid(q_start, k_start, block_q, block_k, window, q_len, kv_hi),
+            _fast, _masked, s,
+        )
         corr = jnp.exp(m_prev - m_new)
         l_new = l_prev * corr + p.sum(axis=1, keepdims=True)
 
         acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        # single-lane stores (writing all 128 lanes costs ~128 vreg writes
+        # per step — measurable at 1 step/µs)
+        m_ref[:, 0:1] = m_new
+        l_ref[:, 0:1] = l_new
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
@@ -187,6 +216,10 @@ def _fwd(q, k, v, lengths, q_offset, window, scale, block_q, block_k):
     B, H, Tq, D = q.shape
     Tk = k.shape[2]
     nQ, nK = Tq // block_q, Tk // block_k
+    # fold the softmax scale into q once (saves a per-element multiply on
+    # every (BQ, BK) score tile inside the kernel); the backward recomputes
+    # scores from the SAME scaled q so fwd/bwd see identical logits
+    q = q * jnp.asarray(scale, q.dtype)
 
     left, right = window
     banded = left >= 0 and right >= 0
@@ -199,7 +232,6 @@ def _fwd(q, k, v, lengths, q_offset, window, scale, block_q, block_k):
 
     kernel = functools.partial(
         _fwd_kernel,
-        scale=scale,
         block_q=block_q,
         block_k=block_k,
         window=window,
@@ -259,7 +291,6 @@ def _bwd_dq_kernel(
     dq_ref,
     dq_acc,
     *,
-    scale: float,
     block_q: int,
     block_k: int,
     window: Tuple[int, int],
@@ -282,31 +313,48 @@ def _bwd_dq_kernel(
         k_start = (start_blk + ki) * block_k + qoff_ref[1]
     else:
         k_start = ki * block_k + qoff_ref[1]
-    kv_len = lengths_ref[b]
-    if banded:
-        kv_len = jnp.minimum(kv_len, qoff_ref[1] + kv_extent)
+    # two DISTINCT bounds (mirroring the forward): q-row validity is the raw
+    # sequence length; the column bound additionally clamps to the local KV
+    # extent so clamped virtual band blocks never contribute.  Conflating
+    # them (as round 1 did) masks valid q rows past kv_offset+kv_extent when
+    # BOTH offsets are nonzero (ring attention backward).
+    q_len = lengths_ref[b]
+    kv_hi = jnp.minimum(q_len, qoff_ref[1] + kv_extent) if banded else q_len
 
-    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len, kv_len))
+    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, q_len, kv_hi))
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        # bf16 MXU matmuls with fp32 accumulation; q arrives pre-scaled
+        # (dq therefore needs a final *scale OUTSIDE the kernel — done by
+        # _bwd_rule), interior tiles skip masking (see _fwd_kernel notes)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0][:, 0:1]  # (BQ, 1)
         delta = delta_ref[0, 0][:, 0:1]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        mask = _block_band_mask(q_start, k_start, block_q, block_k, window, kv_len, kv_len)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        )
 
+        def _masked(s):
+            mask = _block_band_mask(q_start, k_start, block_q, block_k, window, q_len, kv_hi)
+            return jnp.where(mask, jnp.exp(s - lse), 0.0)
+
+        def _fast(s):  # fully-valid tile: lse finite on every row
+            return jnp.exp(s - lse)
+
+        p = jax.lax.cond(
+            _block_fully_valid(q_start, k_start, block_q, block_k, window, q_len, kv_hi),
+            _fast, _masked, s,
+        )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
-        ds = p * (dp - delta) * scale
+        ds = p * (dp - delta)
         dq_acc[:] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     @pl.when(ki == num_k_blocks - 1)
@@ -321,7 +369,6 @@ def _bwd_dkv_kernel(
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *,
-    scale: float,
     block_q: int,
     block_k: int,
     window: Tuple[int, int],
@@ -358,28 +405,42 @@ def _bwd_dkv_kernel(
 
     @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len_q, kv_len))
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        # bf16 MXU matmuls with fp32 accumulation; q arrives pre-scaled, so
+        # dk = ds^T @ (scale*q) is ALREADY the true gradient (no epilogue);
+        # interior tiles skip masking (see _fwd_kernel notes)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0][:, 0:1]  # (BQ, 1)
         delta = delta_ref[0, 0][:, 0:1]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (BQ, BK)
-        mask = _block_band_mask(q_start, k_start, block_q, block_k, window, kv_len_q, kv_len)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        )  # (BQ, BK)
 
+        def _masked(s):
+            mask = _block_band_mask(q_start, k_start, block_q, block_k, window, kv_len_q, kv_len)
+            return jnp.where(mask, jnp.exp(s - lse), 0.0)
+
+        def _fast(s):
+            return jnp.exp(s - lse)
+
+        p = jax.lax.cond(
+            _block_fully_valid(q_start, k_start, block_q, block_k, window, kv_len_q, kv_len),
+            _fast, _masked, s,
+        )
         dv_acc[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # (BK, D)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta) * scale
+        ds = p * (dp - delta)
         dk_acc[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # (BK, D)
 
     @pl.when(qi == num_q_blocks - 1)
@@ -395,6 +456,16 @@ def _fwd_rule(q, k, v, lengths, q_offset, window, scale, block_q, block_k):
 
 def _bwd_rule(window, scale, block_q, block_k, residuals, do):
     q, k, v, lengths, q_offset, o, lse = residuals
+    return _bwd_impl(q, k, v, lengths, q_offset, o, lse, do, window, scale, block_q, block_k) + (None, None)
+
+
+def _bwd_impl(q, k, v, lengths, q_offset, o, lse, do, window, scale, block_q, block_k):
+    """Flash-attention backward on (B, H, T, D) blocks with an EXTERNAL
+    (o, lse) pair — reused by the custom VJP and by ring attention, whose
+    merged global lse makes per-KV-block gradient contributions exact."""
+    # kernels recompute scores from the pre-scaled q (matching the forward);
+    # dk comes out exact, dq needs the chain-rule *scale applied at the end
+    q = q * jnp.asarray(scale, q.dtype)
     B, H, T, D = q.shape
     Tk = k.shape[2]
     nQ, nK = T // block_q, Tk // block_k
@@ -421,7 +492,7 @@ def _bwd_rule(window, scale, block_q, block_k, residuals, do):
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel,
-            scale=scale, block_q=block_q, block_k=block_k, window=window,
+            block_q=block_q, block_k=block_k, window=window,
             num_k_blocks=nK_band, banded=banded, kv_extent=Tk,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -444,6 +515,7 @@ def _bwd_rule(window, scale, block_q, block_k, residuals, do):
         ),
         interpret=_interpret(),
     )(lengths, q_offset, q, k, v, do, lse_q, delta_q)[0]
+    dq = (dq.astype(jnp.float32) * scale).astype(q.dtype)
 
     kqspec_q = lambda b, h, ki, qi, *s: (b, h, qi, 0)
     kqspec_k = lambda b, h, ki, qi, *s: (b, h, ki, 0)
@@ -458,7 +530,7 @@ def _bwd_rule(window, scale, block_q, block_k, residuals, do):
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel,
-            scale=scale, block_q=block_q, block_k=block_k, window=window,
+            block_q=block_q, block_k=block_k, window=window,
             num_q_blocks=nQ_band, banded=banded, q_extent=T,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -491,7 +563,7 @@ def _bwd_rule(window, scale, block_q, block_k, residuals, do):
         interpret=_interpret(),
     )(lengths, q_offset, q, k, v, do, lse_q, delta_q)
 
-    return dq, dk, dv, None, None
+    return dq, dk, dv
 
 
 _flash_attention_bhtd.defvjp(_fwd_rule, _bwd_rule)
@@ -595,3 +667,60 @@ def flash_attention_with_lse(
     o, lse128 = _fwd(qt, kt, vt, lengths_arr, jnp.stack([qo, ko]), window, scale, block_q, block_k)
     out = jnp.swapaxes(o[:, :, :T], 1, 2)
     return out, lse128[:, :, :T, 0]
+
+
+def flash_attention_bwd(
+    q: jnp.ndarray,  # (B, Tq, H, D)
+    k: jnp.ndarray,  # (B, Tk, H, D)
+    v: jnp.ndarray,
+    o: jnp.ndarray,  # (B, Tq, H, D) — the MERGED output (e.g. across ring steps)
+    lse: jnp.ndarray,  # (B, H, Tq) — merged log-sum-exp (NEG_INF on masked rows)
+    do: jnp.ndarray,  # (B, Tq, H, D)
+    lengths: Optional[jnp.ndarray] = None,
+    window: Tuple[int, int] = (-1, -1),
+    softmax_scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    q_offset: Optional[jnp.ndarray] = None,
+    kv_offset: Optional[jnp.ndarray] = None,
+):
+    """Backward pass with an external (o, lse) pair: returns (dq, dk, dv).
+
+    Because p = exp(s − lse) is the GLOBAL attention probability when lse is
+    the cross-block merged log-sum-exp, calling this once per KV block with
+    the same merged (o, lse, do) yields exact per-block dk/dv and summable dq
+    contributions — the ring-attention backward."""
+    B, T, H, D = q.shape
+    Tk = k.shape[1]
+    scale = softmax_scale if softmax_scale is not None else D ** -0.5
+    t_pow2 = max(128, 1 << (max(T, Tk) - 1).bit_length())
+    block_q = min(block_q, t_pow2)
+    block_k = min(block_k, t_pow2)
+    if lengths is None:
+        lengths_arr = jnp.full((B,), Tk, dtype=jnp.int32)
+    else:
+        lengths_arr = lengths.astype(jnp.int32)
+
+    qt, kt, vt, ot, dot_ = (jnp.swapaxes(a, 1, 2) for a in (q, k, v, o, do))
+    blk = max(block_q, block_k)
+    T_pad = _cdiv(T, blk) * blk
+    Tk_pad = _cdiv(Tk, blk) * blk
+    lse128 = jnp.broadcast_to(lse[..., None], (B, H, T, 128)).astype(jnp.float32)
+    if T_pad != T:
+        qt, ot, dot_ = (_pad_to(a, 2, T_pad) for a in (qt, ot, dot_))
+        # padded q rows must carry NEG_INF lse so p stays 0 there
+        lse128 = jnp.pad(lse128, ((0, 0), (0, 0), (0, T_pad - T), (0, 0)), constant_values=NEG_INF)
+    if Tk_pad != Tk:
+        kt = _pad_to(kt, 2, Tk_pad)
+        vt = _pad_to(vt, 2, Tk_pad)
+
+    qo = jnp.zeros((), jnp.int32) if q_offset is None else jnp.asarray(q_offset, jnp.int32).reshape(())
+    ko = jnp.zeros((), jnp.int32) if kv_offset is None else jnp.asarray(kv_offset, jnp.int32).reshape(())
+    dq, dk, dv = _bwd_impl(
+        qt, kt, vt, lengths_arr, jnp.stack([qo, ko]), ot, lse128, dot_,
+        window, scale, block_q, block_k,
+    )
+    dq = jnp.swapaxes(dq[:, :, :T], 1, 2)
+    dk = jnp.swapaxes(dk[:, :, :Tk], 1, 2)
+    dv = jnp.swapaxes(dv[:, :, :Tk], 1, 2)
+    return dq, dk, dv

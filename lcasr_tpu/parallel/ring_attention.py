@@ -12,11 +12,19 @@ window banding and length masks stay exact in global coordinates; with a
 local window most steps are fully out of band and the kernel's block-sparse
 skip turns them into (near) no-ops while the ppermute still pipelines.
 
+Differentiable: a custom VJP implements the ring BACKWARD — because the
+merged global lse makes p = exp(s − lse) the true attention probability,
+each KV block's (dk, dv) and each step's dq contribution are exact
+(`lcasr_tpu.ops.flash_attention.flash_attention_bwd`); the (dk, dv)
+accumulators rotate around the ring WITH their kv blocks and arrive back at
+the owning shard after n steps.
+
 Peak memory: O(T/n) KV per device (vs O(T) for the gather variant); comm:
 same total bytes but overlapped with compute step by step over ICI.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -24,7 +32,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from lcasr_tpu.ops.flash_attention import flash_attention_with_lse
+from lcasr_tpu.ops.flash_attention import (
+    flash_attention_bwd,
+    flash_attention_with_lse,
+)
 
 NEG_INF = -1e30
 
@@ -40,6 +51,99 @@ def _merge(num, den, m, o_s, lse_s):
     num = num * scale_old + o_s.astype(jnp.float32) * scale_new
     den = den * scale_old + scale_new
     return num, den, m_new
+
+
+def _ring_fwd_local(q_l, k_l, v_l, lengths_g, *, window, softmax_scale, t_local, seq_axis):
+    """Local ring forward.  Returns (out_l, lse_l) with lse_l (B, H, t_local)
+    the MERGED global log-sum-exp (NEG_INF on fully-masked rows)."""
+    B, _, H, D = q_l.shape
+    idx = jax.lax.axis_index(seq_axis)
+    n = jax.lax.axis_size(seq_axis)
+    q_off = idx * t_local
+
+    perm = [(i, (i + 1) % n) for i in range(n)]  # send to right neighbor
+
+    def step(carry, s):
+        k_cur, v_cur, num, den, m = carry
+        # block currently held originated at shard (idx - s) mod n
+        kv_off = ((idx - s) % n) * t_local
+        o_s, lse_s = flash_attention_with_lse(
+            q_l, k_cur, v_cur,
+            lengths=lengths_g,
+            window=window,
+            softmax_scale=softmax_scale,
+            q_offset=q_off,
+            kv_offset=kv_off,
+        )
+        num, den, m = _merge(num, den, m, o_s, lse_s)
+        # rotate KV for the next step (the final rotation restores ownership)
+        k_nxt = jax.lax.ppermute(k_cur, seq_axis, perm)
+        v_nxt = jax.lax.ppermute(v_cur, seq_axis, perm)
+        return (k_nxt, v_nxt, num, den, m), None
+
+    num0 = jnp.zeros((B, t_local, H, D), jnp.float32)
+    den0 = jnp.zeros((B, t_local, H, 1), jnp.float32)
+    m0 = jnp.full((B, t_local, H, 1), NEG_INF, jnp.float32)
+    (k_f, v_f, num, den, m), _ = jax.lax.scan(
+        step, (k_l, v_l, num0, den0, m0), jnp.arange(n)
+    )
+    out = jnp.where(den > 0.0, num / jnp.maximum(den, 1e-37), 0.0).astype(q_l.dtype)
+    lse = jnp.where(den > 0.0, m + jnp.log(jnp.maximum(den, 1e-37)), NEG_INF)
+    lse = jnp.swapaxes(lse[..., 0], 1, 2)  # (B, H, t_local)
+    return out, lse
+
+
+def _make_ring_local(window, softmax_scale, t_local, seq_axis):
+    fwd_kw = dict(window=window, softmax_scale=softmax_scale,
+                  t_local=t_local, seq_axis=seq_axis)
+
+    @jax.custom_vjp
+    def ring_local(q_l, k_l, v_l, lengths_g):
+        out, _ = _ring_fwd_local(q_l, k_l, v_l, lengths_g, **fwd_kw)
+        return out
+
+    def fwd(q_l, k_l, v_l, lengths_g):
+        out, lse = _ring_fwd_local(q_l, k_l, v_l, lengths_g, **fwd_kw)
+        return out, (q_l, k_l, v_l, lengths_g, out, lse)
+
+    def bwd(res, do):
+        q_l, k_l, v_l, lengths_g, out_l, lse_l = res
+        idx = jax.lax.axis_index(seq_axis)
+        n = jax.lax.axis_size(seq_axis)
+        q_off = idx * t_local
+        perm = [(i, (i + 1) % n) for i in range(n)]
+
+        def step(carry, s):
+            k_cur, v_cur, dk_cur, dv_cur, dq = carry
+            kv_off = ((idx - s) % n) * t_local
+            dq_s, dk_s, dv_s = flash_attention_bwd(
+                q_l, k_cur, v_cur, out_l, lse_l, do,
+                lengths=lengths_g,
+                window=window,
+                softmax_scale=softmax_scale,
+                q_offset=q_off,
+                kv_offset=kv_off,
+            )
+            dq = dq + dq_s.astype(jnp.float32)
+            dk_cur = dk_cur + dk_s.astype(jnp.float32)
+            dv_cur = dv_cur + dv_s.astype(jnp.float32)
+            # the (dk, dv) accumulators travel WITH their kv block; after n
+            # rotations both are back at the owning shard
+            k_nxt = jax.lax.ppermute(k_cur, seq_axis, perm)
+            v_nxt = jax.lax.ppermute(v_cur, seq_axis, perm)
+            dk_nxt = jax.lax.ppermute(dk_cur, seq_axis, perm)
+            dv_nxt = jax.lax.ppermute(dv_cur, seq_axis, perm)
+            return (k_nxt, v_nxt, dk_nxt, dv_nxt, dq), None
+
+        zeros = jnp.zeros(k_l.shape, jnp.float32)
+        dq0 = jnp.zeros(q_l.shape, jnp.float32)
+        (k_f, v_f, dk, dv, dq), _ = jax.lax.scan(
+            step, (k_l, v_l, zeros, zeros, dq0), jnp.arange(n)
+        )
+        return dq.astype(q_l.dtype), dk.astype(k_l.dtype), dv.astype(v_l.dtype), None
+
+    ring_local.defvjp(fwd, bwd)
+    return ring_local
 
 
 def ring_attention(
@@ -60,39 +164,7 @@ def ring_attention(
     if lengths is None:
         lengths = jnp.full((B,), T, jnp.int32)
 
-    def local_fn(q_l, k_l, v_l, lengths_g):
-        idx = jax.lax.axis_index(seq_axis)
-        n = jax.lax.axis_size(seq_axis)
-        q_off = idx * t_local
-
-        perm = [(i, (i + 1) % n) for i in range(n)]  # send to right neighbor
-
-        def step(carry, s):
-            k_cur, v_cur, num, den, m = carry
-            # block currently held originated at shard (idx - s) mod n
-            kv_off = ((idx - s) % n) * t_local
-            o_s, lse_s = flash_attention_with_lse(
-                q_l, k_cur, v_cur,
-                lengths=lengths_g,
-                window=window,
-                softmax_scale=softmax_scale,
-                q_offset=q_off,
-                kv_offset=kv_off,
-            )
-            num, den, m = _merge(num, den, m, o_s, lse_s)
-            # rotate KV for the next step (skipped result on the last step)
-            k_nxt = jax.lax.ppermute(k_cur, seq_axis, perm)
-            v_nxt = jax.lax.ppermute(v_cur, seq_axis, perm)
-            return (k_nxt, v_nxt, num, den, m), None
-
-        num0 = jnp.zeros((B, t_local, H, D), jnp.float32)
-        den0 = jnp.zeros((B, t_local, H, 1), jnp.float32)
-        m0 = jnp.full((B, t_local, H, 1), NEG_INF, jnp.float32)
-        (k_f, v_f, num, den, m), _ = jax.lax.scan(
-            step, (k_l, v_l, num0, den0, m0), jnp.arange(n)
-        )
-        out = jnp.where(den > 0.0, num / jnp.maximum(den, 1e-37), 0.0)
-        return out.astype(q_l.dtype)
+    local_fn = _make_ring_local(window, softmax_scale, t_local, seq_axis)
 
     seq_sharded = P(None, seq_axis, None, None)
     return shard_map(
