@@ -66,6 +66,7 @@ def evaluate(
     dataset_kwargs: Optional[Dict[str, Any]] = None,
     verbose: bool = True,
     skip_recordings: Optional[set] = None,
+    transfer_dtype: Optional[str] = None,  # 'bfloat16' (default) | 'int8' | 'float32'
 ) -> Dict[str, Any]:
     import jax
     import jax.numpy as jnp
@@ -100,7 +101,8 @@ def evaluate(
         model_fn = make_windowed_model_fn(model, variables)
     else:
         streamer = StreamingDecoder(
-            model, variables, n_classes, subsampling_factor=subsampling_factor
+            model, variables, n_classes, subsampling_factor=subsampling_factor,
+            transfer_dtype=transfer_dtype,
         )
 
     decoder = GreedyCTCDecoder(tokenizer, blank_id=n_classes - 1)
@@ -184,6 +186,11 @@ def main():
         default="averaged_moving_window",
         choices=["averaged_moving_window", "windowed_attention", "buffered"],
     )
+    parser.add_argument(
+        "--transfer_dtype", default=None, choices=["bfloat16", "int8", "float32"],
+        help="spectrogram upload dtype (int8 halves link traffic on "
+             "remote-attached chips; dequantized once on device)",
+    )
     parser.add_argument("--dataset_base_path", default=None)
     parser.add_argument(
         "--dataset_kwargs", nargs="*", default=[],
@@ -204,6 +211,7 @@ def main():
         overlap=args.overlap,
         evaluation_mode=args.evaluation_mode,
         dataset_kwargs=dk,
+        transfer_dtype=args.transfer_dtype,
     )
 
 

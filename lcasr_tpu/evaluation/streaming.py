@@ -93,7 +93,11 @@ class StreamingDecoder:
         import jax
         import jax.numpy as jnp
 
-        self.transfer_dtype = transfer_dtype if transfer_dtype is not None else jnp.bfloat16
+        if transfer_dtype is None:
+            transfer_dtype = jnp.bfloat16
+        elif isinstance(transfer_dtype, str) and transfer_dtype != "int8":
+            transfer_dtype = jnp.dtype(transfer_dtype)  # 'bfloat16'/'float32'
+        self.transfer_dtype = transfer_dtype
 
         self.jax, self.jnp = jax, jnp
         self.model = model
@@ -201,10 +205,15 @@ class StreamingDecoder:
                 return jnp.argmax(avg, -1)
             return jnp.log(avg)
 
+        @jax.jit
+        def dequant(spec_i8, scale):
+            return spec_i8.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)
+
         self._step = step
         self._fused_run = fused_run
         self._finalize_logits = finalize_logits
         self._finalize_argmax = finalize_argmax
+        self._dequant = dequant
 
     def _run(self, spec: np.ndarray, seq_len: int, overlap: int,
              fused: bool = True, mode: str = "logits"):
@@ -236,9 +245,19 @@ class StreamingDecoder:
         # normalized, so ~3 decimal digits lose nothing audible).  The cast
         # happens on HOST via numpy/ml_dtypes — jnp.asarray(np, bf16) routes
         # through a slow device-side elementwise path (measured 19 ms host
-        # vs ~8 s device through the tunnel).
-        host = spec.astype(np.dtype(self.transfer_dtype))
-        spec_dev = self.jax.device_put(host)
+        # vs ~8 s device through the tunnel).  transfer_dtype='int8' halves
+        # it again: symmetric per-recording quantization on host, ONE
+        # device-side dequant back to bf16 — the step functions never see
+        # the quantized array.
+        if self.transfer_dtype in ("int8", np.int8, self.jnp.int8):
+            scale = float(np.abs(spec).max()) / 127.0 or 1.0
+            host = np.clip(np.rint(spec / scale), -127, 127).astype(np.int8)
+            spec_dev = self._dequant(
+                self.jax.device_put(host), self.jnp.float32(scale)
+            )
+        else:
+            host = spec.astype(np.dtype(self.transfer_dtype))
+            spec_dev = self.jax.device_put(host)
 
         # clamp the window batch to the actual window count — otherwise a
         # single-window decode (windowed-attention mode over a full 20-min

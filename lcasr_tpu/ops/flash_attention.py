@@ -32,29 +32,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# tuned on v5e at 46k tokens, D=128 (benchmarks/RESULTS_r2_kernels.jsonl):
+# (512, 1024) gives 134 TFLOP/s fwd / 92 bwd vs 78/70 at (512, 512);
+# (1024, 1024) exceeds the 16 MB VMEM scoped limit
 DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_K = 1024
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
-
-
-def _block_band_mask(q_start, k_start, block_q, block_k, window, q_len, kv_hi):
-    """(BQ, BK) validity mask for one score tile: key bounds + window band +
-    query-row padding (padded q rows fully masked → zero output rows).
-
-    q_len: global sequence length (row validity); kv_hi: upper bound on
-    valid key columns (min(q_len, local-KV extent) under banding/CP)."""
-    left, right = window
-    rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-    cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    mask = (cols < kv_hi) & (rows < q_len)
-    if right >= 0:
-        mask &= cols <= rows + right
-    if left >= 0:
-        mask &= cols >= rows - left
-    return mask
 
 
 def _block_in_band(q_start, k_start, block_q, block_k, window, q_len, kv_hi):
@@ -69,18 +55,42 @@ def _block_in_band(q_start, k_start, block_q, block_k, window, q_len, kv_hi):
     return in_band
 
 
-def _block_fully_valid(q_start, k_start, block_q, block_k, window, q_len, kv_hi):
-    """True iff EVERY (row, col) of the tile passes `_block_band_mask` — the
-    interior-tile fast path: masks (iota + compares + selects) are VPU work
-    that rivals the MXU time at D=128, so interior tiles skip them entirely
-    and only boundary tiles pay the masking cost."""
+def _apply_score_masks(s, q_start, k_start, block_q, block_k, window, kv_hi):
+    """Masking as ADDITIVE biases on the fp32 score tile — no boolean mask
+    tensors, no data-dependent branching (an in-kernel `lax.cond` was
+    measured to halve throughput by blocking Mosaic's pipeline):
+
+      * column validity: a (1, BK) bias broadcast-added (cols ≥ kv_hi →
+        NEG_INF),
+      * window banding: the relative-position tile is a CONSTANT iota plus
+        the scalar (q_start − k_start), so the band costs ~3 vector ops.
+
+    Row validity is handled by the callers (a (BQ, 1) multiplier / select),
+    NOT here — biased scores on invalid rows stay finite and are zeroed
+    after the exp."""
+    cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+    s = s + jnp.where(cols < kv_hi, 0.0, NEG_INF)
     left, right = window
-    ok = jnp.logical_and(k_start + block_k <= kv_hi, q_start + block_q <= q_len)
-    if right >= 0:
-        ok = jnp.logical_and(ok, k_start + block_k - 1 <= q_start + right)
-    if left >= 0:
-        ok = jnp.logical_and(ok, k_start >= q_start + block_q - 1 - left)
-    return ok
+    if left >= 0 or right >= 0:
+        rel = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            - jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            + (q_start - k_start)
+        )  # rows − cols in global coordinates
+        band = None
+        if right >= 0:
+            band = rel >= -right
+        if left >= 0:
+            cond = rel <= left
+            band = cond if band is None else jnp.logical_and(band, cond)
+        s = s + jnp.where(band, 0.0, NEG_INF)
+    return s
+
+
+def _row_valid(q_start, block_q, q_len):
+    """(BQ, 1) bool: global query row < q_len."""
+    rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+    return rows < q_len
 
 
 # ---------------------------------------------------------------------------
@@ -143,23 +153,13 @@ def _fwd_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK) f32
+        s = _apply_score_masks(s, q_start, k_start, block_q, block_k, window, kv_hi)
         m_prev = m_ref[:, 0:1]  # (BQ, 1)
         l_prev = l_ref[:, 0:1]
-
-        def _masked(s):
-            mask = _block_band_mask(q_start, k_start, block_q, block_k, window, q_len, kv_hi)
-            s = jnp.where(mask, s, NEG_INF)
-            m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
-            return m_new, jnp.where(mask, jnp.exp(s - m_new), 0.0)
-
-        def _fast(s):  # interior tile: no masking VPU work at all
-            m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
-            return m_new, jnp.exp(s - m_new)
-
-        m_new, p = jax.lax.cond(
-            _block_fully_valid(q_start, k_start, block_q, block_k, window, q_len, kv_hi),
-            _fast, _masked, s,
-        )
+        m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
+        # invalid query rows keep FINITE biased scores; the (BQ, 1) row
+        # multiplier zeroes their p so l stays 0 → zero output rows + -inf lse
+        p = jnp.exp(s - m_new) * _row_valid(q_start, block_q, q_len).astype(jnp.float32)
         corr = jnp.exp(m_prev - m_new)
         l_new = l_prev * corr + p.sum(axis=1, keepdims=True)
 
@@ -336,18 +336,10 @@ def _bwd_dq_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-
-        def _masked(s):
-            mask = _block_band_mask(q_start, k_start, block_q, block_k, window, q_len, kv_hi)
-            return jnp.where(mask, jnp.exp(s - lse), 0.0)
-
-        def _fast(s):  # fully-valid tile: lse finite on every row
-            return jnp.exp(s - lse)
-
-        p = jax.lax.cond(
-            _block_fully_valid(q_start, k_start, block_q, block_k, window, q_len, kv_hi),
-            _fast, _masked, s,
-        )
+        s = _apply_score_masks(s, q_start, k_start, block_q, block_k, window, kv_hi)
+        # invalid rows carry lse = NEG_INF → exp overflows to +inf there; a
+        # SELECT (not a multiply) discards it without producing inf·0 = NaN
+        p = jnp.where(_row_valid(q_start, block_q, q_len), jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
@@ -418,18 +410,8 @@ def _bwd_dkv_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
-
-        def _masked(s):
-            mask = _block_band_mask(q_start, k_start, block_q, block_k, window, kv_len_q, kv_len)
-            return jnp.where(mask, jnp.exp(s - lse), 0.0)
-
-        def _fast(s):
-            return jnp.exp(s - lse)
-
-        p = jax.lax.cond(
-            _block_fully_valid(q_start, k_start, block_q, block_k, window, kv_len_q, kv_len),
-            _fast, _masked, s,
-        )
+        s = _apply_score_masks(s, q_start, k_start, block_q, block_k, window, kv_len)
+        p = jnp.where(_row_valid(q_start, block_q, kv_len_q), jnp.exp(s - lse), 0.0)
         dv_acc[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

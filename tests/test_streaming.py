@@ -128,3 +128,23 @@ def test_subsampled_length_matches_model_lengths():
             got = subsampled_length(T, 8, mode, window_t=T)
             assert got == int(out["length"][0]) == out["final_posteriors"].shape[1], (
                 mode, T, got, int(out["length"][0]))
+
+
+def test_int8_transfer_decode_matches_float(model_and_vars):
+    """int8 spectrogram upload (per-recording symmetric quantization, one
+    device-side dequant): greedy ids identical and averaged logits close to
+    the float32-transfer path."""
+    model, variables = model_and_vars
+    rng = np.random.default_rng(7)
+    spec = rng.normal(size=(1, 80, 700)).astype(np.float32)
+
+    dec_f = StreamingDecoder(model, variables, N_CLASSES, transfer_dtype=jnp.float32)
+    dec_q = StreamingDecoder(model, variables, N_CLASSES, transfer_dtype="int8")
+    lf = dec_f.logits(spec, seq_len=256, overlap=192)
+    lq = dec_q.logits(spec, seq_len=256, overlap=192)
+    assert lf.shape == lq.shape
+    np.testing.assert_allclose(np.asarray(lq), np.asarray(lf), atol=0.15)
+    # int8 is lossy: near-tie frames may flip argmax (random weights make
+    # ties common); bound the disagreement instead of requiring identity
+    af, aq = np.asarray(lf).argmax(-1), np.asarray(lq).argmax(-1)
+    assert (af != aq).mean() <= 0.02
