@@ -199,11 +199,32 @@ class SimpleDataloader:
     def __len__(self) -> int:
         return -(-len(self.dataset) // self.batch_size)
 
+    def _load_items(self, lo: int, hi: int):
+        """Load dataset items [lo, hi) — through the native parallel .npy
+        reader (C++ thread pool, one thread per file, GIL released) when all
+        specs in the batch are .npy; python fallback otherwise."""
+        paths = [self.dataset.pairs["audio"][j] for j in range(lo, hi)]
+        if all(p.endswith(".npy") for p in paths):
+            from lcasr_tpu.native import load_npy_native
+
+            mod = load_npy_native()
+            if mod is not None:
+                specs = mod.read_npy_batch(paths, min(8, len(paths)))
+                items = []
+                for off, j in enumerate(range(lo, hi)):
+                    audio = np.asarray(specs[off], dtype=np.float32)
+                    if audio.ndim == 3:
+                        audio = audio[0]
+                    txt = load_json(self.dataset.pairs["txt"][j])
+                    words = txt["results"][-1]["alternatives"][0]["words"]
+                    items.append((audio.T, words, self.dataset.pairs["id"][j]))
+                return items
+        return [self.dataset[j] for j in range(lo, hi)]
+
     def _iter_sync(self):
         n = len(self.dataset)
         for i in range(0, n, self.batch_size):
-            items = [self.dataset[j] for j in range(i, min(i + self.batch_size, n))]
-            yield collate(items)
+            yield collate(self._load_items(i, min(i + self.batch_size, n)))
 
     def __iter__(self):
         if not self.prefetch:
