@@ -12,9 +12,13 @@ standard BPE greedy best-merge encoder that sentencepiece's BPE mode uses:
 repeatedly merge the adjacent symbol pair whose concatenation is the
 highest-scoring piece in the vocab, ties broken by leftmost position.
 
-Normalization approximates `nmt_nfkc_cf` with NFKC + casefold + whitespace
-collapsing, which is exact for the ASCII-dominated transcripts this framework
-targets (the precompiled charsmap differs only on exotic codepoints).
+Normalization is EXACT `nmt_nfkc_cf`: the artifact's NormalizerSpec embeds the
+precompiled charsmap (a Darts double-array trie over utf-8 keys + a pool of
+null-terminated replacements), and `PrecompiledCharsmap` implements the
+longest-prefix-match rewrite sentencepiece applies, followed by the
+remove_extra_whitespaces collapse.  `normalize_nmt_nfkc_cf` (NFKC + casefold +
+whitespace) remains as the fallback for models whose spec carries no charsmap
+(e.g. tokenizers trained by data/train_tokenizer.py).
 """
 from __future__ import annotations
 
@@ -84,6 +88,108 @@ def parse_sentencepiece_model(path: str) -> List[Tuple[str, float, int]]:
     return pieces
 
 
+def parse_normalizer_spec(path: str) -> Tuple[str, bytes]:
+    """Return (name, precompiled_charsmap) from ModelProto.normalizer_spec
+    (field 3: {name = 1, precompiled_charsmap = 2})."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    name, charsmap = "", b""
+    for field, wire, val in _parse_fields(blob):
+        if field == 3 and wire == 2:
+            for f2, w2, v2 in _parse_fields(val):
+                if f2 == 1 and w2 == 2:
+                    name = v2.decode("utf-8")
+                elif f2 == 2 and w2 == 2:
+                    charsmap = v2
+    return name, charsmap
+
+
+class PrecompiledCharsmap:
+    """Exact sentencepiece normalization from a precompiled charsmap blob.
+
+    Layout: uint32 trie_size | Darts double-array units (uint32 each) |
+    replacement pool (null-terminated utf-8 strings).  Rewrite = repeated
+    longest-prefix match over the utf-8 bytes (unmatched valid characters
+    copy through; invalid bytes become U+FFFD), exactly mirroring
+    sentencepiece's Normalizer::NormalizePrefix.
+    """
+
+    def __init__(self, blob: bytes):
+        import array
+
+        (trie_bytes,) = struct.unpack("<I", blob[:4])
+        units = array.array("I")
+        units.frombytes(blob[4 : 4 + trie_bytes])
+        self._units = units
+        self._pool = blob[4 + trie_bytes :]
+
+    # Darts double-array unit accessors (darts-clone encoding)
+    @staticmethod
+    def _offset(u: int) -> int:
+        return (u >> 10) << ((u & (1 << 9)) >> 6)
+
+    @staticmethod
+    def _label(u: int) -> int:
+        return u & ((1 << 31) | 0xFF)
+
+    @staticmethod
+    def _has_leaf(u: int) -> bool:
+        return bool((u >> 8) & 1)
+
+    def _longest_match(self, data: bytes, pos: int) -> Tuple[int, int]:
+        """Longest trie match starting at data[pos] → (length, value) or
+        (0, -1)."""
+        units = self._units
+        node = self._offset(units[0])
+        best_len, best_val = 0, -1
+        for i in range(pos, len(data)):
+            c = data[i]
+            nxt = node ^ c
+            if nxt >= len(units):
+                break
+            unit = units[nxt]
+            if self._label(unit) != c:
+                break
+            node = nxt ^ self._offset(unit)
+            if self._has_leaf(unit):
+                best_len = i - pos + 1
+                best_val = units[node] & 0x7FFFFFFF
+        return best_len, best_val
+
+    def _replacement(self, value: int) -> bytes:
+        end = self._pool.index(b"\x00", value)
+        return self._pool[value:end]
+
+    def normalize(self, text: str) -> str:
+        data = text.encode("utf-8")
+        out: List[bytes] = []
+        i, n = 0, len(data)
+        while i < n:
+            length, value = self._longest_match(data, i)
+            if length > 0:
+                out.append(self._replacement(value))
+                i += length
+                continue
+            # no rule: copy one utf-8 character; malformed byte → U+FFFD
+            b0 = data[i]
+            clen = 1 if b0 < 0x80 else 2 if b0 >> 5 == 0b110 else 3 if b0 >> 4 == 0b1110 else 4 if b0 >> 3 == 0b11110 else 0
+            chunk = data[i : i + clen] if clen and i + clen <= n else b""
+            try:
+                chunk.decode("utf-8")
+                ok = bool(chunk)
+            except UnicodeDecodeError:
+                ok = False
+            if ok:
+                out.append(chunk)
+                i += clen
+            else:
+                out.append("�".encode("utf-8"))
+                i += 1
+        text = b"".join(out).decode("utf-8")
+        # NormalizerSpec.remove_extra_whitespaces (default True)
+        return " ".join(text.split())
+
+
 def normalize_nmt_nfkc_cf(text: str) -> str:
     """NFKC + casefold + whitespace normalization (approximates nmt_nfkc_cf)."""
     text = unicodedata.normalize("NFKC", text)
@@ -101,6 +207,14 @@ class SentencePieceBPE:
 
     def __init__(self, model_path: str = DEFAULT_TOKENIZER_PATH, use_native: bool = True):
         self.pieces = parse_sentencepiece_model(model_path)
+        # exact normalization when the model ships a precompiled charsmap
+        self._charsmap = None
+        try:
+            _, blob = parse_normalizer_spec(model_path)
+            if blob:
+                self._charsmap = PrecompiledCharsmap(blob)
+        except Exception:
+            self._charsmap = None
         self.piece_to_id: Dict[str, int] = {p: i for i, (p, _, _) in enumerate(self.pieces)}
         self.scores = [s for (_, s, _) in self.pieces]
         self.types = [t for (_, _, t) in self.pieces]
@@ -203,8 +317,13 @@ class SentencePieceBPE:
             i = nxt[i]
         return out
 
+    def normalize(self, text: str) -> str:
+        if self._charsmap is not None:
+            return self._charsmap.normalize(text)
+        return normalize_nmt_nfkc_cf(text)
+
     def encode(self, text: str, out_type: type = int) -> List:
-        text = normalize_nmt_nfkc_cf(text)
+        text = self.normalize(text)
         if not text:
             return []
         # add_dummy_prefix + escape whitespace (sentencepiece defaults)
