@@ -34,10 +34,25 @@ def main(args=None):
     )
     parser.add_argument("-debug_hooks", "--debug_hooks", action="store_true",
                         help="log per-parameter gradient statistics")
+    parser.add_argument(
+        "-coordinator", "--coordinator_address", default=None,
+        help="multi-host: coordinator host:port (or set JAX_COORDINATOR_ADDRESS); "
+             "run one process per host with --num_processes/--process_id",
+    )
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("-o", "--overrides", nargs="*", default=[])
     ns = parser.parse_args(args)
     if ns.anomaly:
         jax.config.update("jax_debug_nans", True)
+
+    from lcasr_tpu.parallel.mesh import maybe_init_distributed
+
+    if maybe_init_distributed(ns.coordinator_address, ns.num_processes, ns.process_id):
+        print(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}, "
+            f"{len(jax.devices())} global devices"
+        )
 
     config = Config.load(ns.config)
     if ns.overrides:

@@ -25,6 +25,38 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def maybe_init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host bring-up: `jax.distributed.initialize` when launched as one
+    process per host (GKE/SLURM set the env vars; explicit args override).
+
+    After initialization `jax.devices()` spans every host, so `make_mesh`
+    builds the global mesh unchanged — lay `data` (and any DCN-crossing
+    axis) outermost so model/seq collectives stay on ICI (SURVEY §5.8).
+    Returns True if distributed mode was initialized.  Safe no-op when no
+    coordinator is configured (single-host) or when already initialized.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None and num_processes is None:
+        # jax also auto-detects SLURM/GKE; only engage when asked
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    except RuntimeError:
+        # already initialized
+        return True
+
+
 def make_mesh(
     shape: Optional[Dict[str, int]] = None,
     devices: Optional[Sequence] = None,

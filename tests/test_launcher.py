@@ -50,3 +50,11 @@ def test_restart_rerandomizes_seed(tmp_path):
     assert isinstance(cfg.training.random_seed, int)
     # overwhelmingly likely to change; structural check is that it persisted
     assert "random_seed" in cfg.training
+
+
+def test_maybe_init_distributed_noop_without_config(monkeypatch):
+    """Unconfigured (no coordinator) → False and no side effects."""
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    from lcasr_tpu.parallel.mesh import maybe_init_distributed
+
+    assert maybe_init_distributed() is False
