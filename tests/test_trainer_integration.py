@@ -273,3 +273,65 @@ def test_trainer_data_parallel_matches_single_device(corpus, tmp_path):
     f4 = np.concatenate([np.asarray(x).ravel()
                          for x in jax.tree.leaves(state4["params"])])
     np.testing.assert_allclose(f1, f4, rtol=5e-3, atol=5e-5)
+
+
+def test_trainer_tensor_parallel_matches_single_device(corpus, tmp_path):
+    """Production Trainer on a (data=2, model=2) mesh: the Megatron-style TP
+    layout (qkv column-parallel, out_proj row-parallel) is actually applied
+    to the params, and the loss trajectory matches single-device training."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices (run via ./run_tests.sh cpu)")
+
+    from jax.sharding import PartitionSpec
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.data.dataloading import VariableBatchSimpleDataloader, load_json
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.models.registry import load_model
+    from lcasr_tpu.training.trainer import Trainer
+
+    pairs_path, _ = corpus
+
+    def run(parallel_cfg, ckpt_dir):
+        cfg_dict = {
+            "model_class": "SCConformerXL",
+            "model": {"d_model": 64, "n_layers": 1, "n_heads": 2, "head_dim": 32,
+                      "subsampling_conv_channels": 32, "use_pallas": False},
+            "audio_chunking": {"size": 256, "overlap": 0},
+            "training": {"batch_size": 2, "backprop_every": 2, "max_epochs": 1,
+                         "clip_value": 0.8, "random_seed": 99},
+            "optimizer": {"name": "madgrad", "args": {"lr": 1e-4}},
+            "scheduler": {"warmup_steps": 2, "final_value": 1e-6},
+            "checkpointing": {"dir": str(ckpt_dir), "save_every_n_steps": 10**6},
+        }
+        if parallel_cfg:
+            cfg_dict["parallel"] = parallel_cfg
+        cfg = Config(cfg_dict)
+        tokenizer = load_tokenizer()
+        model = load_model(cfg, tokenizer.vocab_size())
+        trainer = Trainer(cfg, model, tokenizer)
+        state = trainer.init_state(jax.random.PRNGKey(7))
+        dataloader = VariableBatchSimpleDataloader(
+            pairs=load_json(pairs_path), tokenizer=tokenizer,
+            batch_size=2, chunk_size=256, chunk_overlap=0, random_seed=99,
+        )
+        state = trainer.train(state, dataloader)
+        lines = [json.loads(l) for l in open(
+            os.path.join(str(ckpt_dir), "metrics.jsonl"))]
+        return trainer, state, [l["loss"] for l in lines if "loss" in l]
+
+    tr1, state1, losses1 = run(None, tmp_path / "single")
+    tr, state, losses = run({"mesh": {"data": 2, "model": 2}}, tmp_path / "tp")
+
+    assert tr.mesh is not None and tr.mesh.shape["model"] == 2
+    # column-parallel qkv kernel is sharded on the model axis
+    qkv = state["params"]["layers_0"]["attend"]["qkv_proj"]["kernel"]
+    assert qkv.sharding.spec == PartitionSpec(None, "model")
+    out_p = state["params"]["layers_0"]["attend"]["out_proj"]["kernel"]
+    # jax normalizes trailing Nones away
+    assert out_p.sharding.spec in (PartitionSpec("model"), PartitionSpec("model", None))
+
+    assert len(losses1) == len(losses) and len(losses) >= 2
+    np.testing.assert_allclose(np.array(losses1), np.array(losses),
+                               rtol=2e-3, atol=2e-3)
