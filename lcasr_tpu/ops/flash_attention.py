@@ -150,23 +150,40 @@ def _fwd_kernel(
         k = k_ref[0, 0]  # (BK, D)
         v = v_ref[0, 0]
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BQ, BK) f32
-        s = _apply_score_masks(s, q_start, k_start, block_q, block_k, window, kv_hi)
         m_prev = m_ref[:, 0:1]  # (BQ, 1)
         l_prev = l_ref[:, 0:1]
-        m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
+        # the kv tile is processed as independent HALVES: the VPU softmax of
+        # one half overlaps the MXU matmuls of the other (measured ~+10% —
+        # within a half the s→exp→p·v chain serializes MXU and VPU phases)
+        n_split = 2 if block_k >= 512 else 1
+        half = block_k // n_split
+        row_ok = _row_valid(q_start, block_q, q_len).astype(jnp.float32)
+
+        ss = []
+        for j in range(n_split):
+            sj = jax.lax.dot_general(
+                q, k[j * half : (j + 1) * half], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (BQ, half) f32
+            ss.append(_apply_score_masks(
+                sj, q_start, k_start + j * half, block_q, half, window, kv_hi
+            ))
+        m_new = m_prev
+        for sj in ss:
+            m_new = jnp.maximum(m_new, sj.max(axis=1, keepdims=True))
         # invalid query rows keep FINITE biased scores; the (BQ, 1) row
         # multiplier zeroes their p so l stays 0 → zero output rows + -inf lse
-        p = jnp.exp(s - m_new) * _row_valid(q_start, block_q, q_len).astype(jnp.float32)
+        ps = [jnp.exp(sj - m_new) * row_ok for sj in ss]
         corr = jnp.exp(m_prev - m_new)
-        l_new = l_prev * corr + p.sum(axis=1, keepdims=True)
-
-        acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        l_new = l_prev * corr
+        acc = acc_ref[:] * corr
+        for j, pj in enumerate(ps):
+            l_new = l_new + pj.sum(axis=1, keepdims=True)
+            acc = acc + jax.lax.dot_general(
+                pj.astype(v.dtype), v[j * half : (j + 1) * half],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+        acc_ref[:] = acc
         # single-lane stores (writing all 128 lanes costs ~128 vreg writes
         # per step — measurable at 1 step/µs)
         m_ref[:, 0:1] = m_new
@@ -333,21 +350,34 @@ def _bwd_dq_kernel(
         lse = lse_ref[0, 0][:, 0:1]  # (BQ, 1)
         delta = delta_ref[0, 0][:, 0:1]
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = _apply_score_masks(s, q_start, k_start, block_q, block_k, window, kv_hi)
+        row_ok = _row_valid(q_start, block_q, q_len)
         # invalid rows carry lse = NEG_INF → exp overflows to +inf there; a
-        # SELECT (not a multiply) discards it without producing inf·0 = NaN
-        p = jnp.where(_row_valid(q_start, block_q, q_len), jnp.exp(s - lse), 0.0)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BQ, BK)
-        ds = p * (dp - delta)
-        dq_acc[:] += jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # SELECT (not a multiply) discards it without inf·0=NaN.  n_split=1:
+        # the fwd-style kv-half overlap split measured SLOWER here (128→141 ms
+        # at 46k tokens) — bwd is already matmul-dense enough that the extra
+        # mask/exp passes cost more than the overlap buys
+        n_split = 1
+        half = block_k // n_split
+        dq = dq_acc[:]
+        for j in range(n_split):
+            kj = k[j * half : (j + 1) * half]
+            s = jax.lax.dot_general(
+                q, kj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            s = _apply_score_masks(
+                s, q_start, k_start + j * half, block_q, half, window, kv_hi
+            )
+            p = jnp.where(row_ok, jnp.exp(s - lse), 0.0)
+            dp = jax.lax.dot_general(
+                do, v[j * half : (j + 1) * half], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (BQ, half)
+            ds = p * (dp - delta)
+            dq = dq + jax.lax.dot_general(
+                ds.astype(kj.dtype), kj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dq_acc[:] = dq
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
@@ -407,11 +437,99 @@ def _bwd_dkv_kernel(
         lse = lse_ref[0, 0][:, 0:1]  # (BQ, 1)
         delta = delta_ref[0, 0][:, 0:1]
 
+        # the row select also guards lse=-inf rows (inf·0=NaN).  n_split=1:
+        # q-half overlap split measured slower here (see _bwd_dq_kernel note)
+        n_split = 1
+        half = block_q // n_split
+        dk = dk_acc[:]
+        dv = dv_acc[:]
+        for j in range(n_split):
+            qj = q[j * half : (j + 1) * half]
+            doj = do[j * half : (j + 1) * half]
+            lsej = lse[j * half : (j + 1) * half]
+            deltaj = delta[j * half : (j + 1) * half]
+            s = jax.lax.dot_general(
+                qj, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (half, BK)
+            s = _apply_score_masks(
+                s, q_start + j * half, k_start, half, block_k, window, kv_len
+            )
+            p = jnp.where(
+                _row_valid(q_start + j * half, half, kv_len_q),
+                jnp.exp(s - lsej), 0.0,
+            )
+            dv = dv + jax.lax.dot_general(
+                p.astype(doj.dtype), doj, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (BK, D)
+            dp = jax.lax.dot_general(
+                doj, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ds = p * (dp - deltaj)
+            dk = dk + jax.lax.dot_general(
+                ds.astype(qj.dtype), qj, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (BK, D)
+        dk_acc[:] = dk
+        dv_acc[:] = dv
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_fused_kernel(
+    lengths_ref,
+    qoff_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dqi_ref,
+    dqo_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *,
+    block_q: int,
+    block_k: int,
+    window: Tuple[int, int],
+    num_q_blocks: int,
+):
+    """One-pass backward (non-banded path): s/p/dp/ds computed ONCE per
+    (kv, q) tile and consumed by all three gradients — 5 MXU matmuls per tile
+    instead of the 7 the split dq/dkv kernels pay (each recomputes s, and dp
+    is computed twice).  dk/dv accumulate in VMEM scratch over the inner q
+    loop; dq accumulates in fp32 HBM through an input/output-aliased buffer
+    (the gmm "existing_out" pattern) — each dq block is revisited once per kv
+    block, nQ grid steps apart, so the write-back of visit ki completes long
+    before the prefetch for visit ki+1 (callers guard nQ >= 4)."""
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    k_start = ki * block_k + qoff_ref[1]
+    q_start = qi * block_q + qoff_ref[0]
+    kv_len = lengths_ref[b]
+    in_band = _block_in_band(q_start, k_start, block_q, block_k, window, kv_len, kv_len)
+
+    @pl.when(in_band)
+    def _compute():
+        # bf16 MXU matmuls, fp32 accumulation; q arrives pre-scaled (dk is
+        # therefore exact as-is, dq needs *scale outside — see _bwd_impl)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, 0:1]  # (BQ, 1)
+        delta = delta_ref[0, 0][:, 0:1]
+
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
         s = _apply_score_masks(s, q_start, k_start, block_q, block_k, window, kv_len)
-        p = jnp.where(_row_valid(q_start, block_q, kv_len_q), jnp.exp(s - lse), 0.0)
+        # the row SELECT also guards lse=-inf rows (exp→+inf; inf·0=NaN)
+        p = jnp.where(_row_valid(q_start, block_q, kv_len), jnp.exp(s - lse), 0.0)
         dv_acc[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -424,6 +542,16 @@ def _bwd_dkv_kernel(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (BK, D)
+        dqo_ref[0, 0] = dqi_ref[0, 0] + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(jnp.logical_not(in_band))
+    def _carry():
+        # the out window is written back unconditionally when its block
+        # index changes — forward the accumulator or it reverts to garbage
+        dqo_ref[0, 0] = dqi_ref[0, 0]
 
     @pl.when(qi == num_q_blocks - 1)
     def _finalize():
@@ -459,6 +587,65 @@ def _bwd_impl(q, k, v, lengths, q_offset, o, lse, do, window, scale, block_q, bl
     delta = (do.astype(jnp.float32) * o.astype(jnp.float32)).sum(-1)  # (B,H,T)
     lse_q = lse  # already (B, H, T, 128)
     delta_q = jnp.broadcast_to(delta[..., None], (B, H, T, 128))
+
+    if not banded and nQ >= 4 and not _interpret():
+        # one-pass fused kernel (see _bwd_fused_kernel); the banded path
+        # keeps the split kernels — its clamped virtual q-block indices can
+        # revisit a dq block on CONSECUTIVE steps, racing the aliased
+        # accumulator (and the windowed backward is cheap anyway).  The
+        # pallas INTERPRETER is also excluded: it re-reads the aliased dq
+        # input from the original (zero) buffer on every visit instead of
+        # the written-back output, so the accumulation silently drops all
+        # but the last kv block (verified empirically; real-TPU pipelining
+        # gives exact results — T=8192 oracle parity to 3e-4)
+        fspec_q = lambda b, h, ki, qi, *s: (b, h, qi, 0)
+        fspec_k = lambda b, h, ki, qi, *s: (b, h, ki, 0)
+        dq32, dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_fused_kernel,
+                block_q=block_q, block_k=block_k, window=window,
+                num_q_blocks=nQ,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, H, nK, nQ),
+                in_specs=[
+                    pl.BlockSpec((1, 1, block_q, D), fspec_q),
+                    pl.BlockSpec((1, 1, block_k, D), fspec_k),
+                    pl.BlockSpec((1, 1, block_k, D), fspec_k),
+                    pl.BlockSpec((1, 1, block_q, D), fspec_q),
+                    pl.BlockSpec((1, 1, block_q, 128), fspec_q),
+                    pl.BlockSpec((1, 1, block_q, 128), fspec_q),
+                    pl.BlockSpec((1, 1, block_q, D), fspec_q),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, 1, block_q, D), fspec_q),
+                    pl.BlockSpec((1, 1, block_k, D), fspec_k),
+                    pl.BlockSpec((1, 1, block_k, D), fspec_k),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_k, D), jnp.float32),
+                    pltpu.VMEM((block_k, D), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+                jax.ShapeDtypeStruct((B, H, Tk, D), q.dtype),
+                jax.ShapeDtypeStruct((B, H, Tk, D), q.dtype),
+            ],
+            # dq accumulator: input 8 (2 scalar-prefetch + 6 tensors before
+            # it) donated to output 0
+            input_output_aliases={8: 0},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary"),
+            ),
+            interpret=_interpret(),
+        )(
+            lengths, q_offset, q, k, v, do, lse_q, delta_q,
+            jnp.zeros((B, H, T, D), jnp.float32),
+        )
+        dq = (dq32 * scale).astype(q.dtype)
+        return dq, dk, dv
 
     qspec = lambda b, h, qi, ki, *s: (b, h, qi, 0)
     kspec = lambda b, h, qi, ki, *s: (b, h, ki, 0)

@@ -118,3 +118,32 @@ def test_sharded_query_gradients_match_oracle(window):
     for a, b in [(gq_p, gq_r[:, off:hi]), (gk_p, gk_r), (gv_p, gv_r)]:
         scale = float(jnp.abs(b).max()) + 1e-6
         assert float(jnp.abs(a - b).max()) / scale < 2e-2
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="fused one-pass backward is TPU-only: the pallas interpreter "
+    "does not give read-your-writes through the input/output-aliased dq "
+    "accumulator (CPU runs the split-kernel fallback)",
+)
+def test_fused_backward_matches_oracle():
+    """The one-pass fused backward (non-banded, nQ >= 4 — dq accumulated in
+    fp32 HBM via an input/output-aliased buffer) vs the oracle gradient.
+    The small-T tests above stay on the split-kernel fallback (nQ = 3)."""
+    rng = np.random.default_rng(11)
+    Tl = 1024  # 8 q-blocks of 128 → fused path
+    mk = lambda: jnp.asarray(rng.normal(size=(1, Tl, H, D)).astype(np.float32))
+    q, k, v = mk(), mk(), mk()
+    lengths = jnp.array([Tl - 100], jnp.int32)
+
+    def lp(q, k, v):
+        return (flash_attention(q, k, v, lengths=lengths, block_q=128, block_k=128) ** 2).sum()
+
+    def lr(q, k, v):
+        return (reference_attention(q, k, v, q_lengths=lengths, kv_lengths=lengths) ** 2).sum()
+
+    gp = jax.grad(lp, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gp, gr):
+        scale = float(jnp.abs(b).max()) + 1e-6
+        assert float(jnp.abs(a - b).max()) / scale < 2e-2, name
