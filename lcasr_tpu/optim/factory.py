@@ -79,10 +79,14 @@ def set_learning_rate(opt_state, lr: float):
             state.hyperparams["learning_rate"] = jnp.asarray(
                 lr, state.hyperparams["learning_rate"].dtype
             )
+        # wrappers (e.g. optax.masked's MaskedState) carry the real state in
+        # inner_state — recurse so the injected LR is still reachable
+        if hasattr(state, "inner_state"):
+            state = state._replace(inner_state=set_learning_rate(state.inner_state, lr))
         return state
 
     # optax.chain state is a tuple of per-transform states
-    if isinstance(opt_state, tuple):
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_replace"):
         return tuple(visit(s) for s in opt_state)
     return visit(opt_state)
 

@@ -100,9 +100,12 @@ def madgrad(
             else jax.tree.map(lambda _: True, params)
         )
         flat = jax.tree.map(leaf, grads, params, state.grad_sum_sq, state.s, state.x0, mask)
-        updates = jax.tree.map(lambda t: t[0], flat, is_leaf=lambda t: isinstance(t, tuple))
-        gss = jax.tree.map(lambda t: t[1], flat, is_leaf=lambda t: isinstance(t, tuple))
-        s = jax.tree.map(lambda t: t[2], flat, is_leaf=lambda t: isinstance(t, tuple))
+        # arity check so optax.masked's empty MaskedNode placeholders (tuple
+        # subclass, len 0) pass through as internal nodes instead of leaves
+        is_t = lambda t: isinstance(t, tuple) and len(t) == 3
+        updates = jax.tree.map(lambda t: t[0], flat, is_leaf=is_t)
+        gss = jax.tree.map(lambda t: t[1], flat, is_leaf=is_t)
+        s = jax.tree.map(lambda t: t[2], flat, is_leaf=is_t)
         updates = jax.tree.map(lambda u, p: u.astype(p.dtype), updates, params)
         return updates, MadgradState(count=k + 1, grad_sum_sq=gss, s=s, x0=state.x0)
 
@@ -168,7 +171,7 @@ def mirror_madgrad(
             else jax.tree.map(lambda _: True, params)
         )
         flat = jax.tree.map(leaf, grads, params, state.grad_sum_sq, state.z, mask)
-        is_t = lambda t: isinstance(t, tuple)
+        is_t = lambda t: isinstance(t, tuple) and len(t) == 3  # skip MaskedNode
         updates = jax.tree.map(lambda t: t[0], flat, is_leaf=is_t)
         gss = jax.tree.map(lambda t: t[1], flat, is_leaf=is_t)
         z = jax.tree.map(lambda t: t[2], flat, is_leaf=is_t)
