@@ -9,15 +9,23 @@ Implementation: the standard alpha recursion over the augmented label
 sequence z = [b, y1, b, y2, ..., yU, b] (blank interleaved), scanned over
 time with `lax.scan`, all in fp32 log-space, vmapped over the batch.
 Blank can be ANY class id (the lcasr convention is blank = LAST id).
-Gradients flow through the scan via autodiff — XLA fuses the per-step
-logsumexp into a tight loop, so no custom backward is needed.
+
+The backward is a CUSTOM VJP using the exact Graves gradient — a beta
+recursion (reverse scan, same cost as the forward) giving the state
+posteriors gamma_t(s) = exp(alpha + beta - ll), scattered into the class
+axis:  d(-ll)/d logp[t, c] = -sum_{s: z_s = c} gamma_t(s).  Autodiff
+through the forward scan was measured ~9x the forward cost at the 5.5-min
+training config (16.6 ms vs 1.8) — transposing a 4096-step scan plus the
+hoisted-gather scatter dominates; the analytic backward is ~2 scans total.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _NEG_INF = -1e30
 
@@ -88,6 +96,153 @@ def _ctc_alpha_single(
     return nll
 
 
+def _lattice(labels, label_length, blank_id, S):
+    """Augmented sequence z, skip mask, and state-validity mask."""
+    z = jnp.full((S,), blank_id, dtype=jnp.int32)
+    z = z.at[1::2].set(labels.astype(jnp.int32))
+    prev2 = jnp.concatenate([jnp.full((2,), -1, jnp.int32), z[:-2]])
+    can_skip = (z != blank_id) & (z != prev2)
+    valid_s = jnp.arange(S) < (2 * label_length + 1)
+    return z, can_skip, valid_s
+
+
+def _alpha_all(log_probs, labels, input_length, label_length, blank_id):
+    """Forward recursion keeping every alpha row: (nll, alphas (T, S), z)."""
+    T, C = log_probs.shape
+    S = 2 * labels.shape[0] + 1
+    z, can_skip, valid_s = _lattice(labels, label_length, blank_id, S)
+    emissions = log_probs[:, z]  # (T, S) hoisted gather
+
+    alpha0 = jnp.where(jnp.arange(S) < 2, emissions[0], _NEG_INF)
+    alpha0 = jnp.where(valid_s & (input_length > 0), alpha0, _NEG_INF)
+
+    def step(alpha, te):
+        t, emit = te
+        a_prev = jnp.concatenate([jnp.array([_NEG_INF]), alpha[:-1]])
+        a_skip = jnp.where(
+            can_skip,
+            jnp.concatenate([jnp.full((2,), _NEG_INF), alpha[:-2]]),
+            _NEG_INF,
+        )
+        stacked = jnp.stack([alpha, a_prev, a_skip])
+        m = stacked.max(0)
+        new = m + jnp.log(jnp.exp(stacked - m).sum(0))
+        new = jnp.where(m <= _NEG_INF / 2, _NEG_INF, new) + emit
+        new = jnp.where(valid_s, new, _NEG_INF)
+        new = jnp.where(t < input_length, new, alpha)
+        return new, new
+
+    alpha_T, alpha_rest = jax.lax.scan(
+        step, alpha0, (jnp.arange(1, T), emissions[1:])
+    )
+    alphas = jnp.concatenate([alpha0[None], alpha_rest], axis=0)  # (T, S)
+
+    end1 = 2 * label_length
+    end2 = 2 * label_length - 1
+    a1 = alpha_T[end1]
+    a2 = jnp.where(label_length > 0, alpha_T[jnp.maximum(end2, 0)], _NEG_INF)
+    m = jnp.maximum(a1, a2)
+    ll = m + jnp.log(jnp.exp(a1 - m) + jnp.exp(a2 - m))
+    return -ll, alphas
+
+
+def _ctc_grad_single(
+    log_probs, labels, input_length, label_length, alphas, nll, blank_id
+):
+    """Exact gradient d nll / d log_probs via the beta recursion.
+
+    beta_t(s) = log-prob of completing the alignment from state s AFTER the
+    emission at t (so beta = 0 at the end states of frame input_length-1);
+    gamma_t(s) = exp(alpha_t(s) + beta_t(s) + nll) are the state posteriors
+    and the class gradient is the negative scatter-sum over z."""
+    T, C = log_probs.shape
+    S = 2 * labels.shape[0] + 1
+    z, can_skip, valid_s = _lattice(labels, label_length, blank_id, S)
+    emissions = log_probs[:, z]  # (T, S)
+
+    end1 = 2 * label_length
+    end2 = jnp.maximum(2 * label_length - 1, 0)
+    s_idx = jnp.arange(S)
+    beta_final = jnp.where(
+        (s_idx == end1) | ((s_idx == end2) & (label_length > 0)), 0.0, _NEG_INF
+    )
+    # skip INTO s+2 is allowed when can_skip[s+2] (destination-indexed)
+    skip_ok_from = jnp.concatenate([can_skip[2:], jnp.zeros((2,), bool)])
+
+    def step(beta_next, te):
+        t, emit_next = te  # emissions at t+1
+        b = emit_next + beta_next
+        b_next = jnp.concatenate([b[1:], jnp.array([_NEG_INF])])
+        b_skip = jnp.where(
+            skip_ok_from,
+            jnp.concatenate([b[2:], jnp.full((2,), _NEG_INF)]),
+            _NEG_INF,
+        )
+        stacked = jnp.stack([b, b_next, b_skip])
+        m = stacked.max(0)
+        new = m + jnp.log(jnp.exp(stacked - m).sum(0))
+        new = jnp.where(m <= _NEG_INF / 2, _NEG_INF, new)
+        new = jnp.where(valid_s, new, _NEG_INF)
+        # t is the LAST emitted frame of this sequence → restart at the
+        # final states; t beyond the sequence → carry (masked out later)
+        new = jnp.where(t == input_length - 1, beta_final, new)
+        new = jnp.where(t < input_length, new, beta_next)
+        return new, new
+
+    # reverse scan over t = T-2 .. 0 consuming emissions at t+1; the final
+    # frame's beta is beta_final (t = T-1 == input_length-1 when unpadded)
+    _, betas_rev = jax.lax.scan(
+        step,
+        jnp.where(input_length == T, beta_final, jnp.full((S,), _NEG_INF)),
+        (jnp.arange(T - 2, -1, -1), emissions[jnp.arange(T - 1, 0, -1)]),
+    )
+    betas = jnp.concatenate(
+        [
+            betas_rev[::-1],
+            jnp.where(input_length == T, beta_final, _NEG_INF)[None],
+        ],
+        axis=0,
+    )  # (T, S)
+
+    # posteriors; ll = -nll.  Impossible alignments (ll ~ -inf) and padded
+    # frames get exactly zero gradient.
+    ok = nll < -_NEG_INF / 2
+    gamma = jnp.exp(
+        jnp.clip(alphas + betas + nll, _NEG_INF, 0.0)
+    ) * ok.astype(jnp.float32)
+    gamma = gamma * (jnp.arange(T)[:, None] < input_length).astype(jnp.float32)
+    grad = jnp.zeros((T, C), jnp.float32).at[:, z].add(-gamma)
+    return grad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _ctc_nll(log_probs, labels, input_lengths, label_lengths, blank_id):
+    """Per-sequence CTC nll, batched, with the analytic backward."""
+    return jax.vmap(_ctc_alpha_single, in_axes=(0, 0, 0, 0, None))(
+        log_probs, labels, input_lengths, label_lengths, blank_id
+    )
+
+
+def _ctc_nll_fwd(log_probs, labels, input_lengths, label_lengths, blank_id):
+    nll, alphas = jax.vmap(_alpha_all, in_axes=(0, 0, 0, 0, None))(
+        log_probs, labels, input_lengths, label_lengths, blank_id
+    )
+    return nll, (log_probs, labels, input_lengths, label_lengths, alphas, nll)
+
+
+def _ctc_nll_bwd(blank_id, res, g):
+    log_probs, labels, input_lengths, label_lengths, alphas, nll = res
+    grad = jax.vmap(_ctc_grad_single, in_axes=(0, 0, 0, 0, 0, 0, None))(
+        log_probs, labels, input_lengths, label_lengths, alphas, nll, blank_id
+    )
+    grad = grad * g[:, None, None]
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (grad, f0(labels), f0(input_lengths), f0(label_lengths))
+
+
+_ctc_nll.defvjp(_ctc_nll_fwd, _ctc_nll_bwd)
+
+
 def ctc_loss(
     log_probs: jnp.ndarray,  # (B, T, C) log-probs (model output)
     labels: jnp.ndarray,  # (B, U) int labels, padded
@@ -101,8 +256,12 @@ def ctc_loss(
     if blank_id is None:
         blank_id = log_probs.shape[-1] - 1
     lp = log_probs.astype(jnp.float32)
-    nll = jax.vmap(_ctc_alpha_single, in_axes=(0, 0, 0, 0, None))(
-        lp, labels, input_lengths, label_lengths, blank_id
+    nll = _ctc_nll(
+        lp,
+        labels,
+        input_lengths.astype(jnp.int32),
+        label_lengths.astype(jnp.int32),
+        blank_id,
     )
     if reduction == "sum":
         return nll.sum()

@@ -588,11 +588,15 @@ def _bwd_impl(q, k, v, lengths, q_offset, o, lse, do, window, scale, block_q, bl
     lse_q = lse  # already (B, H, T, 128)
     delta_q = jnp.broadcast_to(delta[..., None], (B, H, T, 128))
 
-    if not banded and nQ >= 4 and not _interpret():
+    if not banded and (nK == 1 or nQ >= 4) and not _interpret():
         # one-pass fused kernel (see _bwd_fused_kernel); the banded path
         # keeps the split kernels — its clamped virtual q-block indices can
         # revisit a dq block on CONSECUTIVE steps, racing the aliased
-        # accumulator (and the windowed backward is cheap anyway).  The
+        # accumulator (and the windowed backward is cheap anyway).  nK == 1
+        # is always safe: every dq block is visited exactly once, so the
+        # aliased accumulator is never revisited at all; with nK > 1 the
+        # revisit distance is nQ grid steps and nQ >= 4 keeps the write-back
+        # of visit ki strictly ahead of the prefetch for visit ki+1.  The
         # pallas INTERPRETER is also excluded: it re-reads the aliased dq
         # input from the original (zero) buffer on every visit instead of
         # the written-back output, so the accumulation silently drops all

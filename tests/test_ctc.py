@@ -143,3 +143,48 @@ def test_ctc_zero_input_length_is_infinite_loss():
     labels = jnp.array([[1, 2]], jnp.int32)
     nll = ctc_loss(lp, labels, jnp.array([0]), jnp.array([2]), reduction="none")
     assert float(nll[0]) > 1e20
+
+
+def test_ctc_analytic_gradient_matches_autodiff():
+    """The custom-VJP backward (beta recursion, exact Graves gradient) vs
+    autodiff through the plain alpha recursion, with ragged input/label
+    lengths and random cotangents.  Impossible alignments (T too short) are
+    excluded here — the analytic backward intentionally returns EXACT ZEROS
+    for them (autodiff emits junk through the -1e30 arithmetic; torch emits
+    inf/nan) — and covered in the dedicated assertion below."""
+    import jax
+    from lcasr_tpu.ops.ctc import _ctc_alpha_single
+
+    rng = np.random.default_rng(5)
+    B, T, C, U = 3, 24, 7, 5
+    log_probs = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32), -1
+    )
+    labels = jnp.asarray(rng.integers(0, C - 1, size=(B, U)), jnp.int32)
+    il = jnp.array([T, T - 5, T - 1], jnp.int32)
+    ul = jnp.array([U, U - 2, 0], jnp.int32)
+    w = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+
+    def nll_auto(lp):
+        return (
+            jax.vmap(_ctc_alpha_single, in_axes=(0, 0, 0, 0, None))(
+                lp, labels, il, ul, C - 1
+            )
+            * w
+        ).sum()
+
+    def nll_custom(lp):
+        return (ctc_loss(lp, labels, il, ul, reduction="none") * w).sum()
+
+    ga = jax.grad(nll_auto)(log_probs)
+    gc = jax.grad(nll_custom)(log_probs)
+    assert float(jnp.abs(ga - gc).max()) < 1e-4
+
+    # impossible alignment → zero gradient, no NaN
+    il_bad = jnp.array([3, 0, T], jnp.int32)
+    g_bad = jax.grad(
+        lambda lp: ctc_loss(lp, labels, il_bad, jnp.array([U, 2, 0]), reduction="sum")
+    )(log_probs)
+    assert np.isfinite(np.asarray(g_bad)).all()
+    assert np.abs(np.asarray(g_bad[0])).max() == 0.0
+    assert np.abs(np.asarray(g_bad[1])).max() == 0.0

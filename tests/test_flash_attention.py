@@ -126,18 +126,26 @@ def test_sharded_query_gradients_match_oracle(window):
     "does not give read-your-writes through the input/output-aliased dq "
     "accumulator (CPU runs the split-kernel fallback)",
 )
-def test_fused_backward_matches_oracle():
-    """The one-pass fused backward (non-banded, nQ >= 4 — dq accumulated in
-    fp32 HBM via an input/output-aliased buffer) vs the oracle gradient.
-    The small-T tests above stay on the split-kernel fallback (nQ = 3)."""
+@pytest.mark.parametrize(
+    "Tl,bq,bk",
+    [
+        (1024, 128, 128),  # nQ=8, nK=8 — general revisit path
+        (1024, 512, 1024),  # nQ=2, nK=1 — single-visit dq (default blocks, the chunk-8192 training shape)
+        (2048, 512, 1024),  # nQ=4, nK=2 — minimum allowed revisit distance
+    ],
+)
+def test_fused_backward_matches_oracle(Tl, bq, bk):
+    """The one-pass fused backward (non-banded, nK == 1 or nQ >= 4 — dq
+    accumulated in fp32 HBM via an input/output-aliased buffer) vs the
+    oracle gradient.  The small-T tests above stay on the split-kernel
+    fallback (nQ = 3, nK > 1)."""
     rng = np.random.default_rng(11)
-    Tl = 1024  # 8 q-blocks of 128 → fused path
     mk = lambda: jnp.asarray(rng.normal(size=(1, Tl, H, D)).astype(np.float32))
     q, k, v = mk(), mk(), mk()
     lengths = jnp.array([Tl - 100], jnp.int32)
 
     def lp(q, k, v):
-        return (flash_attention(q, k, v, lengths=lengths, block_q=128, block_k=128) ** 2).sum()
+        return (flash_attention(q, k, v, lengths=lengths, block_q=bq, block_k=bk) ** 2).sum()
 
     def lr(q, k, v):
         return (reference_attention(q, k, v, q_lengths=lengths, kv_lengths=lengths) ** 2).sum()
