@@ -89,6 +89,7 @@ class StreamingDecoder:
         window_batch_size: int = 16,
         transfer_dtype=None,  # e.g. jnp.bfloat16 halves the upload
         subsampling_mode: Optional[str] = None,
+        pipeline_upload: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -116,13 +117,17 @@ class StreamingDecoder:
             else getattr(model, "subsampling", "dw_striding")
         )
         self.W = window_batch_size
+        self.pipeline_upload = pipeline_upload
 
         @functools.partial(jax.jit, static_argnames=("seq_len",))
-        def step(variables, spec, starts, lengths, offsets, sums, counts, seq_len):
-            # spec: (80, T) on device; extract W windows by gather
+        def step(variables, spec, starts, lengths, offsets, sums, counts, seq_len,
+                 base=0):
+            # spec: (80, T) on device; extract W windows by gather.  `base`
+            # is the global frame index of spec[:, 0] (pipelined path hands
+            # this a stripe, not the whole recording)
             T = spec.shape[-1]
-            idx = starts[:, None] + jnp.arange(seq_len)[None, :]  # (W, seq_len)
-            idx = jnp.minimum(idx, T - 1)
+            idx = (starts - base)[:, None] + jnp.arange(seq_len)[None, :]
+            idx = jnp.clip(idx, 0, T - 1)
             windows = jnp.take(spec, idx, axis=1)  # (80, W, seq_len)
             windows = jnp.swapaxes(windows, 0, 1)  # (W, 80, seq_len)
             valid_t = jnp.arange(seq_len)[None, :] < lengths[:, None]
@@ -209,11 +214,76 @@ class StreamingDecoder:
         def dequant(spec_i8, scale):
             return spec_i8.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)
 
+        @functools.partial(jax.jit, static_argnames=("overlap",))
+        def assemble(piece, next_piece, overlap):
+            """Stripe for one window group: this group's frames + the halo
+            (`overlap` frames) from the next stripe."""
+            return jnp.concatenate([piece, next_piece[:, :overlap]], axis=-1)
+
+        self._assemble = assemble
         self._step = step
         self._fused_run = fused_run
         self._finalize_logits = finalize_logits
         self._finalize_argmax = finalize_argmax
         self._dequant = dequant
+
+    def _upload(self, host_f32: np.ndarray, i8_scale: Optional[float]):
+        """Host-cast + async device_put of one array (bf16 by default; int8
+        symmetric quantization with a per-recording scale when opted in)."""
+        if i8_scale is not None:
+            q = np.clip(np.rint(host_f32 / i8_scale), -127, 127).astype(np.int8)
+            return self._dequant(
+                self.jax.device_put(q), self.jnp.float32(i8_scale)
+            )
+        return self.jax.device_put(host_f32.astype(np.dtype(self.transfer_dtype)))
+
+    def _run_pipelined(self, spec, positions, out_offsets, seq_len, overlap,
+                       W, total, i8_scale):
+        """Multi-dispatch decode overlapping the host→device upload with
+        compute: the recording is uploaded as per-group STRIPES (async
+        device_put), and each window group's forward depends only on its own
+        stripe + the next stripe's halo — so stripe g+2's transfer rides the
+        link while the device runs group g.  Upload was measured at ~half
+        the decode wall time on a tunnel-attached chip (≈40 MB/s link);
+        chained dispatches cost ~0.5 ms each, so pipelining is pure win
+        whenever there is more than one group."""
+        jnp, np_ = self.jnp, np
+        stride = seq_len - overlap
+        P = W * stride
+        G = -(-len(positions) // W)
+
+        # G pieces + one HALO piece: the last group's windows reach past
+        # G·P into frames that belong to no group of their own — that halo
+        # is real spec data, not padding
+        pieces = []
+        for g in range(G + 1):
+            pc = spec[:, g * P : g * P + P]
+            if pc.shape[-1] == 0:
+                pieces.append(None)  # no real frames → device zeros below
+                continue
+            if pc.shape[-1] < P:
+                pc = np_.pad(pc, ((0, 0), (0, P - pc.shape[-1])))
+            pieces.append(self._upload(pc, i8_scale))  # async queue
+
+        zero_piece = jnp.zeros((spec.shape[0], P), pieces[0].dtype)
+        pieces = [zero_piece if p is None else p for p in pieces]
+        sums = jnp.zeros((total, self.n_classes), jnp.float32)
+        counts = jnp.zeros((total, 1), jnp.float32)
+        for g in range(G):
+            group = positions[g * W : (g + 1) * W]
+            starts = np_.zeros((W,), np_.int32)
+            lengths = np_.zeros((W,), np_.int32)
+            offs = np_.zeros((W,), np_.int32)
+            for j, (i, u_len) in enumerate(group):
+                starts[j], lengths[j] = i, u_len
+                offs[j] = out_offsets[g * W + j]
+            spec_g = self._assemble(pieces[g], pieces[g + 1], overlap=overlap)
+            sums, counts = self._step(
+                self.variables, spec_g,
+                jnp.asarray(starts), jnp.asarray(lengths), jnp.asarray(offs),
+                sums, counts, seq_len=seq_len, base=g * P,
+            )
+        return sums, counts
 
     def _run(self, spec: np.ndarray, seq_len: int, overlap: int,
              fused: bool = True, mode: str = "logits"):
@@ -249,21 +319,29 @@ class StreamingDecoder:
         # it again: symmetric per-recording quantization on host, ONE
         # device-side dequant back to bf16 — the step functions never see
         # the quantized array.
-        if self.transfer_dtype in ("int8", np.int8, self.jnp.int8):
-            scale = float(np.abs(spec).max()) / 127.0 or 1.0
-            host = np.clip(np.rint(spec / scale), -127, 127).astype(np.int8)
-            spec_dev = self._dequant(
-                self.jax.device_put(host), self.jnp.float32(scale)
-            )
-        else:
-            host = spec.astype(np.dtype(self.transfer_dtype))
-            spec_dev = self.jax.device_put(host)
+        i8 = self.transfer_dtype in ("int8", np.int8, self.jnp.int8)
+        i8_scale = (float(np.abs(spec).max()) / 127.0 or 1.0) if i8 else None
 
         # clamp the window batch to the actual window count — otherwise a
         # single-window decode (windowed-attention mode over a full 20-min
         # recording) would shape a (W, 80, T) batch of mostly-dummy windows
         # and blow HBM at long T
         W = min(self.W, len(positions))
+
+        if self.pipeline_upload and len(positions) > W:
+            # striped upload/compute pipelining (see _run_pipelined).
+            # OPT-IN: on a direct-attached host the async stripe transfers
+            # hide behind compute; on the tunnel-attached dev chip the link
+            # serializes transfers with dispatches, so striping only adds
+            # padded upload bytes (measured 1.43 s vs 0.98 s at 20 min) —
+            # hence default off
+            sums, counts = self._run_pipelined(
+                spec, positions, out_offsets, seq_len, overlap, W, total,
+                i8_scale,
+            )
+            return sums, counts, n_out
+
+        spec_dev = self._upload(spec, i8_scale)
         if fused:
             # one dispatch: scan over (nb, W) window batches.  nb is padded
             # to a multiple of 2 with zero-length windows to bound the

@@ -148,3 +148,26 @@ def test_int8_transfer_decode_matches_float(model_and_vars):
     # ties common); bound the disagreement instead of requiring identity
     af, aq = np.asarray(lf).argmax(-1), np.asarray(lq).argmax(-1)
     assert (af != aq).mean() <= 0.02
+
+
+def test_pipelined_upload_matches_fused(model_and_vars):
+    """The striped upload/compute pipeline (opt-in `pipeline_upload=True`)
+    must produce bit-equal merged logits to the single-dispatch fused path —
+    including the tail group, whose halo frames live beyond the last full
+    stripe (a real-data halo, not padding: regression for the zero-halo bug
+    caught during bring-up)."""
+    model, variables = model_and_vars
+    rng = np.random.default_rng(7)
+    spec = rng.normal(size=(1, 80, 700)).astype(np.float32)
+
+    dec_f = StreamingDecoder(model, variables, N_CLASSES, window_batch_size=4,
+                             transfer_dtype=jnp.float32)
+    dec_p = StreamingDecoder(model, variables, N_CLASSES, window_batch_size=4,
+                             transfer_dtype=jnp.float32, pipeline_upload=True)
+    a = dec_f.logits(spec, seq_len=256, overlap=192)
+    b = dec_p.logits(spec, seq_len=256, overlap=192)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        dec_f.greedy(spec, seq_len=256, overlap=192),
+        dec_p.greedy(spec, seq_len=256, overlap=192),
+    )
