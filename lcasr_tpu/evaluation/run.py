@@ -67,6 +67,7 @@ def evaluate(
     verbose: bool = True,
     skip_recordings: Optional[set] = None,
     transfer_dtype: Optional[str] = None,  # 'bfloat16' (default) | 'int8' | 'float32'
+    pipeline_upload: bool = False,  # stripe uploads to overlap with compute
 ) -> Dict[str, Any]:
     import jax
     import jax.numpy as jnp
@@ -102,7 +103,7 @@ def evaluate(
     else:
         streamer = StreamingDecoder(
             model, variables, n_classes, subsampling_factor=subsampling_factor,
-            transfer_dtype=transfer_dtype,
+            transfer_dtype=transfer_dtype, pipeline_upload=pipeline_upload,
         )
 
     decoder = GreedyCTCDecoder(tokenizer, blank_id=n_classes - 1)
@@ -191,6 +192,11 @@ def main():
         help="spectrogram upload dtype (int8 halves link traffic on "
              "remote-attached chips; dequantized once on device)",
     )
+    parser.add_argument(
+        "--pipeline_upload", action="store_true",
+        help="stripe the spectrogram upload and overlap it with compute "
+             "(wins on direct-attached hosts; see StreamingDecoder)",
+    )
     parser.add_argument("--dataset_base_path", default=None)
     parser.add_argument(
         "--dataset_kwargs", nargs="*", default=[],
@@ -212,6 +218,7 @@ def main():
         evaluation_mode=args.evaluation_mode,
         dataset_kwargs=dk,
         transfer_dtype=args.transfer_dtype,
+        pipeline_upload=args.pipeline_upload,
     )
 
 
