@@ -427,6 +427,14 @@ class EncDecSconformer(nn.Module):
             "length": length,
         }
         if text_sequence is not None:
+            # guard the classic footgun: SCConformerXL's second positional
+            # arg is `length`, but here (reference parity,
+            # enc_dec_sconformer.py:271-275) it is `text_sequence`
+            if text_sequence.ndim != 2:
+                raise ValueError(
+                    "text_sequence must be (B, U) token ids; got shape "
+                    f"{text_sequence.shape} — pass lengths as length=..."
+                )
             out["final_posteriors_lm"] = self.language_model_decoder(
                 text_sequence, a_hidden, length
             )
