@@ -7,16 +7,28 @@ TPU-native replacement for the `mamba_ssm` CUDA/Triton selective-scan and
     h_t = exp(Δ_t ⊙ A) h_{t-1} + (Δ_t ⊙ B_t) x_t
     y_t = C_t · h_t + D ⊙ x_t
 
-is a first-order linear recurrence in (gain, bias) form, evaluated with
-`jax.lax.associative_scan` — log-depth, MXU/VPU-friendly, differentiable —
-instead of a handwritten sequential kernel.
+is a first-order linear recurrence in (gain, bias) form, with TWO
+evaluation paths:
+
+  * a Pallas SEQUENTIAL kernel (TPU forward default): the (D, N) state
+    lives in VMEM across the whole sequence and the (B, L, D, N)
+    gain/bias tensors are never materialized — the associative-scan
+    evaluation moves ~2 × B·L·D·N fp32 per level × log2(L) levels through
+    HBM (≈1 GB per level at B8·L2048·D1024·N16), making it HBM-bound,
+  * `jax.lax.associative_scan` — log-depth, differentiable — used on CPU,
+    under vmap batching rules, and as the BACKWARD of the Pallas path
+    (custom VJP: the recurrence is recomputed by the reference
+    formulation, exactly like the CUDA selective-scan recomputes h).
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def causal_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -35,15 +47,8 @@ def causal_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarra
     return out
 
 
-def selective_scan(
-    x: jnp.ndarray,  # (B, L, D)   input sequence
-    delta: jnp.ndarray,  # (B, L, D)   timestep (post-softplus)
-    A: jnp.ndarray,  # (D, N)      negative-real diagonal state matrix
-    B: jnp.ndarray,  # (B, L, N)   input gate
-    C: jnp.ndarray,  # (B, L, N)   output gate
-    D: Optional[jnp.ndarray] = None,  # (D,) skip
-) -> jnp.ndarray:
-    """Parallel selective scan.  Returns y (B, L, D)."""
+def _selective_scan_ref(x, delta, A, B, C):
+    """Associative-scan reference (log-depth, differentiable); f32 out."""
     xf = x.astype(jnp.float32)
     delta = delta.astype(jnp.float32)
     A = A.astype(jnp.float32)
@@ -60,9 +65,128 @@ def selective_scan(
         return a_l * a_r, a_r * b_l + b_r
 
     _, h = jax.lax.associative_scan(combine, (dA, dBx), axis=1)  # h: (B, L, D, N)
-    y = jnp.einsum("bln,bldn->bld", Cf, h)
+    return jnp.einsum("bln,bldn->bld", Cf, h)
+
+
+def _scan_kernel(
+    x_ref,  # (1, TL, D)
+    delta_ref,  # (1, TL, D)
+    at_ref,  # (N, D) f32, pre-transposed A
+    b_ref,  # (1, TL, N)
+    c_ref,  # (1, TL, N)
+    y_ref,  # (1, TL, D) f32
+    h_scr,  # VMEM (N, D) f32 — the recurrence state, resident ALL sequence
+    *,
+    block_l: int,
+):
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _init():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    at = at_ref[...]  # (N, D)
+    G = 16  # row group: dynamic sublane slices must be tile-aligned
+            # (Mosaic: "index in dimension 1 must be a multiple of 8/16"),
+            # so the sequential loop runs per GROUP with a static unroll
+            # inside — which also gives Mosaic straight-line code to pipeline
+
+    def group(gi, h):
+        base = gi * G
+        xg = x_ref[0, pl.ds(base, G)].astype(jnp.float32)  # (G, D)
+        dg = delta_ref[0, pl.ds(base, G)].astype(jnp.float32)
+        # one lane→sublane transpose per GROUP (not per step)
+        bgt = jnp.swapaxes(b_ref[0, pl.ds(base, G)].astype(jnp.float32), 0, 1)
+        cgt = jnp.swapaxes(c_ref[0, pl.ds(base, G)].astype(jnp.float32), 0, 1)
+        rows = []
+        for j in range(G):  # static → lax.slice on values (supported)
+            d = dg[j][None, :]  # (1, D)
+            dA = jnp.exp(at * d)  # (N, D): N on sublanes, D on lanes
+            h = dA * h + (d * xg[j][None, :]) * bgt[:, j][:, None]
+            rows.append((h * cgt[:, j][:, None]).sum(axis=0))
+        y_ref[0, pl.ds(base, G)] = jnp.stack(rows, axis=0)
+        return h
+
+    h_scr[:] = jax.lax.fori_loop(0, block_l // G, group, h_scr[:])
+
+
+def _scan_pallas(x, delta, A, B, C, block_l: int = 512):
+    Bt, L, D = x.shape
+    N = A.shape[1]
+    block_l = min(block_l, -(-L // 16) * 16)  # multiple of the 16-row group
+    pad = (-L) % block_l
+    if pad:
+        # padding rows carry Δ = 0 → gain exp(0) = 1, bias 0: the state
+        # passes through unchanged (padding is only ever at the tail)
+        zpad = lambda a: jnp.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))
+        x, delta, B, C = zpad(x), zpad(delta), zpad(B), zpad(C)
+    nL = (L + pad) // block_l
+    at = jnp.swapaxes(A.astype(jnp.float32), 0, 1)  # (N, D)
+
+    y = pl.pallas_call(
+        functools.partial(_scan_kernel, block_l=block_l),
+        grid=(Bt, nL),
+        in_specs=[
+            pl.BlockSpec((1, block_l, D), lambda b, l: (b, l, 0)),
+            pl.BlockSpec((1, block_l, D), lambda b, l: (b, l, 0)),
+            pl.BlockSpec((at.shape[0], D), lambda b, l: (0, 0)),
+            pl.BlockSpec((1, block_l, N), lambda b, l: (b, l, 0)),
+            pl.BlockSpec((1, block_l, N), lambda b, l: (b, l, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_l, D), lambda b, l: (b, l, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bt, L + pad, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((at.shape[0], D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x, delta, at, B, C)
+    return y[:, :L]
+
+
+@jax.custom_vjp
+def _selective_scan_fast(x, delta, A, B, C):
+    return _scan_pallas(x, delta, A, B, C)
+
+
+def _ssf_fwd(x, delta, A, B, C):
+    return _scan_pallas(x, delta, A, B, C), (x, delta, A, B, C)
+
+
+def _ssf_bwd(res, g):
+    # backward through the associative-scan reference — the recurrence is
+    # recomputed, exactly like the CUDA selective-scan kernel's backward
+    _, vjp = jax.vjp(_selective_scan_ref, *res)
+    return vjp(g)
+
+
+_selective_scan_fast.defvjp(_ssf_fwd, _ssf_bwd)
+
+
+def selective_scan(
+    x: jnp.ndarray,  # (B, L, D)   input sequence
+    delta: jnp.ndarray,  # (B, L, D)   timestep (post-softplus)
+    A: jnp.ndarray,  # (D, N)      negative-real diagonal state matrix
+    B: jnp.ndarray,  # (B, L, N)   input gate
+    C: jnp.ndarray,  # (B, L, N)   output gate
+    D: Optional[jnp.ndarray] = None,  # (D,) skip
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Selective scan.  Returns y (B, L, D).
+
+    `use_pallas=None` → the sequential Pallas kernel on TPU, the
+    associative-scan reference elsewhere (the kernel's interpret mode is
+    orders slower than the reference on CPU — tests opt in explicitly)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if x.shape[1] < 16:  # kernel's 16-row group floor
+        use_pallas = False
+    if use_pallas:
+        y = _selective_scan_fast(x, delta, A, B, C)
+    else:
+        y = _selective_scan_ref(x, delta, A, B, C)
     if D is not None:
-        y = y + D.astype(jnp.float32)[None, None] * xf
+        y = y + D.astype(jnp.float32)[None, None] * x.astype(jnp.float32)
     return y.astype(x.dtype)
 
 

@@ -76,3 +76,34 @@ def test_mamba_registry():
     from lcasr_tpu.models.registry import get_model_class
 
     assert get_model_class(model_class="Mamba") is Mamba
+
+
+def test_pallas_selective_scan_matches_reference():
+    """The sequential Pallas scan (TPU forward default; state resident in
+    VMEM) vs the associative-scan reference — forward, unaligned lengths,
+    and the gradient path (whose backward recomputes via the reference)."""
+    import jax
+
+    from lcasr_tpu.ops.ssm import selective_scan
+
+    rng = np.random.default_rng(0)
+    Bt, L, D, N = 2, 96, 256, 16
+    x = jnp.asarray(rng.normal(size=(Bt, L, D)), jnp.float32)
+    delta = jax.nn.softplus(jnp.asarray(rng.normal(size=(Bt, L, D)), jnp.float32))
+    A = -jnp.exp(jnp.asarray(rng.normal(size=(D, N)), jnp.float32))
+    B = jnp.asarray(rng.normal(size=(Bt, L, N)), jnp.float32)
+    C = jnp.asarray(rng.normal(size=(Bt, L, N)), jnp.float32)
+    Dskip = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+
+    ref = selective_scan(x, delta, A, B, C, Dskip, use_pallas=False)
+    fast = selective_scan(x, delta, A, B, C, Dskip, use_pallas=True)
+    assert float(jnp.abs(ref - fast).max()) < 1e-3
+
+    # unaligned L exercises the zero-Δ tail padding (gain 1 / bias 0)
+    r2 = selective_scan(x[:, :77], delta[:, :77], A, B[:, :77], C[:, :77], use_pallas=False)
+    f2 = selective_scan(x[:, :77], delta[:, :77], A, B[:, :77], C[:, :77], use_pallas=True)
+    assert float(jnp.abs(r2 - f2).max()) < 1e-3
+
+    g1 = jax.grad(lambda x: (selective_scan(x, delta, A, B, C, use_pallas=True) ** 2).sum())(x)
+    g2 = jax.grad(lambda x: (selective_scan(x, delta, A, B, C, use_pallas=False) ** 2).sum())(x)
+    assert float(jnp.abs(g1 - g2).max()) < 1e-2 * float(jnp.abs(g2).max())
