@@ -154,6 +154,10 @@ def beam_stage(
 
 
 def main():
+    from lcasr_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
     c = sub.add_parser("create_logits")

@@ -54,6 +54,9 @@ def main(args=None):
             f"{len(jax.devices())} global devices"
         )
 
+    from lcasr_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     config = Config.load(ns.config)
     if ns.overrides:
         config = config.apply_overrides(ns.overrides)

@@ -29,6 +29,9 @@ def main(args=None):
     parser.add_argument("-o", "--overrides", nargs="*", default=[])
     ns = parser.parse_args(args)
 
+    from lcasr_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     config = Config.load(ns.config)
     if ns.overrides:
         config = config.apply_overrides(ns.overrides)

@@ -131,6 +131,10 @@ def _append_csv(path: str, rows: List[Dict[str, Any]]):
 
 
 def main():
+    from lcasr_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("-config", "--config", required=True)
     parser.add_argument("-results", "--results_csv", default=None)

@@ -175,6 +175,10 @@ def evaluate(
 
 
 def main():
+    from lcasr_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("-c", "--checkpoint", required=True)
     parser.add_argument("-d", "--dataset", required=True)
