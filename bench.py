@@ -57,11 +57,11 @@ def main() -> None:
     # warmup: compile + run once end-to-end
     _ = decoder.greedy(spec, seq_len=SEQ_LEN, overlap=overlap)
 
-    # best-of-3: the decode is link-bound on a tunnel-attached chip and the
-    # tunnel bandwidth fluctuates minute to minute (measured 866-1276 RTFx
+    # best-of-5: the decode is link-bound on a tunnel-attached chip and the
+    # tunnel bandwidth fluctuates minute to minute (measured 698-1276 RTFx
     # for identical code); min wall time is the reproducible figure
     wall = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         ids = decoder.greedy(spec, seq_len=SEQ_LEN, overlap=overlap)
         wall = min(wall, time.perf_counter() - t0)
