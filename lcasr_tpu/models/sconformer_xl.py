@@ -416,13 +416,13 @@ class SCConformerXL(nn.Module):
             )(N, dtype=jnp.float32, offset=off)
 
         if self.fourier_pos_enc:
-            if cp is not None:
-                raise NotImplementedError(
-                    "context parallel + fourier_pos_enc: offset positions not wired"
-                )
             from lcasr_tpu.models.positional import LearnableFourierPosEnc
 
-            x = LearnableFourierPosEnc(self.d_model, dtype=self.dtype, name="fourier_pos_enc")(x)
+            # context parallel: local row r is global row off + r — the
+            # encoder's per-sample offset input shifts the scalar positions
+            x = LearnableFourierPosEnc(
+                self.d_model, dtype=self.dtype, name="fourier_pos_enc"
+            )(x, offsets=jnp.full((B,), off) if cp is not None else None)
 
         decoder = ASRLinearSCDecoder(
             d_model=self.d_model,

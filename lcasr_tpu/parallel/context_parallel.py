@@ -21,7 +21,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from lcasr_tpu.ops.flash_attention import flash_attention
 
@@ -66,5 +66,5 @@ def context_parallel_attention(
         mesh=mesh,
         in_specs=(seq_sharded, seq_sharded, seq_sharded, P()),
         out_specs=seq_sharded,
-        check_rep=False,
+        check_vma=False,
     )(q, k, v, lengths)

@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def context_parallel_apply(
@@ -71,7 +71,7 @@ def context_parallel_apply(
         mesh=mesh,
         in_specs=(P(), P(None, None, seq_axis), P()),
         out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,
     )(variables, audio, lengths)
     result = {"final_posteriors": posts, "length": out_len}
     if mutable:

@@ -171,3 +171,25 @@ def test_full_model_cp_training_step_matches_single_device(mesh8):
     for a, b in zip(jax.tree.leaves(mut2), jax.tree.leaves(mut1)):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32), rtol=1e-4, atol=1e-5)
+
+
+def test_full_model_cp_forward_fourier_pos_enc(mesh8):
+    """CP + LearnableFourierPosEnc: the encoder's per-sample offset input
+    shifts scalar positions by the shard's global row offset — local
+    positions off+[0, N) must reproduce the single-device absolute
+    positions exactly (previously a NotImplementedError)."""
+    from lcasr_tpu.parallel.cp_model import context_parallel_apply
+
+    model = _tiny_model((-1, -1), fourier_pos_enc=True)
+    rng = np.random.default_rng(3)
+    B, T = 2, 2048
+    audio = jnp.asarray(rng.normal(size=(B, 80, T)).astype(np.float32))
+    lengths = jnp.array([T, T - 300], jnp.int32)
+
+    variables = model.init(jax.random.PRNGKey(0), audio[:, :, :256])
+    ref = model.apply(variables, audio, length=lengths)
+    cp = context_parallel_apply(model, variables, audio, mesh8, lengths=lengths)
+    np.testing.assert_allclose(
+        np.asarray(cp["final_posteriors"]), np.asarray(ref["final_posteriors"]),
+        atol=2e-4, rtol=2e-3,
+    )
