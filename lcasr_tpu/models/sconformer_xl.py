@@ -63,6 +63,11 @@ class Attention(nn.Module):
     # attend to the seq-axis-gathered K/V with a global q_offset, so window
     # banding and length masks stay exact in global coordinates
     seq_axis_name: Optional[str] = None
+    # 'gather' all-gathers K/V over the seq axis (exact, simple — KV memory
+    # O(T) per device); 'ring' keeps K/V local and rotates blocks with
+    # cross-step online-softmax merging (exact, KV memory O(T/n) per device —
+    # the regime CP exists for, where full K/V exceeds per-shard HBM)
+    attention_cp_impl: str = "gather"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -93,10 +98,33 @@ class Attention(nn.Module):
             cos, sin = rotary
             q, k = apply_rotary(q, k, cos, sin)
 
+        if cp is not None and self.attention_cp_impl == "ring":
+            # ring attention: K/V stay LOCAL and rotate around the seq axis
+            # with online-softmax merging (exact fwd + custom-VJP bwd,
+            # parallel/ring_attention.py) — KV memory O(T/n) per device
+            from lcasr_tpu.parallel.ring_attention import make_ring_local
+
+            ring_lengths = (
+                lengths
+                if lengths is not None
+                else jnp.full((B,), N * jax.lax.axis_size(cp), jnp.int32)
+            )
+            out = make_ring_local(window, None, N, cp)(q, k, v, ring_lengths)
+            out = out.reshape(B, N, H * D)
+            if lengths is not None:
+                out = jnp.where(
+                    length_mask(lengths, N, offset=q_off)[..., None], out, 0.0
+                )
+            out = nn.Dense(
+                self.n_feats, use_bias=self.bias, dtype=self.dtype, name="out_proj"
+            )(out)
+            if self.dropout > 0.0 and train:
+                out = nn.Dropout(self.dropout, deterministic=False)(out)
+            return out
+
         if cp is not None:
             # gathered-KV context parallelism (parallel/context_parallel.py
-            # inlined): exact, differentiable; ring attention is the
-            # forward-only bandwidth-optimal variant
+            # inlined): exact, differentiable
             k = jax.lax.all_gather(k, cp, axis=1, tiled=True)
             v = jax.lax.all_gather(v, cp, axis=1, tiled=True)
 
@@ -169,6 +197,7 @@ class ConformerLayer(nn.Module):
     use_pallas: bool = True
     return_attention_weights: bool = False
     seq_axis_name: Optional[str] = None  # context parallel (inside shard_map)
+    attention_cp_impl: str = "gather"  # 'gather' | 'ring' (see Attention)
     stat_axes: Tuple[str, ...] = ()  # mesh axes for batch-renorm statistics
     dtype: Any = jnp.float32
 
@@ -220,6 +249,7 @@ class ConformerLayer(nn.Module):
             use_pallas=self.use_pallas,
             return_attention_weights=self.return_attention_weights,
             seq_axis_name=self.seq_axis_name,
+            attention_cp_impl=self.attention_cp_impl,
             dtype=self.dtype,
             name="attend",
         )(h, lengths=lengths, rotary=rotary, train=train)
@@ -297,6 +327,10 @@ class SCConformerXL(nn.Module):
     dropout_conv: float = 0.0
     dropout_attn: float = 0.0
     checkpoint_every_n_layers: int = 0
+    # rematerialize the conv-subsampling stage in the backward: its stage-1/2
+    # activations dominate hour-scale memory (~0.6 GB/shard bf16 at 360k
+    # frames / 8 shards — docs/MEMORY_BUDGET_1H.md) and are cheap to recompute
+    remat_subsampling: bool = False
     conv_kernel_size: int = 9
     conv_expansion_factor: float = 1.0
     conv_norm: str = "batch_renorm"
@@ -329,6 +363,7 @@ class SCConformerXL(nn.Module):
     # masks run in global coordinates, and attention gathers K/V over the
     # axis.  Use `parallel.cp_model.context_parallel_apply` as the entry.
     seq_axis_name: Optional[str] = None
+    attention_cp_impl: str = "gather"  # 'gather' | 'ring' CP attention
     stat_axes: Tuple[str, ...] = ()  # mesh axes for batch-renorm statistics
     dtype: Any = jnp.float32
 
@@ -369,17 +404,18 @@ class SCConformerXL(nn.Module):
             length = jnp.full((B,), t_global, dtype=jnp.int32)
 
         if self.subsampling == "stacking":
-            sub = StackingSubsampling(
+            SubCls = StackingSubsampling
+            sub_kw = dict(
                 subsampling_factor=self.subsampling_factor,
                 feat_in=self.feat_in,
                 feat_out=self.d_model,
                 norm=not self.subsampling_norm_out,
                 norm_out=self.subsampling_norm_out,
                 dtype=self.dtype,
-                name="subsampling",
             )
         else:
-            sub = ConvSubsampling(
+            SubCls = ConvSubsampling
+            sub_kw = dict(
                 subsampling_factor=self.subsampling_factor,
                 feat_in=self.feat_in,
                 feat_out=self.d_model,
@@ -392,8 +428,10 @@ class SCConformerXL(nn.Module):
                 norm_out=self.subsampling_norm_out,
                 seq_axis_name=self.seq_axis_name,
                 dtype=self.dtype,
-                name="subsampling",
             )
+        if self.remat_subsampling:
+            SubCls = nn.remat(SubCls, prevent_cse=False)
+        sub = SubCls(**sub_kw, name="subsampling")
         x, length = sub(x, length)
         N = x.shape[1]
 
@@ -464,6 +502,7 @@ class SCConformerXL(nn.Module):
                 use_pallas=self.use_pallas,
                 return_attention_weights=self.return_attention_weights,
                 seq_axis_name=self.seq_axis_name,
+                attention_cp_impl=self.attention_cp_impl,
                 stat_axes=self.stat_axes,
                 dtype=self.dtype,
                 name=f"layers_{i}",

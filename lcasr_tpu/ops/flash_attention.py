@@ -43,11 +43,28 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _block_in_band(q_start, k_start, block_q, block_k, window, q_len, kv_hi):
-    """Whole-tile skip predicate (block-sparse window skip)."""
+def _fit_blocks(block_q: int, block_k: int, D: int) -> Tuple[int, int]:
+    """Scale the default block sizes down for head dims past the tuned
+    D=128: the kernel working set grows linearly in D (q/k/v/do tiles plus
+    fp32 scratch), and (512, 1024) already sits near the 16 MB VMEM scoped
+    limit at D=128.  Keeps multiples of 128 for MXU/lane alignment."""
+    if D > 128:
+        shrink = D // 128
+        block_k = max(128, (block_k // shrink) // 128 * 128)
+        block_q = max(128, (block_q // shrink) // 128 * 128)
+    return block_q, block_k
+
+
+def _block_in_band(q_start, k_start, block_q, block_k, window, q_hi, kv_hi):
+    """Whole-tile skip predicate (block-sparse window skip).
+
+    `q_hi` / `kv_hi` are the GLOBAL bounds on valid rows / columns — already
+    clamped to the local (unpadded) extents by the callers, so zero-padded
+    rows/columns of a mid-ring shard never pass even when their global index
+    is below the sequence length."""
     left, right = window
     in_band = k_start < kv_hi
-    in_band = jnp.logical_and(in_band, q_start < q_len)
+    in_band = jnp.logical_and(in_band, q_start < q_hi)
     if left >= 0:
         in_band = jnp.logical_and(in_band, k_start + block_k - 1 >= q_start - left)
     if right >= 0:
@@ -114,7 +131,8 @@ def _fwd_kernel(
     window: Tuple[int, int],
     num_k_blocks: int,
     banded: bool = False,
-    kv_extent: int = 0,  # local KV length (padded); bounds virtual indices
+    q_extent: int = 0,  # local UNPADDED q length; bounds valid rows
+    kv_extent: int = 0,  # local UNPADDED KV length; bounds valid columns
 ):
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -138,9 +156,15 @@ def _fwd_kernel(
     else:
         k_start = ki * block_k + qoff_ref[1]
     q_len = lengths_ref[b]
-    kv_hi = jnp.minimum(q_len, qoff_ref[1] + kv_extent) if banded else q_len
+    # bounds clamped to the UNPADDED local extents unconditionally: under a
+    # nonzero kv/q offset (ring / context parallel) zero-padded local
+    # rows/columns land at globally-valid indices, so the global length
+    # alone would let padded keys into the softmax (and padded NEG_INF-lse
+    # q rows NaN-poison the backward)
+    kv_hi = jnp.minimum(q_len, qoff_ref[1] + kv_extent)
+    q_hi = jnp.minimum(q_len, qoff_ref[0] + q_extent)
 
-    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, q_len, kv_hi))
+    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, q_hi, kv_hi))
     def _compute():
         # matmuls run in the INPUT dtype (bf16 on the training path) with fp32
         # accumulation — the MXU's native mode.  q arrives PRE-SCALED by the
@@ -157,7 +181,7 @@ def _fwd_kernel(
         # within a half the s→exp→p·v chain serializes MXU and VPU phases)
         n_split = 2 if block_k >= 512 else 1
         half = block_k // n_split
-        row_ok = _row_valid(q_start, block_q, q_len).astype(jnp.float32)
+        row_ok = _row_valid(q_start, block_q, q_hi).astype(jnp.float32)
 
         ss = []
         for j in range(n_split):
@@ -213,7 +237,7 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _flash_attention_bhtd(
     q: jnp.ndarray,  # (B, H, Tq, D), Tq a multiple of the block sizes
     k: jnp.ndarray,  # (B, H, Tk, D)
@@ -224,14 +248,22 @@ def _flash_attention_bhtd(
     scale: float,
     block_q: int,
     block_k: int,
+    q_extent: int,  # UNPADDED local q length (static)
+    kv_extent: int,  # UNPADDED local kv length (static)
 ) -> jnp.ndarray:
-    o, _ = _fwd(q, k, v, lengths, q_offset, window, scale, block_q, block_k)
+    o, _ = _fwd(q, k, v, lengths, q_offset, window, scale, block_q, block_k,
+                q_extent, kv_extent)
     return o
 
 
-def _fwd(q, k, v, lengths, q_offset, window, scale, block_q, block_k):
+def _fwd(q, k, v, lengths, q_offset, window, scale, block_q, block_k,
+         q_extent=None, kv_extent=None):
     B, H, Tq, D = q.shape
     Tk = k.shape[2]
+    if q_extent is None:
+        q_extent = Tq
+    if kv_extent is None:
+        kv_extent = Tk
     nQ, nK = Tq // block_q, Tk // block_k
     # fold the softmax scale into q once (saves a per-element multiply on
     # every (BQ, BK) score tile inside the kernel); the backward recomputes
@@ -254,7 +286,8 @@ def _fwd(q, k, v, lengths, q_offset, window, scale, block_q, block_k):
         window=window,
         num_k_blocks=nK_band,
         banded=banded,
-        kv_extent=Tk,
+        q_extent=q_extent,
+        kv_extent=kv_extent,
     )
     if banded:
         def kv_index(b, h, qi, ki, lens, offs):
@@ -313,6 +346,7 @@ def _bwd_dq_kernel(
     window: Tuple[int, int],
     num_k_blocks: int,
     banded: bool = False,
+    q_extent: int = 0,
     kv_extent: int = 0,
 ):
     b = pl.program_id(0)
@@ -330,15 +364,16 @@ def _bwd_dq_kernel(
         k_start = (start_blk + ki) * block_k + qoff_ref[1]
     else:
         k_start = ki * block_k + qoff_ref[1]
-    # two DISTINCT bounds (mirroring the forward): q-row validity is the raw
-    # sequence length; the column bound additionally clamps to the local KV
-    # extent so clamped virtual band blocks never contribute.  Conflating
-    # them (as round 1 did) masks valid q rows past kv_offset+kv_extent when
-    # BOTH offsets are nonzero (ring attention backward).
+    # two DISTINCT bounds (mirroring the forward), BOTH clamped to the
+    # unpadded local extents: the column bound rejects zero-padded keys at
+    # globally-valid indices (and clamped virtual band blocks); the row bound
+    # rejects zero-padded NEG_INF-lse q rows of a mid-ring shard whose global
+    # index is still < q_len (exp(s+1e30) = inf would NaN-poison dq).
     q_len = lengths_ref[b]
-    kv_hi = jnp.minimum(q_len, qoff_ref[1] + kv_extent) if banded else q_len
+    kv_hi = jnp.minimum(q_len, qoff_ref[1] + kv_extent)
+    q_hi = jnp.minimum(q_len, qoff_ref[0] + q_extent)
 
-    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, q_len, kv_hi))
+    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, q_hi, kv_hi))
     def _compute():
         # bf16 MXU matmuls with fp32 accumulation; q arrives pre-scaled
         # (dq therefore needs a final *scale OUTSIDE the kernel — done by
@@ -350,7 +385,7 @@ def _bwd_dq_kernel(
         lse = lse_ref[0, 0][:, 0:1]  # (BQ, 1)
         delta = delta_ref[0, 0][:, 0:1]
 
-        row_ok = _row_valid(q_start, block_q, q_len)
+        row_ok = _row_valid(q_start, block_q, q_hi)
         # invalid rows carry lse = NEG_INF → exp overflows to +inf there; a
         # SELECT (not a multiply) discards it without inf·0=NaN.  n_split=1:
         # the fwd-style kv-half overlap split measured SLOWER here (128→141 ms
@@ -397,6 +432,7 @@ def _bwd_dkv_kernel(
     num_q_blocks: int,
     banded: bool = False,
     q_extent: int = 0,
+    kv_extent: int = 0,
 ):
     b = pl.program_id(0)
     ki = pl.program_id(2)
@@ -416,16 +452,17 @@ def _bwd_dkv_kernel(
     else:
         q_start = qi * block_q + qoff_ref[0]
     kv_len = lengths_ref[b]
-    if banded:
-        # bound virtual q rows by the local q extent: kqspec_q_band clamps
-        # out-of-extent virtual q-block indices to nQ-1, so without this
-        # row bound the clamped (duplicate) q data would pass the band
-        # check and pollute dk/dv (exact under CP only with the clamp)
-        kv_len_q = jnp.minimum(kv_len, qoff_ref[0] + q_extent)
-    else:
-        kv_len_q = kv_len
+    # q-row bound clamped to the unpadded local q extent unconditionally:
+    # banded mode needs it because kqspec_q_band clamps out-of-extent virtual
+    # q-block indices to nQ-1 (duplicate data would pollute dk/dv), and ANY
+    # mode needs it under a nonzero q offset, where zero-padded NEG_INF-lse
+    # q rows land at globally-valid indices (exp → inf → NaN).  The column
+    # bound is symmetric (padded key columns are merely wasted work here —
+    # their dk/dv rows are sliced off — but the clamp keeps them maskless).
+    q_hi = jnp.minimum(kv_len, qoff_ref[0] + q_extent)
+    kv_hi = jnp.minimum(kv_len, qoff_ref[1] + kv_extent)
 
-    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, kv_len_q, kv_len))
+    @pl.when(_block_in_band(q_start, k_start, block_q, block_k, window, q_hi, kv_hi))
     def _compute():
         # bf16 MXU matmuls with fp32 accumulation; q arrives pre-scaled, so
         # dk = ds^T @ (scale*q) is ALREADY the true gradient (no epilogue);
@@ -452,10 +489,10 @@ def _bwd_dkv_kernel(
                 qj, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )  # (half, BK)
             s = _apply_score_masks(
-                s, q_start + j * half, k_start, half, block_k, window, kv_len
+                s, q_start + j * half, k_start, half, block_k, window, kv_hi
             )
             p = jnp.where(
-                _row_valid(q_start + j * half, half, kv_len_q),
+                _row_valid(q_start + j * half, half, q_hi),
                 jnp.exp(s - lsej), 0.0,
             )
             dv = dv + jax.lax.dot_general(
@@ -490,6 +527,8 @@ def _bwd_fused_kernel(
     block_k: int,
     window: Tuple[int, int],
     num_q_blocks: int,
+    q_extent: int = 0,
+    kv_extent: int = 0,
 ):
     """One-pass backward (non-banded path): s/p/dp/ds computed ONCE per
     (kv, q) tile and consumed by all three gradients — 5 MXU matmuls per tile
@@ -498,7 +537,9 @@ def _bwd_fused_kernel(
     loop; dq accumulates in fp32 HBM through an input/output-aliased buffer
     (the gmm "existing_out" pattern) — each dq block is revisited once per kv
     block, nQ grid steps apart, so the write-back of visit ki completes long
-    before the prefetch for visit ki+1 (callers guard nQ >= 4)."""
+    before the prefetch for visit ki+1 (callers guard nQ >= 4 AND verify the
+    read-after-write property once per process on this hardware/compiler —
+    see _fused_bwd_safe)."""
     b = pl.program_id(0)
     ki = pl.program_id(2)
     qi = pl.program_id(3)
@@ -511,7 +552,10 @@ def _bwd_fused_kernel(
     k_start = ki * block_k + qoff_ref[1]
     q_start = qi * block_q + qoff_ref[0]
     kv_len = lengths_ref[b]
-    in_band = _block_in_band(q_start, k_start, block_q, block_k, window, kv_len, kv_len)
+    # both bounds clamped to the unpadded local extents (see _bwd_dq_kernel)
+    q_hi = jnp.minimum(kv_len, qoff_ref[0] + q_extent)
+    kv_hi = jnp.minimum(kv_len, qoff_ref[1] + kv_extent)
+    in_band = _block_in_band(q_start, k_start, block_q, block_k, window, q_hi, kv_hi)
 
     @pl.when(in_band)
     def _compute():
@@ -527,9 +571,9 @@ def _bwd_fused_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
-        s = _apply_score_masks(s, q_start, k_start, block_q, block_k, window, kv_len)
+        s = _apply_score_masks(s, q_start, k_start, block_q, block_k, window, kv_hi)
         # the row SELECT also guards lse=-inf rows (exp→+inf; inf·0=NaN)
-        p = jnp.where(_row_valid(q_start, block_q, kv_len), jnp.exp(s - lse), 0.0)
+        p = jnp.where(_row_valid(q_start, block_q, q_hi), jnp.exp(s - lse), 0.0)
         dv_acc[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -559,17 +603,86 @@ def _bwd_fused_kernel(
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _fwd_rule(q, k, v, lengths, q_offset, window, scale, block_q, block_k):
-    o, lse = _fwd(q, k, v, lengths, q_offset, window, scale, block_q, block_k)
+def _fwd_rule(q, k, v, lengths, q_offset, window, scale, block_q, block_k,
+              q_extent, kv_extent):
+    o, lse = _fwd(q, k, v, lengths, q_offset, window, scale, block_q, block_k,
+                  q_extent, kv_extent)
     return o, (q, k, v, lengths, q_offset, o, lse)
 
 
-def _bwd_rule(window, scale, block_q, block_k, residuals, do):
+def _bwd_rule(window, scale, block_q, block_k, q_extent, kv_extent, residuals, do):
     q, k, v, lengths, q_offset, o, lse = residuals
-    return _bwd_impl(q, k, v, lengths, q_offset, o, lse, do, window, scale, block_q, block_k) + (None, None)
+    return _bwd_impl(
+        q, k, v, lengths, q_offset, o, lse, do, window, scale, block_q, block_k,
+        q_extent, kv_extent,
+    ) + (None, None)
 
 
-def _bwd_impl(q, k, v, lengths, q_offset, o, lse, do, window, scale, block_q, block_k):
+# -- fused-backward safety gate ---------------------------------------------
+# The one-pass fused kernel accumulates dq through an input/output-aliased
+# HBM buffer: correctness relies on the write-back of a dq block (revisit
+# distance nQ grid steps) completing before the pipeline prefetches it for
+# the next visit.  That is an empirical property of Mosaic's pipeline depth,
+# not an API guarantee (the interpreter demonstrably lacks read-your-writes
+# through the alias), so we VERIFY it once per process on the actual
+# hardware/compiler: a small nK>1 case is run through both the fused and the
+# split kernels and compared; any future Mosaic prefetch change flips the
+# gate to the (guaranteed-safe) split kernels instead of silently corrupting
+# gradients.  LCASR_FUSED_ATTN_BWD=0 forces the split kernels outright.
+_FUSED_BWD_STATE = {"checked": False, "ok": True}
+
+
+def _fused_bwd_safe() -> bool:
+    import os
+
+    if os.environ.get("LCASR_FUSED_ATTN_BWD", "1") == "0":
+        return False
+    st = _FUSED_BWD_STATE
+    if not st["checked"]:
+        st["checked"] = True  # set first: the probe itself calls _bwd_impl
+        try:
+            st["ok"] = _probe_fused_bwd()
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"flash_attention: fused-bwd probe failed ({e}); using split kernels")
+            st["ok"] = False
+        if not st["ok"]:
+            print(
+                "flash_attention: fused one-pass backward FAILED the aliased-"
+                "accumulator read-after-write probe on this compiler — "
+                "falling back to the split dq/dkv kernels"
+            )
+    return st["ok"]
+
+
+def _probe_fused_bwd() -> bool:
+    """Compare fused vs split backward on a tiny nK=4/nQ=4 case (one-time,
+    ~100 ms including compile)."""
+    bq = bk = 128
+    T = 4 * bk
+    key = jax.random.PRNGKey(0)
+    qkv = jax.random.normal(key, (3, 1, 1, T, 128), jnp.float32)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    lengths = jnp.full((1,), T, jnp.int32)
+    qoff = jnp.zeros((2,), jnp.int32)
+    o, lse = _fwd(q, k, v, lengths, qoff, (-1, -1), 1.0, bq, bk, T, T)
+    do = jax.random.normal(jax.random.PRNGKey(1), q.shape, jnp.float32)
+    args = (q, k, v, lengths, qoff, o, lse, do, (-1, -1), 1.0, bq, bk, T, T)
+    fused = _bwd_impl(*args, _mode="fused")
+    split = _bwd_impl(*args, _mode="split")
+    for a, b in zip(fused, split):
+        err = float(jnp.abs(a - b).max())
+        ref = float(jnp.abs(b).max()) + 1e-6
+        if not np_isfinite(err) or err / ref > 1e-3:
+            return False
+    return True
+
+
+def np_isfinite(x: float) -> bool:
+    return x == x and x not in (float("inf"), float("-inf"))
+
+
+def _bwd_impl(q, k, v, lengths, q_offset, o, lse, do, window, scale, block_q,
+              block_k, q_extent=None, kv_extent=None, _mode="auto"):
     """Flash-attention backward on (B, H, T, D) blocks with an EXTERNAL
     (o, lse) pair — reused by the custom VJP and by ring attention, whose
     merged global lse makes per-KV-block gradient contributions exact."""
@@ -578,6 +691,10 @@ def _bwd_impl(q, k, v, lengths, q_offset, o, lse, do, window, scale, block_q, bl
     q = q * jnp.asarray(scale, q.dtype)
     B, H, T, D = q.shape
     Tk = k.shape[2]
+    if q_extent is None:
+        q_extent = T
+    if kv_extent is None:
+        kv_extent = Tk
     nQ, nK = T // block_q, Tk // block_k
     left, right = window
     banded = left >= 0 and right >= 0
@@ -588,7 +705,16 @@ def _bwd_impl(q, k, v, lengths, q_offset, o, lse, do, window, scale, block_q, bl
     lse_q = lse  # already (B, H, T, 128)
     delta_q = jnp.broadcast_to(delta[..., None], (B, H, T, 128))
 
-    if not banded and (nK == 1 or nQ >= 4) and not _interpret():
+    use_fused = (
+        not banded
+        and not _interpret()
+        and (
+            _mode == "fused"
+            or (_mode == "auto" and (nK == 1 or (nQ >= 4 and _fused_bwd_safe())))
+        )
+        and _mode != "split"
+    )
+    if use_fused:
         # one-pass fused kernel (see _bwd_fused_kernel); the banded path
         # keeps the split kernels — its clamped virtual q-block indices can
         # revisit a dq block on CONSECUTIVE steps, racing the aliased
@@ -608,7 +734,7 @@ def _bwd_impl(q, k, v, lengths, q_offset, o, lse, do, window, scale, block_q, bl
             functools.partial(
                 _bwd_fused_kernel,
                 block_q=block_q, block_k=block_k, window=window,
-                num_q_blocks=nQ,
+                num_q_blocks=nQ, q_extent=q_extent, kv_extent=kv_extent,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
@@ -666,7 +792,8 @@ def _bwd_impl(q, k, v, lengths, q_offset, o, lse, do, window, scale, block_q, bl
         functools.partial(
             _bwd_dq_kernel,
             block_q=block_q, block_k=block_k, window=window,
-            num_k_blocks=nK_band, banded=banded, kv_extent=Tk,
+            num_k_blocks=nK_band, banded=banded,
+            q_extent=q_extent, kv_extent=kv_extent,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -704,7 +831,8 @@ def _bwd_impl(q, k, v, lengths, q_offset, o, lse, do, window, scale, block_q, bl
         functools.partial(
             _bwd_dkv_kernel,
             block_q=block_q, block_k=block_k, window=window,
-            num_q_blocks=nQ_band, banded=banded, q_extent=T,
+            num_q_blocks=nQ_band, banded=banded,
+            q_extent=q_extent, kv_extent=kv_extent,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -769,6 +897,7 @@ def flash_attention(
     scale = softmax_scale if softmax_scale is not None else D ** -0.5
 
     # shrink blocks for short sequences (min 128 for MXU/lane alignment)
+    block_q, block_k = _fit_blocks(block_q, block_k, D)
     t_pow2 = max(128, 1 << (max(T, k.shape[1]) - 1).bit_length())
     block_q = min(block_q, t_pow2)
     block_k = min(block_k, t_pow2)
@@ -796,7 +925,7 @@ def flash_attention(
     qoff = jnp.stack([qo, ko])
 
     out = _flash_attention_bhtd(
-        qt, kt, vt, lengths_arr, qoff, window, scale, block_q, block_k
+        qt, kt, vt, lengths_arr, qoff, window, scale, block_q, block_k, T, Tk
     )
     out = out[:, :, :T]
     return jnp.swapaxes(out, 1, 2)
@@ -819,6 +948,7 @@ def flash_attention_with_lse(
     rows, so partial results combine exactly."""
     B, T, H, D = q.shape
     scale = softmax_scale if softmax_scale is not None else D ** -0.5
+    block_q, block_k = _fit_blocks(block_q, block_k, D)
     t_pow2 = max(128, 1 << (max(T, k.shape[1]) - 1).bit_length())
     block_q = min(block_q, t_pow2)
     block_k = min(block_k, t_pow2)
@@ -837,7 +967,10 @@ def flash_attention_with_lse(
         vt = _pad_to(vt, 2, Tk_pad)
     qo = jnp.zeros((), jnp.int32) if q_offset is None else jnp.asarray(q_offset, jnp.int32).reshape(())
     ko = jnp.zeros((), jnp.int32) if kv_offset is None else jnp.asarray(kv_offset, jnp.int32).reshape(())
-    o, lse128 = _fwd(qt, kt, vt, lengths_arr, jnp.stack([qo, ko]), window, scale, block_q, block_k)
+    o, lse128 = _fwd(
+        qt, kt, vt, lengths_arr, jnp.stack([qo, ko]), window, scale,
+        block_q, block_k, T, k.shape[1],
+    )
     out = jnp.swapaxes(o[:, :, :T], 1, 2)
     return out, lse128[:, :, :T, 0]
 
@@ -866,6 +999,7 @@ def flash_attention_bwd(
     B, T, H, D = q.shape
     Tk = k.shape[1]
     scale = softmax_scale if softmax_scale is not None else D ** -0.5
+    block_q, block_k = _fit_blocks(block_q, block_k, D)
     t_pow2 = max(128, 1 << (max(T, Tk) - 1).bit_length())
     block_q = min(block_q, t_pow2)
     block_k = min(block_k, t_pow2)
@@ -891,7 +1025,7 @@ def flash_attention_bwd(
     ko = jnp.zeros((), jnp.int32) if kv_offset is None else jnp.asarray(kv_offset, jnp.int32).reshape(())
     dq, dk, dv = _bwd_impl(
         qt, kt, vt, lengths_arr, jnp.stack([qo, ko]), ot, lse128, dot_,
-        window, scale, block_q, block_k,
+        window, scale, block_q, block_k, T, Tk,
     )
     dq = jnp.swapaxes(dq[:, :, :T], 1, 2)
     dk = jnp.swapaxes(dk[:, :, :Tk], 1, 2)

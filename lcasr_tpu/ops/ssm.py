@@ -75,6 +75,7 @@ def _scan_kernel(
     b_ref,  # (1, TL, N)
     c_ref,  # (1, TL, N)
     y_ref,  # (1, TL, D) f32
+    hout_ref,  # (1, N, D) f32 — state at BLOCK ENTRY (backward residual)
     h_scr,  # VMEM (N, D) f32 — the recurrence state, resident ALL sequence
     *,
     block_l: int,
@@ -84,6 +85,10 @@ def _scan_kernel(
     @pl.when(li == 0)
     def _init():
         h_scr[:] = jnp.zeros_like(h_scr)
+
+    # checkpoint the incoming state: the reverse-recurrence backward kernel
+    # re-runs each block forward from exactly this state
+    hout_ref[0] = h_scr[:]
 
     at = at_ref[...]  # (N, D)
     G = 16  # row group: dynamic sublane slices must be tile-aligned
@@ -110,7 +115,7 @@ def _scan_kernel(
     h_scr[:] = jax.lax.fori_loop(0, block_l // G, group, h_scr[:])
 
 
-def _scan_pallas(x, delta, A, B, C, block_l: int = 512):
+def _scan_pallas(x, delta, A, B, C, block_l: int = 256, return_states: bool = False):
     Bt, L, D = x.shape
     N = A.shape[1]
     block_l = min(block_l, -(-L // 16) * 16)  # multiple of the 16-row group
@@ -123,7 +128,7 @@ def _scan_pallas(x, delta, A, B, C, block_l: int = 512):
     nL = (L + pad) // block_l
     at = jnp.swapaxes(A.astype(jnp.float32), 0, 1)  # (N, D)
 
-    y = pl.pallas_call(
+    y, states = pl.pallas_call(
         functools.partial(_scan_kernel, block_l=block_l),
         grid=(Bt, nL),
         in_specs=[
@@ -133,15 +138,197 @@ def _scan_pallas(x, delta, A, B, C, block_l: int = 512):
             pl.BlockSpec((1, block_l, N), lambda b, l: (b, l, 0)),
             pl.BlockSpec((1, block_l, N), lambda b, l: (b, l, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_l, D), lambda b, l: (b, l, 0)),
-        out_shape=jax.ShapeDtypeStruct((Bt, L + pad, D), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, block_l, D), lambda b, l: (b, l, 0)),
+            pl.BlockSpec((1, at.shape[0], D), lambda b, l: (b * nL + l, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bt, L + pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((Bt * nL, N, D), jnp.float32),
+        ],
         scratch_shapes=[pltpu.VMEM((at.shape[0], D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
     )(x, delta, at, B, C)
+    if return_states:
+        return y[:, :L], states.reshape(Bt, nL, N, D)
     return y[:, :L]
+
+
+def _scan_bwd_kernel(
+    x_ref,  # (1, TL, D)
+    delta_ref,  # (1, TL, D)
+    at_ref,  # (N, D) f32
+    b_ref,  # (1, TL, N)
+    c_ref,  # (1, TL, N)
+    g_ref,  # (1, TL, D) f32 — dL/dy
+    h0_ref,  # (1, N, D) f32 — state at THIS block's entry (fwd checkpoint)
+    dx_ref,  # (1, TL, D) f32
+    dd_ref,  # (1, TL, D) f32
+    db_ref,  # (1, TL, N) f32
+    dc_ref,  # (1, TL, N) f32
+    da_ref,  # (1, N, D) f32 — per-batch dA partial
+    lam_scr,  # VMEM (N, D) f32 — λ = dL/dh carried BACKWARD across blocks
+    da_scr,  # VMEM (N, D) f32 — dA accumulator across this batch's blocks
+    gstate_scr,  # VMEM (nG*N, D) f32 — state at each GROUP's entry
+    *,
+    block_l: int,
+    num_l_blocks: int,
+):
+    """Reverse-recurrence selective-scan backward (native counterpart of the
+    CUDA selective-scan backward, reference `bidirectional_mamba.py:17-30`):
+
+        λ_t = C_t ⊗ g_t + a_{t+1} ∘ λ_{t+1}          (reverse adjoint)
+        dx_t = Δ_t · Σ_n λ_t B_t ;  dB_t = Σ_d λ_t Δ_t x_t
+        dΔ_t = Σ_n λ_t (B_t x_t + A a_t h_{t-1}) ;  dC_t = Σ_d g_t h_t
+        dA  += Σ_t λ_t Δ_t a_t h_{t-1}
+
+    The grid walks L blocks in REVERSE (index maps flip li); h_{t-1} is
+    recomputed forward within each block from the fwd kernel's block-entry
+    checkpoint — state stays in VMEM, the (B, L, D, N) gain/bias tensors are
+    never materialized (the whole point vs the associative-scan backward)."""
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _init():
+        lam_scr[:] = jnp.zeros_like(lam_scr)
+        da_scr[:] = jnp.zeros_like(da_scr)
+
+    at = at_ref[...]  # (N, D)
+    N = at.shape[0]
+    G = 16
+    nG = block_l // G
+
+    # phase 1: forward within the block from the checkpointed entry state,
+    # saving each group's entry state
+    def fwd_group(gi, h):
+        gstate_scr[pl.ds(gi * N, N)] = h
+        base = gi * G
+        xg = x_ref[0, pl.ds(base, G)].astype(jnp.float32)
+        dg = delta_ref[0, pl.ds(base, G)].astype(jnp.float32)
+        bgt = jnp.swapaxes(b_ref[0, pl.ds(base, G)].astype(jnp.float32), 0, 1)
+        for j in range(G):
+            d = dg[j][None, :]
+            dA = jnp.exp(at * d)
+            h = dA * h + (d * xg[j][None, :]) * bgt[:, j][:, None]
+        return h
+
+    jax.lax.fori_loop(0, nG, fwd_group, h0_ref[0])
+
+    # phase 2: reverse sweep, group by group from the end
+    def bwd_group(gi_rev, lam):
+        gi = nG - 1 - gi_rev
+        base = gi * G
+        xg = x_ref[0, pl.ds(base, G)].astype(jnp.float32)  # (G, D)
+        dg = delta_ref[0, pl.ds(base, G)].astype(jnp.float32)
+        bgt = jnp.swapaxes(b_ref[0, pl.ds(base, G)].astype(jnp.float32), 0, 1)  # (N, G)
+        cgt = jnp.swapaxes(c_ref[0, pl.ds(base, G)].astype(jnp.float32), 0, 1)
+        gg = g_ref[0, pl.ds(base, G)].astype(jnp.float32)  # (G, D)
+
+        # recompute the group's states; keep h_{t-1} AND a_t per row
+        h = gstate_scr[pl.ds(gi * N, N)]
+        h_prevs, gains, hs = [], [], []
+        for j in range(G):
+            d = dg[j][None, :]
+            a_t = jnp.exp(at * d)
+            h_prevs.append(h)
+            gains.append(a_t)
+            h = a_t * h + (d * xg[j][None, :]) * bgt[:, j][:, None]
+            hs.append(h)
+
+        dx_rows, dd_rows, db_rows, dc_rows = [], [], [], []
+        da_acc = da_scr[:]
+        for j in range(G - 1, -1, -1):
+            lam_t = lam + cgt[:, j][:, None] * gg[j][None, :]
+            lam_b = lam_t * bgt[:, j][:, None]  # λ·B  (N, D)
+            sum_lam_b = lam_b.sum(axis=0)  # (D,)
+            gain_term = lam_t * gains[j] * h_prevs[j]  # λ·a·h_prev
+            dx_rows.append(dg[j] * sum_lam_b)
+            dd_rows.append(
+                xg[j] * sum_lam_b + (gain_term * at).sum(axis=0)
+            )
+            db_rows.append((lam_t * (dg[j] * xg[j])[None, :]).sum(axis=1))
+            dc_rows.append((hs[j] * gg[j][None, :]).sum(axis=1))
+            da_acc = da_acc + gain_term * dg[j][None, :]
+            lam = lam_t * gains[j]
+        da_scr[:] = da_acc
+
+        dx_ref[0, pl.ds(base, G)] = jnp.stack(dx_rows[::-1], axis=0)
+        dd_ref[0, pl.ds(base, G)] = jnp.stack(dd_rows[::-1], axis=0)
+        db_ref[0, pl.ds(base, G)] = jnp.stack(db_rows[::-1], axis=0)
+        dc_ref[0, pl.ds(base, G)] = jnp.stack(dc_rows[::-1], axis=0)
+        return lam
+
+    lam_scr[:] = jax.lax.fori_loop(0, nG, bwd_group, lam_scr[:])
+
+    @pl.when(li == num_l_blocks - 1)
+    def _finalize():
+        da_ref[0] = da_scr[:]
+
+
+def _scan_bwd_pallas(x, delta, A, B, C, states, g, block_l: int = 256):
+    """Native selective-scan backward.  Returns (dx, ddelta, dA, dB, dC)
+    in fp32; caller casts.  block_l 256 keeps the working set (5 streamed
+    (TL, D) f32 buffers + the nG·N group-state scratch) inside VMEM at
+    D=1024."""
+    Bt, L, D = x.shape
+    N = A.shape[1]
+    # the backward block size MUST equal the forward's: the kernel restarts
+    # each block from the fwd kernel's block-entry checkpoint
+    block_l = min(block_l, -(-L // 16) * 16)
+    pad = (-L) % block_l
+    if pad:
+        zpad = lambda a: jnp.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))
+        x, delta, B, C, g = zpad(x), zpad(delta), zpad(B), zpad(C), zpad(g)
+    Lp = L + pad
+    nL = Lp // block_l
+    assert states.shape[1] == nL, (states.shape, nL, block_l)
+    at = jnp.swapaxes(A.astype(jnp.float32), 0, 1)
+
+    rev = lambda b, l: (b, nL - 1 - l, 0)
+    revN = lambda b, l: (b, nL - 1 - l, 0)
+    dx, dd, db, dc, da = pl.pallas_call(
+        functools.partial(
+            _scan_bwd_kernel, block_l=block_l, num_l_blocks=nL
+        ),
+        grid=(Bt, nL),
+        in_specs=[
+            pl.BlockSpec((1, block_l, D), rev),
+            pl.BlockSpec((1, block_l, D), rev),
+            pl.BlockSpec((N, D), lambda b, l: (0, 0)),
+            pl.BlockSpec((1, block_l, N), revN),
+            pl.BlockSpec((1, block_l, N), revN),
+            pl.BlockSpec((1, block_l, D), rev),
+            pl.BlockSpec((1, N, D), lambda b, l: (b * nL + (nL - 1 - l), 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_l, D), rev),
+            pl.BlockSpec((1, block_l, D), rev),
+            pl.BlockSpec((1, block_l, N), revN),
+            pl.BlockSpec((1, block_l, N), revN),
+            pl.BlockSpec((1, N, D), lambda b, l: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bt, Lp, D), jnp.float32),
+            jax.ShapeDtypeStruct((Bt, Lp, D), jnp.float32),
+            jax.ShapeDtypeStruct((Bt, Lp, N), jnp.float32),
+            jax.ShapeDtypeStruct((Bt, Lp, N), jnp.float32),
+            jax.ShapeDtypeStruct((Bt, N, D), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N, D), jnp.float32),
+            pltpu.VMEM((N, D), jnp.float32),
+            pltpu.VMEM(((block_l // 16) * N, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x, delta, at, B, C, g, states.reshape(Bt * nL, N, D))
+    dA = jnp.swapaxes(da.sum(axis=0), 0, 1)  # (N, D) → (D, N)
+    return dx[:, :L], dd[:, :L], dA, db[:, :L], dc[:, :L]
 
 
 @jax.custom_vjp
@@ -150,13 +337,34 @@ def _selective_scan_fast(x, delta, A, B, C):
 
 
 def _ssf_fwd(x, delta, A, B, C):
-    return _scan_pallas(x, delta, A, B, C), (x, delta, A, B, C)
+    y, states = _scan_pallas(x, delta, A, B, C, return_states=True)
+    return y, (x, delta, A, B, C, states)
 
 
 def _ssf_bwd(res, g):
-    # backward through the associative-scan reference — the recurrence is
-    # recomputed, exactly like the CUDA selective-scan kernel's backward
-    _, vjp = jax.vjp(_selective_scan_ref, *res)
+    import os
+
+    x, delta, A, B, C, states = res
+    flag = os.environ.get("LCASR_NATIVE_SSM_BWD", "1")
+    # "force" runs the native kernel even off-TPU (pallas interpreter) —
+    # used by the CPU gradient-parity test; "0" disables it everywhere
+    if flag == "force" or (jax.default_backend() == "tpu" and flag != "0"):
+        # native reverse-recurrence kernel (block size = the forward's, so
+        # the block-entry checkpoints line up)
+        dx, dd, dA, dB, dC = _scan_bwd_pallas(
+            x, delta, A, B, C, states, g.astype(jnp.float32),
+        )
+        return (
+            dx.astype(x.dtype),
+            dd.astype(delta.dtype),
+            dA.astype(A.dtype),
+            dB.astype(B.dtype),
+            dC.astype(C.dtype),
+        )
+    # fallback: backward through the associative-scan reference — the
+    # recurrence is recomputed like the CUDA kernel, but the (B, L, D, N)
+    # gain/bias tensors hit HBM ~log2(L) times
+    _, vjp = jax.vjp(_selective_scan_ref, x, delta, A, B, C)
     return vjp(g)
 
 

@@ -69,3 +69,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_params(params: Any, mesh: Mesh):
     """Device-put params according to the TP layout."""
     return jax.device_put(params, param_shardings(params, mesh))
+
+
+def opt_state_shardings(opt_state_shapes: Any, params: Any, param_sh: Any, mesh: Mesh):
+    """NamedShardings for every optimizer-state leaf, mirroring the param
+    layout: madgrad's gss/s/x0 (and any momentum/ema tree) are pytrees that
+    embed the param tree, so a leaf whose path SUFFIX and shape match a
+    param gets that param's sharding; scalars and hyperparams replicate.
+
+    Leaving this to jit inference (as round 2 did) risks an unlucky
+    replicated layout silently tripling per-chip optimizer memory under TP —
+    madgrad carries 3 fp32 trees (~1.5 GB for the flagship).
+
+    `opt_state_shapes`: `jax.eval_shape(optimizer.init, params)`.
+    """
+    flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_sh = jax.tree_util.tree_flatten_with_path(param_sh)[0]
+    by_path = {
+        tuple(str(k) for k in path): (leaf.shape, sh)
+        for (path, leaf), (_, sh) in zip(flat_p, flat_sh)
+    }
+
+    def rule(path, leaf):
+        keys = tuple(str(k) for k in path)
+        for i in range(len(keys)):  # longest suffix first
+            hit = by_path.get(keys[i:])
+            if hit is not None and hit[0] == tuple(leaf.shape):
+                return hit[1]
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, opt_state_shapes)

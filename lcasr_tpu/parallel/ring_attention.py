@@ -93,7 +93,11 @@ def _ring_fwd_local(q_l, k_l, v_l, lengths_g, *, window, softmax_scale, t_local,
     return out, lse
 
 
-def _make_ring_local(window, softmax_scale, t_local, seq_axis):
+def make_ring_local(window, softmax_scale, t_local, seq_axis):
+    """Build the per-shard ring-attention function (custom VJP, exact fwd+bwd)
+    for use INSIDE an existing shard_map — e.g. as the model's CP attention
+    (`SCConformerXL(attention_cp_impl="ring")`).  Takes local (B, t_local,
+    H, D) q/k/v plus the global (B,) lengths."""
     fwd_kw = dict(window=window, softmax_scale=softmax_scale,
                   t_local=t_local, seq_axis=seq_axis)
 
@@ -164,7 +168,7 @@ def ring_attention(
     if lengths is None:
         lengths = jnp.full((B,), T, jnp.int32)
 
-    local_fn = _make_ring_local(window, softmax_scale, t_local, seq_axis)
+    local_fn = make_ring_local(window, softmax_scale, t_local, seq_axis)
 
     seq_sharded = P(None, seq_axis, None, None)
     return shard_map(

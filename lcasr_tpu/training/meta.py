@@ -89,15 +89,25 @@ class MetaTrainer:
         variables = self.model.init(key, dummy, jnp.array([256]))
         params = variables["params"]
         # the masked wrapper runs clip+optimizer over meta params ONLY — the
-        # frozen encoder's (ignored) grads can't pollute the global-norm clip
-        self.optimizer = optax.masked(
-            build_optimizer(
-                name=self.optimizer_name,
-                lr=self.opt_args.get("lr", 1e-3),
-                weight_decay=self.opt_args.get("weight_decay", 0.0),
-                clip_value=self.clip_value,
+        # frozen encoder's (ignored) grads can't pollute the global-norm clip.
+        # optax.masked passes UNMASKED updates through unchanged, so frozen
+        # params are additionally forced to zero updates (ADVICE r2): without
+        # it, correctness would rest on the meta objective having exactly-zero
+        # encoder gradients — silently broken if meta_predict ever gained a
+        # dependence on shared params (e.g. learned rotary frequencies).
+        mask = meta_param_mask(params)
+        inv_mask = jax.tree.map(lambda m: not m, mask)
+        self.optimizer = optax.chain(
+            optax.masked(
+                build_optimizer(
+                    name=self.optimizer_name,
+                    lr=self.opt_args.get("lr", 1e-3),
+                    weight_decay=self.opt_args.get("weight_decay", 0.0),
+                    clip_value=self.clip_value,
+                ),
+                mask,
             ),
-            meta_param_mask(params),
+            optax.masked(optax.set_to_zero(), inv_mask),
         )
         return {
             "params": params,

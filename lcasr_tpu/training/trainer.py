@@ -160,6 +160,12 @@ class Trainer:
                     f"{len(jax.devices())} — running single-device"
                 )
         self._param_sh = None  # set by init_state when a mesh is active
+        # context parallelism: seq-axis mesh shards split every chunk's time
+        # axis across devices (full-model CP — parallel/cp_model.py).  This
+        # is how the reference's longest config (360k frames = 1 h, batch 1,
+        # reference exp/configs/README.md:84-93) trains when one chip's HBM
+        # can't hold the activations.
+        self.cp_shards = self.mesh.shape["seq"] if self.mesh is not None else 1
         self.checkpoint_dir = checkpoint_dir or config.get("checkpointing", Config({})).get("dir", "./checkpoints")
 
         tr = config.get("training", Config({}))
@@ -198,6 +204,16 @@ class Trainer:
             )
             self.chunk_size = self.sequence_scheduler.cur_sequence_length
             self.batch_size = self.sequence_scheduler.cur_batch_size
+
+        if self.cp_shards > 1:
+            assert self.loss_mode == "ctc", (
+                "context-parallel training supports loss_mode='ctc' only"
+            )
+            sf = getattr(self.model, "subsampling_factor", 8)
+            assert self.chunk_size % (self.cp_shards * sf) == 0, (
+                f"audio_chunking.size={self.chunk_size} must divide seq "
+                f"shards ({self.cp_shards}) x subsampling factor ({sf})"
+            )
 
         self.augmentation = None
         if "spec_augment" in config:
@@ -238,7 +254,10 @@ class Trainer:
             weight_decay_mask=decay_mask(params),
         )
         if self.mesh is not None:
-            from lcasr_tpu.parallel.partition import param_shardings
+            from lcasr_tpu.parallel.partition import (
+                opt_state_shardings,
+                param_shardings,
+            )
 
             self._param_sh = param_shardings(params, self.mesh)
             params = jax.device_put(params, self._param_sh)
@@ -246,9 +265,16 @@ class Trainer:
                 batch_stats = jax.device_put(
                     batch_stats, NamedSharding(self.mesh, P())
                 )
-            # jitted init propagates the param shardings into the mirrored
-            # optimizer-state trees (gss/s/x0) where XLA chooses to
-            opt_state = jax.jit(self.optimizer.init)(params)
+            # optimizer-state shardings PINNED to the param layout (madgrad's
+            # gss/s/x0 mirror params) — jit inference could pick a replicated
+            # layout that silently triples per-chip optimizer memory under TP
+            opt_shapes = jax.eval_shape(self.optimizer.init, params)
+            self._opt_sh = opt_state_shardings(
+                opt_shapes, params, self._param_sh, self.mesh
+            )
+            opt_state = jax.jit(
+                self.optimizer.init, out_shardings=self._opt_sh
+            )(params)
         else:
             opt_state = self.optimizer.init(params)
         return {
@@ -263,7 +289,9 @@ class Trainer:
         """Put one chunk on device.  Under a mesh the batch axis is sharded
         over `data`; B is padded up to a data-axis multiple with weight-0
         rows (static shapes — the finished-sample convention already gives
-        zero-length rows zero loss and zero batch-stat contribution)."""
+        zero-length rows zero loss and zero batch-stat contribution).  Under
+        context parallelism the audio time axis is additionally sharded over
+        `seq` so each device uploads/holds only its shard."""
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in chunk.items()}
         d = self.mesh.shape["data"]
@@ -275,7 +303,10 @@ class Trainer:
                 v = np.concatenate(
                     [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
                 )
-            spec = P("data", *([None] * (v.ndim - 1)))
+            if k == "audio" and self.cp_shards > 1:
+                spec = P("data", None, "seq")
+            else:
+                spec = P("data", *([None] * (v.ndim - 1)))
             out[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
         return out
 
@@ -300,6 +331,25 @@ class Trainer:
         # INVALID_ARGUMENT on reuse); revisit on direct-attached TPUs.
         loss_mode = self.loss_mode
         ctc_w = self.ctc_loss_weight
+        cp = self.cp_shards > 1
+        mesh = self.mesh
+
+        def forward(p, batch_stats, audio, lengths):
+            """model.apply — or, under context parallelism, the seq-sharded
+            shard_map apply (subsampling/conv halo exchange, offset rotary,
+            CP attention, psum'd renorm stats) composed with the data axis."""
+            if cp:
+                from lcasr_tpu.parallel.cp_model import context_parallel_apply
+
+                return context_parallel_apply(
+                    model, {"params": p, "batch_stats": batch_stats},
+                    audio, mesh, lengths=lengths, train=True,
+                    data_axis="data", mutable=True,
+                )
+            return model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                audio, length=lengths, train=True, mutable=["batch_stats"],
+            )
 
         @functools.partial(jax.jit, static_argnames=("augment",))
         def micro_step(params, batch_stats, batch, key, grads_acc, augment=False):
@@ -350,12 +400,8 @@ class Trainer:
                     blank_p = jnp.asarray(0.0)
                     return loss, (mutated["batch_stats"], blank_p)
 
-                out, mutated = model.apply(
-                    {"params": p, "batch_stats": batch_stats},
-                    audio,
-                    length=batch["audio_lengths"],
-                    train=True,
-                    mutable=["batch_stats"],
+                out, mutated = forward(
+                    p, batch_stats, audio, batch["audio_lengths"]
                 )
                 log_probs = out["final_posteriors"].astype(jnp.float32)
                 nll = ctc_loss(
@@ -367,9 +413,19 @@ class Trainer:
                     reduction="none",
                 )
                 loss = (nll * batch["weight"]).sum()
-                # blank probability metric (reference exp/train.py:35-43)
+                # blank probability metric (reference exp/train.py:35-43) —
+                # over LIVE frames only: the static batch carries weight-0
+                # rows and padded frames the reference's shrinking batches
+                # never have, which would skew the collapse metric late in a
+                # podcast
                 am = log_probs.argmax(-1)
-                blank_p = (am == blank_id).mean()
+                t_live = (
+                    jnp.arange(am.shape[1])[None, :] < out["length"][:, None]
+                )
+                live = t_live & (batch["weight"] > 0)[:, None]
+                blank_p = jnp.where(live, am == blank_id, False).sum() / jnp.maximum(
+                    live.sum(), 1
+                )
                 return loss, (mutated["batch_stats"], blank_p)
 
             (loss, (new_stats, blank_p)), grads = jax.value_and_grad(

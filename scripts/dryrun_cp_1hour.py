@@ -32,25 +32,40 @@ from lcasr_tpu.parallel.mesh import make_mesh
 
 
 def main():
+    wide = "--wide" in sys.argv
     n = 8
     assert len(jax.devices()) >= n, "needs 8 devices (see module docstring)"
     mesh = make_mesh({"data": 1, "model": 1, "seq": n})
 
-    T = 360_000  # 1 hour of mel frames at 100 fps
-    B, VOCAB = 1, 64
     # windowed attention for the hour-scale config (the banded chunked oracle
     # keeps score memory O(chunk·band) off-TPU; on TPU the Pallas kernel's
-    # banded DMA-skip grids take over).  Model deliberately tiny: the dryrun
-    # validates the 360k-frame seq-sharded SHAPES end to end; XLA:CPU's
+    # banded DMA-skip grids take over).  Default model deliberately tiny: the
+    # dryrun validates the 360k-frame seq-sharded SHAPES end to end; XLA:CPU's
     # collective rendezvous aborts after 40 s, and 8 virtual devices share
     # ONE core here, so per-shard compute between collectives must stay small.
-    model = SCConformerXL(
-        vocab_size=VOCAB, d_model=64, n_layers=1, n_heads=1, head_dim=64,
-        subsampling_conv_channels=16, use_rotary=True, rotary_base_freq=1.5e6,
-        use_pallas=jax.default_backend() == "tpu",
-        attention_window_size=256,
-        checkpoint_every_n_layers=1,
-    )
+    # --wide: FULL flagship width (d_model 768, H6 D128, vocab 4096, madgrad-
+    # style fp32 path) at reduced depth/frames — the widest configuration the
+    # 1-core CPU mesh can bear (docs/MEMORY_BUDGET_1H.md validation artifact).
+    if wide:
+        T, B, VOCAB = 90_000, 1, 4096
+        model = SCConformerXL(
+            vocab_size=VOCAB, d_model=768, n_layers=1, n_heads=6, head_dim=128,
+            subsampling_conv_channels=256, use_rotary=True,
+            rotary_base_freq=1.5e6,
+            use_pallas=jax.default_backend() == "tpu",
+            attention_window_size=256,
+            checkpoint_every_n_layers=1,
+            remat_subsampling=True,
+        )
+    else:
+        T, B, VOCAB = 360_000, 1, 64
+        model = SCConformerXL(
+            vocab_size=VOCAB, d_model=64, n_layers=1, n_heads=1, head_dim=64,
+            subsampling_conv_channels=16, use_rotary=True, rotary_base_freq=1.5e6,
+            use_pallas=jax.default_backend() == "tpu",
+            attention_window_size=256,
+            checkpoint_every_n_layers=1,
+        )
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.normal(size=(B, 80, T)).astype(np.float32))
     lengths = jnp.full((B,), T, jnp.int32)
@@ -85,6 +100,9 @@ def main():
     result = {
         "frames": T,
         "seq_shards": n,
+        "wide": wide,
+        "d_model": model.d_model,
+        "vocab": VOCAB,
         "backend": jax.default_backend(),
         "loss": float(loss),
         "grad_norm": gnorm,
@@ -94,7 +112,8 @@ def main():
     print(json.dumps(result))
     assert result["finite"], result
     out_path = os.path.join(
-        os.path.dirname(__file__), "..", "benchmarks", "RESULTS_cp_1hour.json"
+        os.path.dirname(__file__), "..", "benchmarks",
+        "RESULTS_cp_1hour_wide.json" if wide else "RESULTS_cp_1hour.json",
     )
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)

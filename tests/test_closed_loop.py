@@ -1,0 +1,142 @@
+"""End-to-end closed loop (VERDICT r2 next-step #2): train a tiny model on a
+synthetic word-pattern corpus with the PRODUCTION Trainer until it overfits,
+save through `training/checkpointing`, decode the held-in recordings through
+the PRODUCTION eval pipeline (`evaluation/run.evaluate`, averaged moving
+window), and assert the WER collapses — then re-run the eval with the int8
+spectrogram transfer and pipelined upload opt-ins and assert the WER is
+unchanged, certifying both (ROADMAP "int8 needs WER validation").
+
+The reference's analogous golden signal is its results CSVs
+(`/root/reference/eval/results/IS_paper/evals_rb.csv`); real corpora are not
+mountable here (zero egress), so the corpus is synthetic but the SYSTEM under
+test is the real one: dataloader → chunking → Trainer → checkpoint →
+embedded-config model rebuild → StreamingDecoder → greedy decode → Whisper
+normalizer → WER.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+# ~8 distinct words; each word is rendered as a fixed random spectrogram
+# pattern (seeded by the word), so the mapping audio→text is deterministic
+# and learnable by a tiny conformer
+LEXICON = ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel"]
+FRAMES_PER_WORD = 64  # 8 output frames after 8x subsampling
+
+
+def _word_pattern(word: str) -> np.ndarray:
+    rng = np.random.default_rng(abs(hash(word)) % (2**31))
+    return rng.normal(size=(80, FRAMES_PER_WORD)).astype(np.float32) * 0.5
+
+
+def _render(words):
+    spec = np.concatenate([_word_pattern(w) for w in words], axis=1)
+    timing = []
+    t = 0.0
+    dur = FRAMES_PER_WORD / 100.0
+    for w in words:
+        timing.append(
+            {"word": w, "startTime": f"{t:.2f}s", "endTime": f"{t + dur:.2f}s"}
+        )
+        t += dur
+    return spec[None], timing
+
+
+@pytest.fixture(scope="module")
+def synth_corpus(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("closed_loop")
+    rng = np.random.default_rng(0)
+    pairs = {}
+    for i in range(4):
+        words = list(rng.permutation(LEXICON))
+        spec, timing = _render(words)
+        np.save(tmp / f"s{i}.spec.npy", spec)
+        with open(tmp / f"s{i}.json", "w") as f:
+            json.dump({"results": [{"alternatives": [{"words": timing}]}]}, f)
+        pairs[f"s{i}"] = {
+            "audio": str(tmp / f"s{i}.spec.npy"),
+            "txt": str(tmp / f"s{i}.json"),
+            "duration": spec.shape[-1] / 100,
+        }
+    pairs_path = tmp / "pairs.json"
+    with open(pairs_path, "w") as f:
+        json.dump(pairs, f)
+    return str(pairs_path), str(tmp)
+
+
+def test_train_checkpoint_eval_wer_closed_loop(synth_corpus, tmp_path):
+    import jax
+
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.data.dataloading import VariableBatchSimpleDataloader, load_json
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.evaluation.run import evaluate
+    from lcasr_tpu.models.registry import load_model
+    from lcasr_tpu.training.trainer import Trainer
+
+    pairs_path, _ = synth_corpus
+    ckpt_dir = tmp_path / "ckpts"
+
+    cfg = Config({
+        "model_class": "SCConformerXL",
+        # conv_norm=layer_norm: batch-RENORM would eval with its RUNNING
+        # stats, which at this tiny step count (~120) are only ~70% converged
+        # toward the batch statistics (momentum 0.01) — a real-model eval
+        # after 100k+ steps doesn't have that problem, a 3-minute closed loop
+        # does.  Renorm train/eval parity is covered by tests/test_model.py.
+        "model": {"d_model": 96, "n_layers": 2, "n_heads": 2, "head_dim": 48,
+                  "subsampling_conv_channels": 32, "use_pallas": False,
+                  "conv_norm": "layer_norm"},
+        "audio_chunking": {"size": 512, "overlap": 0},
+        # flat 3e-3 (final == peak): the cosine decay slows the blank-collapse
+        # escape; 250 epochs x 2 batches ≈ 500 optimizer steps reach WER 0.0
+        # (measured; 150 epochs left 2/32 errors)
+        "training": {"batch_size": 2, "backprop_every": 1, "max_epochs": 250,
+                     "clip_value": 1.0, "random_seed": 1234},
+        "optimizer": {"name": "madgrad", "args": {"lr": 3e-3}},
+        "scheduler": {"warmup_steps": 5, "final_value": 3e-3},
+        "checkpointing": {"dir": str(ckpt_dir), "save_every_n_steps": 10**9},
+    })
+    tokenizer = load_tokenizer()
+    model = load_model(cfg, tokenizer.vocab_size())
+    trainer = Trainer(cfg, model, tokenizer)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    dataloader = VariableBatchSimpleDataloader(
+        pairs=load_json(pairs_path), tokenizer=tokenizer,
+        batch_size=2, chunk_size=512, chunk_overlap=0, random_seed=1234,
+    )
+    state = trainer.train(state, dataloader)
+
+    # the final save happens inside train(); locate the checkpoint
+    from lcasr_tpu.training.checkpointing import find_latest_checkpoint
+
+    ckpt = find_latest_checkpoint(str(ckpt_dir))
+    assert ckpt is not None
+
+    # training actually converged (loss per frame collapsed)
+    lines = [json.loads(l) for l in open(os.path.join(str(ckpt_dir), "metrics.jsonl"))]
+    losses = [l["loss"] for l in lines if "loss" in l]
+    assert losses[-1] < losses[0] * 0.2, (losses[0], losses[-1])
+
+    common = dict(
+        checkpoint=ckpt,
+        dataset="spotify",  # the pairs-on-disk adapter
+        dataset_kwargs={"pairs_path": pairs_path},
+        seq_len=512,
+        overlap=256,
+        verbose=False,
+    )
+    summary = evaluate(**common)
+    assert summary["words"] > 0
+    assert summary["wer"] <= 0.05, summary["wer"]
+
+    # int8 spectrogram transfer + pipelined upload must be WER-neutral
+    # (certifies the two opt-in transfer optimizations end to end)
+    summary_opt = evaluate(
+        **common, transfer_dtype="int8", pipeline_upload=True
+    )
+    assert summary_opt["wer"] == summary["wer"], (
+        summary_opt["wer"], summary["wer"],
+    )

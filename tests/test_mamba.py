@@ -107,3 +107,41 @@ def test_pallas_selective_scan_matches_reference():
     g1 = jax.grad(lambda x: (selective_scan(x, delta, A, B, C, use_pallas=True) ** 2).sum())(x)
     g2 = jax.grad(lambda x: (selective_scan(x, delta, A, B, C, use_pallas=False) ** 2).sum())(x)
     assert float(jnp.abs(g1 - g2).max()) < 1e-2 * float(jnp.abs(g2).max())
+
+
+def test_native_selective_scan_backward_matches_reference(monkeypatch):
+    """Native reverse-recurrence Pallas backward (VERDICT r2 next-step #5) vs
+    autodiff through the associative-scan reference: all five gradients
+    (dx, dΔ, dA, dB, dC) must match.  Runs the kernel through the pallas
+    interpreter on CPU (LCASR_NATIVE_SSM_BWD=force); the same path runs
+    compiled on TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from lcasr_tpu.ops.ssm import _selective_scan_fast, _selective_scan_ref
+
+    monkeypatch.setenv("LCASR_NATIVE_SSM_BWD", "force")
+    rng = np.random.default_rng(5)
+    Bt, L, D, N = 2, 80, 128, 16  # L spans >1 block after the 16-row floor,
+    # and 80 is NOT a block multiple — exercises the Δ=0 tail padding
+    x = jnp.asarray(rng.normal(size=(Bt, L, D)).astype(np.float32))
+    delta = jnp.asarray(
+        np.log1p(np.exp(rng.normal(size=(Bt, L, D)))).astype(np.float32)
+    )
+    A = jnp.asarray(-np.abs(rng.normal(size=(D, N))).astype(np.float32))
+    Bm = jnp.asarray(rng.normal(size=(Bt, L, N)).astype(np.float32))
+    Cm = jnp.asarray(rng.normal(size=(Bt, L, N)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(Bt, L, D)).astype(np.float32))
+
+    def loss_fast(x, delta, A, Bm, Cm):
+        return (_selective_scan_fast(x, delta, A, Bm, Cm) * w).sum()
+
+    def loss_ref(x, delta, A, Bm, Cm):
+        return (_selective_scan_ref(x, delta, A, Bm, Cm) * w).sum()
+
+    gf = jax.grad(loss_fast, argnums=(0, 1, 2, 3, 4))(x, delta, A, Bm, Cm)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, delta, A, Bm, Cm)
+    for name, a, b in zip(("dx", "ddelta", "dA", "dB", "dC"), gf, gr):
+        scale = float(jnp.abs(b).max()) + 1e-6
+        err = float(jnp.abs(a - b).max()) / scale
+        assert err < 1e-4, (name, err)

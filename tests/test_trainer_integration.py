@@ -335,3 +335,121 @@ def test_trainer_tensor_parallel_matches_single_device(corpus, tmp_path):
     assert len(losses1) == len(losses) and len(losses) >= 2
     np.testing.assert_allclose(np.array(losses1), np.array(losses),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_trainer_context_parallel_matches_single_device(corpus, tmp_path):
+    """Production Trainer with a seq-axis mesh (VERDICT r2 next-step #1):
+    every chunk's TIME axis is sharded over 4 devices through the full-model
+    context-parallel forward (conv/subsampling halo exchange, offset rotary,
+    psum'd renorm stats), composed with grad accumulation and the NaN guard
+    in the ordinary `Trainer.train` loop — loss trajectory and final params
+    match single-device training."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (run via ./run_tests.sh cpu)")
+
+    from jax.sharding import PartitionSpec
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.data.dataloading import VariableBatchSimpleDataloader, load_json
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.models.registry import load_model
+    from lcasr_tpu.training.trainer import Trainer
+
+    pairs_path, _ = corpus
+
+    def run(parallel_cfg, ckpt_dir):
+        cfg_dict = {
+            "model_class": "SCConformerXL",
+            "model": {"d_model": 64, "n_layers": 1, "n_heads": 2, "head_dim": 32,
+                      "subsampling_conv_channels": 32, "use_pallas": False,
+                      "use_rotary": True, "rotary_base_freq": 1.5e6},
+            "audio_chunking": {"size": 256, "overlap": 0},
+            "training": {"batch_size": 2, "backprop_every": 2, "max_epochs": 1,
+                         "clip_value": 0.8, "random_seed": 99},
+            "optimizer": {"name": "madgrad", "args": {"lr": 1e-4}},
+            "scheduler": {"warmup_steps": 2, "final_value": 1e-6},
+            "checkpointing": {"dir": str(ckpt_dir), "save_every_n_steps": 10**6},
+        }
+        if parallel_cfg:
+            cfg_dict["parallel"] = parallel_cfg
+        cfg = Config(cfg_dict)
+        tokenizer = load_tokenizer()
+        model = load_model(cfg, tokenizer.vocab_size())
+        trainer = Trainer(cfg, model, tokenizer)
+        state = trainer.init_state(jax.random.PRNGKey(7))
+        dataloader = VariableBatchSimpleDataloader(
+            pairs=load_json(pairs_path), tokenizer=tokenizer,
+            batch_size=2, chunk_size=256, chunk_overlap=0, random_seed=99,
+        )
+        state = trainer.train(state, dataloader)
+        lines = [json.loads(l) for l in open(
+            os.path.join(str(ckpt_dir), "metrics.jsonl"))]
+        return trainer, state, [l["loss"] for l in lines if "loss" in l]
+
+    tr1, state1, losses1 = run(None, tmp_path / "single")
+    tr, state, losses = run(
+        {"mesh": {"data": 2, "seq": 4}}, tmp_path / "cp"
+    )
+
+    assert tr.cp_shards == 4
+    # the device batch is sharded on BOTH axes: batch over data, time over seq
+    chunk = {"audio": np.zeros((2, 80, 256), np.float32),
+             "audio_lengths": np.array([256, 256], np.int32),
+             "labels": np.zeros((2, 8), np.int64),
+             "label_lengths": np.array([8, 8], np.int32),
+             "weight": np.ones((2,), np.float32)}
+    db = tr._device_batch(chunk)
+    assert db["audio"].sharding.spec == PartitionSpec("data", None, "seq")
+
+    assert len(losses1) == len(losses) and len(losses) >= 2
+    np.testing.assert_allclose(np.array(losses1), np.array(losses),
+                               rtol=2e-3, atol=2e-3)
+    f1 = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree.leaves(state1["params"])])
+    f2 = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree.leaves(state["params"])])
+    np.testing.assert_allclose(f1, f2, rtol=5e-3, atol=5e-5)
+
+
+def test_trainer_opt_state_shardings_pinned(corpus, tmp_path):
+    """Optimizer-state shardings are pinned to the param layout (VERDICT r2
+    next-step #7): madgrad's gss/s/x0 leaves carry the SAME NamedSharding as
+    their mirrored param — not a jit-inferred (possibly replicated) layout."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices (run via ./run_tests.sh cpu)")
+
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.models.registry import load_model
+    from lcasr_tpu.training.trainer import Trainer
+
+    cfg = Config({
+        "model_class": "SCConformerXL",
+        "model": {"d_model": 64, "n_layers": 1, "n_heads": 2, "head_dim": 32,
+                  "subsampling_conv_channels": 32, "use_pallas": False},
+        "audio_chunking": {"size": 256, "overlap": 0},
+        "training": {"batch_size": 2},
+        "optimizer": {"name": "madgrad", "args": {"lr": 1e-4}},
+        "checkpointing": {"dir": str(tmp_path), "save_every_n_steps": 10**6},
+        "parallel": {"mesh": {"data": 2, "model": 2}},
+    })
+    tokenizer = load_tokenizer()
+    model = load_model(cfg, tokenizer.vocab_size())
+    trainer = Trainer(cfg, model, tokenizer)
+    state = trainer.init_state(jax.random.PRNGKey(7))
+
+    qkv = state["params"]["layers_0"]["attend"]["qkv_proj"]["kernel"]
+    assert qkv.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+    # every madgrad mirror of the qkv kernel (gss/s/x0) carries the identical
+    # sharding spec
+    found = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(state["opt_state"])[0]:
+        keys = [str(k) for k in path]
+        if any("qkv_proj" in k for k in keys) and tuple(leaf.shape) == tuple(qkv.shape):
+            found.append((keys, leaf.sharding))
+    assert len(found) >= 3, f"expected gss/s/x0 qkv mirrors, got {found}"
+    for keys, sh in found:
+        assert sh.spec == qkv.sharding.spec, (keys, sh.spec)
