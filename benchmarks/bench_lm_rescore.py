@@ -1,0 +1,97 @@
+"""LM-rescoring throughput (VERDICT r2 next-step #8): FrameSyncBeamSearch
+over 20 minutes of CTC posteriors with the cached TransformerLM on device.
+
+The posteriors are synthetic but REALISTIC in the dimension that matters for
+decoding cost: blank-dominated frames with a controllable emission rate
+(a trained flagship emits a non-blank top-1 on roughly 5-15% of frames —
+each emission triggers the batched per-beam LM step; blank frames are pure
+host work since the no-update skip).
+
+Writes benchmarks/RESULTS_lm_rescore.json.
+Run on TPU: python benchmarks/bench_lm_rescore.py [--minutes 20]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def synth_logits(T: int, C: int, emit_rate: float, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    lp = rng.normal(size=(T, C)).astype(np.float32) * 0.5
+    blank = C - 1
+    emit = rng.random(T) < emit_rate
+    tok = rng.integers(1, C - 1, size=T)
+    lp[np.arange(T), np.where(emit, tok, blank)] += 12.0  # confident top-1
+    lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+    return lp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=20.0)
+    ap.add_argument("--width", type=int, default=25)
+    ap.add_argument("--emit_rate", type=float, default=0.10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from lcasr_tpu.decoding.frame_sync import CachedTransformerLM, FrameSyncBeamSearch
+    from lcasr_tpu.models.lm import TransformerLM
+
+    T = int(args.minutes * 60 * 100 / 8)  # subsampled frames (8x, 100 fps)
+    C = 4096
+    lp = synth_logits(T, C, args.emit_rate)
+
+    lm_model = TransformerLM(
+        vocab_size=C - 1, d_model=256, n_layers=4, n_heads=4, head_dim=64
+    )
+    variables = lm_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32)
+    )
+    n_emit = int(np.sum(np.argmax(lp, -1) != (C - 1)))
+    lm = CachedTransformerLM(
+        lm_model, variables, width=args.width, max_len=n_emit + 64
+    )
+    searcher = FrameSyncBeamSearch(
+        lm, beam_width=args.width, alpha=0.4, beta=0.4,
+        top_am_threshold=-6.0, prune_less_than_val=8.0,
+    )
+
+    # small warmup to compile the LM step outside the timed region
+    searcher_w = FrameSyncBeamSearch(
+        CachedTransformerLM(lm_model, variables, width=args.width, max_len=n_emit + 64),
+        beam_width=args.width, alpha=0.4, beta=0.4,
+        top_am_threshold=-6.0, prune_less_than_val=8.0,
+    )
+    searcher_w.run_search(lp[:256])
+
+    t0 = time.perf_counter()
+    ids = searcher.run_search(lp)
+    wall = time.perf_counter() - t0
+    audio_s = args.minutes * 60
+    result = {
+        "backend": jax.default_backend(),
+        "audio_minutes": args.minutes,
+        "frames": T,
+        "beam_width": args.width,
+        "emit_rate": args.emit_rate,
+        "emitting_frames": n_emit,
+        "tokens_out": len(ids),
+        "wall_s": round(wall, 2),
+        "rtfx": round(audio_s / wall, 1),
+    }
+    print(json.dumps(result))
+    out = os.path.join(os.path.dirname(__file__), "RESULTS_lm_rescore.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

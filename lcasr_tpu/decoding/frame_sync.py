@@ -183,14 +183,29 @@ class FrameSyncBeamSearch:
 
         for t in range(T):
             frame = log_probs[t]
-            keep = np.where(frame > frame.max() + self.top_am_threshold)[0]
-            keep = [int(i) for i in keep if 1 <= i <= C - 1]  # ids 1..vocab
+            keep_arr = np.where(frame > frame.max() + self.top_am_threshold)[0]
+            keep_arr = keep_arr[(keep_arr >= 1) & (keep_arr <= C - 1)]  # ids 1..vocab
+            keep = [int(i) for i in keep_arr]
+            K = len(keep)
+
+            # vectorized candidate scoring: one (n_beams, K) matrix instead
+            # of per-candidate float() math in the inner loop (the loop below
+            # only constructs the surviving beam objects)
+            am_k = frame[keep_arr].astype(np.float64)  # (K,)
+            base = np.array([b.score for b in beams], np.float64)[:, None]
+            # lm weighting stays in the lps dtype before the f64 sum — the
+            # exact fp-op order of the scalar formulation (parity-sensitive).
+            # Gather with CLIPPED ids: the blank/stay columns are never read
+            # from lm_k (stay_scores path), and blank may exceed the LM vocab
+            lm_gather = np.minimum(keep_arr, len(beams[0].next_lps) - 1)
+            lm_k = np.stack([b.next_lps[lm_gather] for b in beams]) * self.alpha + self.beta
+            emit_scores = am_k[None, :] + lm_k.astype(np.float64) + base  # (n_b, K)
+            stay_scores = am_k[None, :] + base  # + penalty, applied per case
 
             new_beams: List[FSBeam] = []
-            for beam in beams:
-                lm_w = beam.next_lps * self.alpha + self.beta
+            for bi, beam in enumerate(beams):
                 last = beam.am_sequence[-1]
-                for i in keep:
+                for ki, i in enumerate(keep):
                     if last == i or i == blank:
                         new_beams.append(FSBeam(
                             am_sequence=(
@@ -200,7 +215,7 @@ class FrameSyncBeamSearch:
                             ),
                             lm_sequence=beam.lm_sequence,
                             stimes=beam.stimes,
-                            score=float(frame[i]) + beam.score + (
+                            score=stay_scores[bi, ki] + (
                                 self.blank_penalty if i == blank
                                 else self.repetition_penalty
                             ),
@@ -216,7 +231,7 @@ class FrameSyncBeamSearch:
                             ),
                             lm_sequence=beam.lm_sequence + (i,),
                             stimes=beam.stimes + (t,),
-                            score=float(frame[i]) + float(lm_w[i]) + beam.score,
+                            score=emit_scores[bi, ki],
                             row=beam.row,
                             next_lps=None,
                         ))
@@ -246,19 +261,25 @@ class FrameSyncBeamSearch:
                 beams = new_beams
                 break
 
-            # ONE batched LM call for all beams that emitted a token
-            parent_idx = np.zeros((self.beam_width,), np.int32)
-            tokens = np.zeros((self.beam_width,), np.int32)
-            update = np.zeros((self.beam_width,), bool)
-            for j, b in enumerate(new_beams):
-                parent_idx[j] = b.row
-                tokens[j] = b.lm_sequence[-1]
-                update[j] = b.next_lps is None
-            state, lps = self.lm.step(state, parent_idx, tokens, update)
-            for j, b in enumerate(new_beams):
-                b.row = j
-                if update[j]:
-                    b.next_lps = lps[j]
+            # ONE batched LM call for all beams that emitted a token — and
+            # NO call at all when none did (the typical blank-dominated
+            # frame): rows are read-only until the next real step, so beams
+            # keep their parent's row (shared rows are fine — the step's
+            # parent gather duplicates them).  On a tunnel-attached chip this
+            # removes a ~50 ms device round trip from almost every frame.
+            if any(b.next_lps is None for b in new_beams):
+                parent_idx = np.zeros((self.beam_width,), np.int32)
+                tokens = np.zeros((self.beam_width,), np.int32)
+                update = np.zeros((self.beam_width,), bool)
+                for j, b in enumerate(new_beams):
+                    parent_idx[j] = b.row
+                    tokens[j] = b.lm_sequence[-1]
+                    update[j] = b.next_lps is None
+                state, lps = self.lm.step(state, parent_idx, tokens, update)
+                for j, b in enumerate(new_beams):
+                    b.row = j
+                    if update[j]:
+                        b.next_lps = lps[j]
             beams = new_beams
 
         self.beams = beams

@@ -15,10 +15,17 @@ evaluation paths:
     gain/bias tensors are never materialized — the associative-scan
     evaluation moves ~2 × B·L·D·N fp32 per level × log2(L) levels through
     HBM (≈1 GB per level at B8·L2048·D1024·N16), making it HBM-bound,
-  * `jax.lax.associative_scan` — log-depth, differentiable — used on CPU,
-    under vmap batching rules, and as the BACKWARD of the Pallas path
-    (custom VJP: the recurrence is recomputed by the reference
-    formulation, exactly like the CUDA selective-scan recomputes h).
+  * `jax.lax.associative_scan` — log-depth, differentiable — used on CPU
+    and under vmap batching rules.
+
+The Pallas path's BACKWARD is a native reverse-recurrence kernel
+(`_scan_bwd_kernel`): the adjoint λ_t = C_t⊗g_t + a_{t+1}∘λ_{t+1} walks the
+blocks in reverse, restarting each block's h from the forward kernel's
+block-exit checkpoints — like the CUDA selective-scan backward, h is
+recomputed in fast memory and the (B, L, D, N) tensors never exist.
+Measured (v5e, B8·L2048·D1024·N16 bf16, amortized): fwd 8.2 ms;
+fwd+bwd 10.7 ms native vs 70.8 ms via the associative recompute (6.6×).
+`LCASR_NATIVE_SSM_BWD=0` falls back to the associative VJP.
 """
 from __future__ import annotations
 
@@ -75,7 +82,7 @@ def _scan_kernel(
     b_ref,  # (1, TL, N)
     c_ref,  # (1, TL, N)
     y_ref,  # (1, TL, D) f32
-    hout_ref,  # (1, N, D) f32 — state at BLOCK ENTRY (backward residual)
+    hout_ref,  # (1, 1, N, D) f32 — state AFTER this block (backward residual)
     h_scr,  # VMEM (N, D) f32 — the recurrence state, resident ALL sequence
     *,
     block_l: int,
@@ -85,10 +92,6 @@ def _scan_kernel(
     @pl.when(li == 0)
     def _init():
         h_scr[:] = jnp.zeros_like(h_scr)
-
-    # checkpoint the incoming state: the reverse-recurrence backward kernel
-    # re-runs each block forward from exactly this state
-    hout_ref[0] = h_scr[:]
 
     at = at_ref[...]  # (N, D)
     G = 16  # row group: dynamic sublane slices must be tile-aligned
@@ -113,9 +116,14 @@ def _scan_kernel(
         return h
 
     h_scr[:] = jax.lax.fori_loop(0, block_l // G, group, h_scr[:])
+    # checkpoint the state AFTER this block (= the next block's entry; the
+    # backward reads checkpoint[li-1], block 0 starts from zeros).  Written
+    # at the END so the store doesn't serialize against the block's compute
+    # pipeline (an entry-time store measured 4x slower fwd).
+    hout_ref[0, 0] = h_scr[:]
 
 
-def _scan_pallas(x, delta, A, B, C, block_l: int = 256, return_states: bool = False):
+def _scan_pallas(x, delta, A, B, C, block_l: int = 512, return_states: bool = False):
     Bt, L, D = x.shape
     N = A.shape[1]
     block_l = min(block_l, -(-L // 16) * 16)  # multiple of the 16-row group
@@ -140,20 +148,21 @@ def _scan_pallas(x, delta, A, B, C, block_l: int = 256, return_states: bool = Fa
         ],
         out_specs=[
             pl.BlockSpec((1, block_l, D), lambda b, l: (b, l, 0)),
-            pl.BlockSpec((1, at.shape[0], D), lambda b, l: (b * nL + l, 0, 0)),
+            pl.BlockSpec((1, 1, at.shape[0], D), lambda b, l: (b, l, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bt, L + pad, D), jnp.float32),
-            jax.ShapeDtypeStruct((Bt * nL, N, D), jnp.float32),
+            jax.ShapeDtypeStruct((Bt, nL, N, D), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((at.shape[0], D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20,
         ),
         interpret=jax.default_backend() != "tpu",
     )(x, delta, at, B, C)
     if return_states:
-        return y[:, :L], states.reshape(Bt, nL, N, D)
+        return y[:, :L], states
     return y[:, :L]
 
 
@@ -164,7 +173,8 @@ def _scan_bwd_kernel(
     b_ref,  # (1, TL, N)
     c_ref,  # (1, TL, N)
     g_ref,  # (1, TL, D) f32 — dL/dy
-    h0_ref,  # (1, N, D) f32 — state at THIS block's entry (fwd checkpoint)
+    h0_ref,  # (1, 1, N, D) f32 — PREVIOUS block's exit state (== this
+             # block's entry; garbage for the first block, zeroed below)
     dx_ref,  # (1, TL, D) f32
     dd_ref,  # (1, TL, D) f32
     db_ref,  # (1, TL, N) f32
@@ -215,7 +225,9 @@ def _scan_bwd_kernel(
             h = dA * h + (d * xg[j][None, :]) * bgt[:, j][:, None]
         return h
 
-    jax.lax.fori_loop(0, nG, fwd_group, h0_ref[0])
+    # block 0 (the LAST reverse grid step) starts from the zero state
+    h_entry = h0_ref[0, 0] * jnp.where(li == num_l_blocks - 1, 0.0, 1.0)
+    jax.lax.fori_loop(0, nG, fwd_group, h_entry)
 
     # phase 2: reverse sweep, group by group from the end
     def bwd_group(gi_rev, lam):
@@ -268,11 +280,12 @@ def _scan_bwd_kernel(
         da_ref[0] = da_scr[:]
 
 
-def _scan_bwd_pallas(x, delta, A, B, C, states, g, block_l: int = 256):
+def _scan_bwd_pallas(x, delta, A, B, C, states, g, block_l: int = 512):
     """Native selective-scan backward.  Returns (dx, ddelta, dA, dB, dC)
-    in fp32; caller casts.  block_l 256 keeps the working set (5 streamed
-    (TL, D) f32 buffers + the nG·N group-state scratch) inside VMEM at
-    D=1024."""
+    in fp32; caller casts.  block_l must equal the forward's (the kernel
+    restarts each block from the fwd checkpoint); the raised vmem limit
+    covers the 5 streamed (TL, D) f32 buffers + the nG·N group-state
+    scratch at D=1024."""
     Bt, L, D = x.shape
     N = A.shape[1]
     # the backward block size MUST equal the forward's: the kernel restarts
@@ -301,7 +314,11 @@ def _scan_bwd_pallas(x, delta, A, B, C, states, g, block_l: int = 256):
             pl.BlockSpec((1, block_l, N), revN),
             pl.BlockSpec((1, block_l, N), revN),
             pl.BlockSpec((1, block_l, D), rev),
-            pl.BlockSpec((1, N, D), lambda b, l: (b * nL + (nL - 1 - l), 0, 0)),
+            # checkpoint[li-1]: the PREVIOUS block's exit state == this
+            # block's entry (clamped at 0; the kernel zeroes it for block 0)
+            pl.BlockSpec(
+                (1, 1, N, D), lambda b, l: (b, jnp.maximum(nL - 2 - l, 0), 0, 0)
+            ),
         ],
         out_specs=[
             pl.BlockSpec((1, block_l, D), rev),
@@ -324,9 +341,12 @@ def _scan_bwd_pallas(x, delta, A, B, C, states, g, block_l: int = 256):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # 5 streamed (block_l, D) f32 buffers + group-entry states push
+            # past the 16 MB default scoped limit at D=1024; v5e has 128 MB
+            vmem_limit_bytes=100 * 2**20,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(x, delta, at, B, C, g, states.reshape(Bt * nL, N, D))
+    )(x, delta, at, B, C, g, states)
     dA = jnp.swapaxes(da.sum(axis=0), 0, 1)  # (N, D) → (D, N)
     return dx[:, :L], dd[:, :L], dA, db[:, :L], dc[:, :L]
 

@@ -47,7 +47,7 @@ def main():
     # style fp32 path) at reduced depth/frames — the widest configuration the
     # 1-core CPU mesh can bear (docs/MEMORY_BUDGET_1H.md validation artifact).
     if wide:
-        T, B, VOCAB = 90_000, 1, 4096
+        T, B, VOCAB = 92_160, 1, 4096  # 15.4 min; multiple of shards x sf
         model = SCConformerXL(
             vocab_size=VOCAB, d_model=768, n_layers=1, n_heads=6, head_dim=128,
             subsampling_conv_channels=256, use_rotary=True,
