@@ -56,8 +56,11 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32)
     )
     n_emit = int(np.sum(np.argmax(lp, -1) != (C - 1)))
+    # fixed cache length: stable compile shape across runs (the per-beam KV
+    # buffer is (L, 2, width, H, max_len+1, D))
+    max_len = max(2048, int(n_emit * 1.5))
     lm = CachedTransformerLM(
-        lm_model, variables, width=args.width, max_len=n_emit + 64
+        lm_model, variables, width=args.width, max_len=max_len
     )
     searcher = FrameSyncBeamSearch(
         lm, beam_width=args.width, alpha=0.4, beta=0.4,
@@ -66,7 +69,7 @@ def main():
 
     # small warmup to compile the LM step outside the timed region
     searcher_w = FrameSyncBeamSearch(
-        CachedTransformerLM(lm_model, variables, width=args.width, max_len=n_emit + 64),
+        CachedTransformerLM(lm_model, variables, width=args.width, max_len=max_len),
         beam_width=args.width, alpha=0.4, beta=0.4,
         top_am_threshold=-6.0, prune_less_than_val=8.0,
     )

@@ -304,90 +304,6 @@ def _uniform_init(bound: float):
     return init
 
 
-class _Stride2Conv3x3(nn.Module):
-    """3×3 stride-2 conv expressed as 9 strided-slice taps (matmul per tap
-    for full convs, elementwise MAC for depthwise) instead of an XLA conv op.
-
-    Why: XLA:TPU lowers these small-channel NHWC convs (and especially the
-    feature_group_count=C depthwise) through layout-shuffling conv paths that
-    made subsampling HBM-traffic-bound — 27.5 ms of the 138 ms window-batch
-    forward (PERFORMANCE.md).  As slices + MACs the whole
-    conv→act→conv→pointwise chain is plain elementwise/matmul work that XLA
-    fuses end to end.  Parameter names/shapes are IDENTICAL to the nn.Conv
-    modules this replaces ((3, 3, in_per_group, features) kernel + bias), so
-    checkpoints are unaffected.
-    """
-
-    features: int
-    depthwise: bool = False
-    kernel_init: Any = nn.initializers.lecun_normal()
-    bias_init: Any = nn.initializers.zeros_init()
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, pad2d) -> jnp.ndarray:
-        Cin = x.shape[-1]
-        in_pg = 1 if self.depthwise else Cin
-        kernel = self.param(
-            "kernel", self.kernel_init, (3, 3, in_pg, self.features), jnp.float32
-        )
-        bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
-        x = x.astype(self.dtype)
-        kernel = kernel.astype(self.dtype)
-        (tl, tr), (fl, fr) = pad2d
-        x = jnp.pad(x, ((0, 0), (tl, tr), (fl, fr), (0, 0)))
-        B, Tp, Fp, _ = x.shape
-        To, Fo = (Tp - 3) // 2 + 1, (Fp - 3) // 2 + 1
-
-        # taps accumulate in fp32 (the conv op's internal accumulation dtype)
-        # and cast once at the end
-        out = None
-        for dt in range(3):
-            for df in range(3):
-                tap = jax.lax.slice(
-                    x,
-                    (0, dt, df, 0),
-                    (B, dt + 2 * To - 1, df + 2 * Fo - 1, Cin),
-                    (1, 2, 2, 1),
-                )
-                if self.depthwise:
-                    contrib = (
-                        tap.astype(jnp.float32)
-                        * kernel[dt, df, 0].astype(jnp.float32)[None, None, None, :]
-                    )
-                else:
-                    contrib = jax.lax.dot_general(
-                        tap, kernel[dt, df], (((3,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                out = contrib if out is None else out + contrib
-        return (out + bias.astype(jnp.float32)).astype(self.dtype)
-
-
-class _PointwiseConv(nn.Module):
-    """1×1 conv as a plain matmul; param layout matches nn.Conv
-    ((1, 1, Cin, C) kernel + bias)."""
-
-    features: int
-    kernel_init: Any = nn.initializers.lecun_normal()
-    bias_init: Any = nn.initializers.zeros_init()
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        Cin = x.shape[-1]
-        kernel = self.param(
-            "kernel", self.kernel_init, (1, 1, Cin, self.features), jnp.float32
-        )
-        bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
-        x = x.astype(self.dtype)
-        out = jax.lax.dot_general(
-            x, kernel[0, 0].astype(self.dtype), (((3,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return (out + bias.astype(jnp.float32)).astype(self.dtype)
-
-
 class ConvSubsampling(nn.Module):
     """Conv subsampling on (B, T, feat) → (B, T/factor, d_model).
 
@@ -488,27 +404,32 @@ class ConvSubsampling(nn.Module):
 
         h = x[..., None]  # (B, T, F, 1)
 
-        # stride-2 stages run as strided-slice taps + matmuls (see
-        # _Stride2Conv3x3 — XLA's conv lowering made this chain
-        # HBM-traffic-bound); parameter trees are identical to the previous
-        # nn.Conv modules, so checkpoints load unchanged
+        # NOTE (r3): a strided-slice tap+matmul reformulation of these convs
+        # was tried and REVERTED — same-harness A/B on v5e measured the
+        # nn.Conv chain at 22.9 ms vs 129 ms for the tap version at
+        # (16, 16384, 80): XLA's conv lowering is already near the
+        # inter-op-traffic floor here, and strided slices on the minor dims
+        # lower to layout-hostile gathers.  A true Pallas fusion (streaming
+        # stage-1 activations through VMEM) remains the open lever
+        # (ROADMAP.md).
         if self.subsampling == "dw_striding":
             h, pad2d = strided(h)
-            h = _Stride2Conv3x3(
-                C,
+            h = nn.Conv(
+                C, (3, 3), strides=(2, 2), padding=pad2d,
                 kernel_init=_uniform_init(scale), bias_init=_uniform_init(scale),
                 dtype=self.dtype, name="conv_in",
-            )(h, pad2d)
+            )(h)
             h = act(h)
             for i in range(self._sampling_num - 1):
                 h, pad2d = strided(h)
-                h = _Stride2Conv3x3(
-                    C, depthwise=True,
+                h = nn.Conv(
+                    C, (3, 3), strides=(2, 2), padding=pad2d,
+                    feature_group_count=C,
                     kernel_init=_uniform_init(dw_max), bias_init=_uniform_init(dw_max),
                     dtype=self.dtype, name=f"dw_conv_{i}",
-                )(h, pad2d)
-                h = _PointwiseConv(
-                    C,
+                )(h)
+                h = nn.Conv(
+                    C, (1, 1),
                     kernel_init=_uniform_init(pw_max), bias_init=_uniform_init(pw_max),
                     dtype=self.dtype, name=f"pw_conv_{i}",
                 )(h)
@@ -516,11 +437,11 @@ class ConvSubsampling(nn.Module):
         elif self.subsampling == "striding":
             for i in range(self._sampling_num):
                 h, pad2d = strided(h)
-                h = _Stride2Conv3x3(
-                    C,
+                h = nn.Conv(
+                    C, (3, 3), strides=(2, 2), padding=pad2d,
                     kernel_init=_uniform_init(scale), bias_init=_uniform_init(scale),
                     dtype=self.dtype, name=f"conv_{i}",
-                )(h, pad2d)
+                )(h)
                 h = act(h)
         elif self.subsampling == "vggnet":
             for i in range(self._sampling_num):
