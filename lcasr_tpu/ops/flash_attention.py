@@ -113,6 +113,105 @@ def _row_valid(q_start, block_q, q_len):
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
+def _fwd_kernel_db(
+    lengths_ref,  # scalar-prefetch SMEM (B,)
+    qoff_ref,  # scalar-prefetch SMEM (2,)
+    q_ref,  # (1, 1, BQ, D)
+    k_ref,  # (1, 1, BK, D)
+    v_ref,  # (1, 1, BK, D)
+    o_ref,  # (1, 1, BQ, D)
+    lse_ref,  # (1, 1, BQ, 128)
+    acc_ref,  # VMEM (BQ, D) f32
+    m_ref,  # VMEM (BQ, 128) f32
+    l_ref,  # VMEM (BQ, 128) f32
+    s_scr,  # VMEM (2*BQ, BK) f32 — ping-pong RAW score tiles
+    v_scr,  # VMEM (2*BK, D) — ping-pong v tiles
+    *,
+    block_q: int,
+    block_k: int,
+    window: Tuple[int, int],
+    num_k_blocks: int,  # REAL kv blocks; the grid runs num_k_blocks + 1 steps
+    q_extent: int = 0,
+    kv_extent: int = 0,
+):
+    """Cross-step double-buffered forward (non-banded path): grid step ki
+    ISSUES tile ki's q·kᵀ on the MXU and (in the same body) runs the VPU
+    softmax chain + p·v for tile ki−1 from VMEM scratch — so the serial
+    s→exp→p·v dependency never stalls the MXU between steps (the r2 kernel
+    only overlapped the two HALVES of one tile).  One extra grid step drains
+    the pipeline.  Scratch is PING-PONG (slot = ki & 1) so the stage-A write
+    and the stage-B read never alias and Mosaic is free to overlap them.
+    In-band blocks form a PREFIX of the kv loop here (kv_hi fixed per
+    (b, h, qi)), so 'previous step pending' is a pure index predicate."""
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q_start = qi * block_q + qoff_ref[0]
+    q_len = lengths_ref[b]
+    kv_hi = jnp.minimum(q_len, qoff_ref[1] + kv_extent)
+    q_hi = jnp.minimum(q_len, qoff_ref[0] + q_extent)
+    row_valid = q_start < q_hi
+
+    cur_k_start = ki * block_k + qoff_ref[1]
+    cur_in_band = jnp.logical_and(
+        jnp.logical_and(ki < num_k_blocks, cur_k_start < kv_hi), row_valid
+    )
+    prev_k_start = cur_k_start - block_k
+    prev_in_band = jnp.logical_and(
+        jnp.logical_and(ki >= 1, prev_k_start < kv_hi), row_valid
+    )
+    cur_slot = jax.lax.rem(ki, 2)
+    prev_slot = 1 - cur_slot
+
+    # stage B (VPU + one MXU matmul): the PREVIOUS tile's softmax, from the
+    # other ping-pong slot
+    @pl.when(prev_in_band)
+    def _process():
+        s = _apply_score_masks(
+            s_scr[pl.ds(prev_slot * block_q, block_q)],
+            q_start, prev_k_start, block_q, block_k, window, kv_hi,
+        )
+        vp = v_scr[pl.ds(prev_slot * block_k, block_k)]
+        m_prev = m_ref[:, 0:1]
+        l_prev = l_ref[:, 0:1]
+        row_ok = _row_valid(q_start, block_q, q_hi).astype(jnp.float32)
+        m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
+        p = jnp.exp(s - m_new) * row_ok
+        corr = jnp.exp(m_prev - m_new)
+        l_ref[:, 0:1] = l_prev * corr + p.sum(axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+            p.astype(vp.dtype), vp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:, 0:1] = m_new
+
+    # stage A (MXU): this tile's raw scores into its slot — no data
+    # dependency on stage B, different slot → freely overlappable
+    @pl.when(cur_in_band)
+    def _issue():
+        s_scr[pl.ds(cur_slot * block_q, block_q)] = jax.lax.dot_general(
+            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        v_scr[pl.ds(cur_slot * block_k, block_k)] = v_ref[0, 0]
+
+    @pl.when(ki == num_k_blocks)
+    def _finalize():
+        l = l_ref[:, 0:1]
+        safe_l = jnp.where(l > 0.0, l, 1.0)
+        out = jnp.where(l > 0.0, acc_ref[:] / safe_l, 0.0)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+        lse = jnp.where(l > 0.0, m_ref[:, 0:1] + jnp.log(safe_l), NEG_INF)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, 128))
+
+
 def _fwd_kernel(
     lengths_ref,  # scalar-prefetch SMEM (B,)
     qoff_ref,  # scalar-prefetch SMEM (2,): [q-row offset, kv-col offset]
@@ -279,29 +378,72 @@ def _fwd(q, k, v, lengths, q_offset, window, scale, block_q, block_k,
     else:
         nK_band = nK
 
-    kernel = functools.partial(
-        _fwd_kernel,
-        block_q=block_q,
-        block_k=block_k,
-        window=window,
-        num_k_blocks=nK_band,
-        banded=banded,
-        q_extent=q_extent,
-        kv_extent=kv_extent,
+    import os
+
+    # cross-step double buffering (VERDICT r2 #9 stretch): measured 70.7 ms
+    # = 92 TF/s at 46k tokens vs the production kernel's 57.7 ms / 113 TF/s
+    # in the same amortized harness — the full (BQ, BK) f32 score tile's
+    # round trip through VMEM scratch costs more than the cross-step overlap
+    # buys (the production kernel's register-resident half-split overlap
+    # wins).  Kept as an opt-in experiment; default OFF.
+    use_db = (
+        not banded
+        and os.environ.get("LCASR_ATTN_FWD_DB", "0") == "1"
     )
-    if banded:
-        def kv_index(b, h, qi, ki, lens, offs):
-            start_blk = jnp.maximum(0, qi * block_q + offs[0] - left - offs[1]) // block_k
-            return (b, h, jnp.minimum(start_blk + ki, nK - 1), 0)
-    else:
+    if use_db:
+        # cross-step double-buffered kernel: one extra (drain) grid step,
+        # kv index clamped on it
+        kernel = functools.partial(
+            _fwd_kernel_db,
+            block_q=block_q,
+            block_k=block_k,
+            window=window,
+            num_k_blocks=nK,
+            q_extent=q_extent,
+            kv_extent=kv_extent,
+        )
+        grid = (B, H, nQ, nK + 1)
+
         def kv_index(b, h, qi, ki, *s):
-            return (b, h, ki, 0)
+            return (b, h, jnp.minimum(ki, nK - 1), 0)
+
+        scratch = [
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((2 * block_q, block_k), jnp.float32),
+            pltpu.VMEM((2 * block_k, D), v.dtype),
+        ]
+    else:
+        kernel = functools.partial(
+            _fwd_kernel,
+            block_q=block_q,
+            block_k=block_k,
+            window=window,
+            num_k_blocks=nK_band,
+            banded=banded,
+            q_extent=q_extent,
+            kv_extent=kv_extent,
+        )
+        grid = (B, H, nQ, nK_band)
+        if banded:
+            def kv_index(b, h, qi, ki, lens, offs):
+                start_blk = jnp.maximum(0, qi * block_q + offs[0] - left - offs[1]) // block_k
+                return (b, h, jnp.minimum(start_blk + ki, nK - 1), 0)
+        else:
+            def kv_index(b, h, qi, ki, *s):
+                return (b, h, ki, 0)
+        scratch = [
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ]
 
     o, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, H, nQ, nK_band),
+            grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki, *s: (b, h, qi, 0)),
                 pl.BlockSpec((1, 1, block_k, D), kv_index),
@@ -313,11 +455,7 @@ def _fwd(q, k, v, lengths, q_offset, window, scale, block_q, block_k,
                     (1, 1, block_q, 128), lambda b, h, qi, ki, *s: (b, h, qi, 0)
                 ),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((block_q, D), jnp.float32),
-                pltpu.VMEM((block_q, 128), jnp.float32),
-                pltpu.VMEM((block_q, 128), jnp.float32),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Tq, D), q.dtype),

@@ -155,3 +155,30 @@ def test_fused_backward_matches_oracle(Tl, bq, bk):
     for name, a, b in zip(("dq", "dk", "dv"), gp, gr):
         scale = float(jnp.abs(b).max()) + 1e-6
         assert float(jnp.abs(a - b).max()) / scale < 2e-2, name
+
+
+def test_double_buffered_forward_matches_oracle(monkeypatch):
+    """The opt-in cross-step double-buffered forward (LCASR_ATTN_FWD_DB=1 —
+    default OFF after measuring 20% slower than the half-split kernel, see
+    PERFORMANCE.md) must stay numerically exact: same masks, same online-
+    softmax merge order, one drain step."""
+    monkeypatch.setenv("LCASR_ATTN_FWD_DB", "1")
+    rng = np.random.default_rng(21)
+    mk = lambda: jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    q, k, v = mk(), mk(), mk()
+    lengths = jnp.array([T, 200], jnp.int32)
+    out_p = flash_attention(q, k, v, lengths=lengths, block_q=128, block_k=128)
+    out_r = reference_attention(q, k, v, q_lengths=lengths, kv_lengths=lengths)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=2e-2, rtol=2e-2)
+
+    def lp(q, k, v):
+        return (flash_attention(q, k, v, lengths=lengths, block_q=128, block_k=128) ** 2).sum()
+
+    def lr(q, k, v):
+        return (reference_attention(q, k, v, q_lengths=lengths, kv_lengths=lengths) ** 2).sum()
+
+    gp = jax.grad(lp, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gp, gr):
+        scale = float(jnp.abs(b).max()) + 1e-6
+        assert float(jnp.abs(a - b).max()) / scale < 2e-2, name
