@@ -47,3 +47,49 @@ def test_checkpoint_averaging(tmp_path):
         (p1["dense"]["kernel"] + p2["dense"]["kernel"]) / 2,
         rtol=1e-6,
     )
+
+
+def test_resume_preserves_mesh_shardings(tmp_path):
+    """Trainer.resume on a mesh: restored params/opt-state leaves carry the
+    SAME NamedShardings init_state pinned (a replicated restore would
+    silently multiply per-chip memory under TP)."""
+    import jax
+    import numpy as np
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices (run via ./run_tests.sh cpu)")
+
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.models.registry import load_model
+    from lcasr_tpu.training.trainer import Trainer
+
+    cfg = Config({
+        "model_class": "SCConformerXL",
+        "model": {"d_model": 64, "n_layers": 1, "n_heads": 2, "head_dim": 32,
+                  "subsampling_conv_channels": 32, "use_pallas": False},
+        "audio_chunking": {"size": 256, "overlap": 0},
+        "training": {"batch_size": 2},
+        "optimizer": {"name": "madgrad", "args": {"lr": 1e-4}},
+        "checkpointing": {"dir": str(tmp_path), "save_every_n_steps": 10**9},
+        "parallel": {"mesh": {"data": 2, "model": 2}},
+    })
+    tok = load_tokenizer()
+    trainer = Trainer(cfg, load_model(cfg, tok.vocab_size()), tok)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    trainer.save(state, step=7, epoch=0, seen_ids=["a"])
+
+    trainer2 = Trainer(cfg, load_model(cfg, tok.vocab_size()), tok)
+    state2 = trainer2.init_state(jax.random.PRNGKey(1))
+    state2, step, epoch, seen = trainer2.resume(state2)
+    assert step == 7 and seen == ["a"]
+
+    qkv = state["params"]["layers_0"]["attend"]["qkv_proj"]["kernel"]
+    qkv2 = state2["params"]["layers_0"]["attend"]["qkv_proj"]["kernel"]
+    assert qkv2.sharding.spec == qkv.sharding.spec
+    np.testing.assert_allclose(np.asarray(qkv2), np.asarray(qkv))
+    # opt-state mirrors keep their pinned shardings through restore
+    for path, leaf in jax.tree_util.tree_flatten_with_path(state2["opt_state"])[0]:
+        if any("qkv_proj" in str(k) for k in path) and tuple(leaf.shape) == tuple(qkv.shape):
+            assert leaf.sharding.spec == qkv.sharding.spec, path

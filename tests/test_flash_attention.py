@@ -182,3 +182,16 @@ def test_double_buffered_forward_matches_oracle(monkeypatch):
     for name, a, b in zip(("dq", "dk", "dv"), gp, gr):
         scale = float(jnp.abs(b).max()) + 1e-6
         assert float(jnp.abs(a - b).max()) / scale < 2e-2, name
+
+
+def test_head_dim_256_fit_blocks_matches_oracle():
+    """Head dims past the tuned D=128 shrink the block sizes
+    (_fit_blocks, ADVICE r2 low) — the kernel must stay exact there."""
+    rng = np.random.default_rng(31)
+    Dh = 256
+    mk = lambda: jnp.asarray(rng.normal(size=(1, 256, 2, Dh)).astype(np.float32))
+    q, k, v = mk(), mk(), mk()
+    lengths = jnp.array([200], jnp.int32)
+    out_p = flash_attention(q, k, v, lengths=lengths)
+    out_r = reference_attention(q, k, v, q_lengths=lengths, kv_lengths=lengths)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=2e-2, rtol=2e-2)

@@ -123,3 +123,38 @@ def test_rotary_model_runs():
     v = model.init(jax.random.PRNGKey(0), audio)
     out = model.apply(v, audio)
     assert out["final_posteriors"].shape == (1, 16, 33)
+
+
+def test_remat_subsampling_matches_plain():
+    """`remat_subsampling=True` (hour-scale memory lever,
+    docs/MEMORY_BUDGET_1H.md) must be a pure recompute: identical forward
+    outputs AND identical gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from lcasr_tpu.models.sconformer_xl import SCConformerXL
+
+    kw = dict(vocab_size=32, d_model=64, n_layers=1, n_heads=2, head_dim=32,
+              subsampling_conv_channels=16, use_pallas=False)
+    m0 = SCConformerXL(**kw)
+    m1 = SCConformerXL(**kw, remat_subsampling=True)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.normal(size=(2, 80, 512)).astype(np.float32))
+    lengths = jnp.array([512, 400], jnp.int32)
+    variables = m0.init(jax.random.PRNGKey(0), audio[:, :, :256])
+
+    o0 = m0.apply(variables, audio, length=lengths)["final_posteriors"]
+    o1 = m1.apply(variables, audio, length=lengths)["final_posteriors"]
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-6)
+
+    def loss(m):
+        def f(p):
+            out = m.apply({"params": p, "batch_stats": variables["batch_stats"]},
+                          audio, length=lengths)
+            return (out["final_posteriors"].astype(jnp.float32) ** 2).sum()
+        return f
+
+    g0 = jax.grad(loss(m0))(variables["params"])
+    g1 = jax.grad(loss(m1))(variables["params"])
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
