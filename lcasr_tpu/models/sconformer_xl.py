@@ -427,6 +427,7 @@ class SCConformerXL(nn.Module):
                 activation=self.subsampling_act,
                 norm_out=self.subsampling_norm_out,
                 seq_axis_name=self.seq_axis_name,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
             )
         if self.remat_subsampling:

@@ -304,6 +304,24 @@ def _uniform_init(bound: float):
     return init
 
 
+class _ConvParams(nn.Module):
+    """Declares a conv's kernel/bias with `nn.Conv`'s exact names, shapes
+    and init — so the dw_striding chain can run as a pure function (lax
+    chain or fused Pallas kernel, ops/subsampling_pallas.py) over a param
+    tree that stays bit-identical to the nn.Conv layout (checkpoint- and
+    RNG-compatible: flax derives param keys from the path, not call
+    order)."""
+
+    kshape: Tuple[int, ...]
+    bound: float
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", _uniform_init(self.bound), self.kshape)
+        b = self.param("bias", _uniform_init(self.bound), (self.kshape[-1],))
+        return k, b
+
+
 class ConvSubsampling(nn.Module):
     """Conv subsampling on (B, T, feat) → (B, T/factor, d_model).
 
@@ -339,6 +357,9 @@ class ConvSubsampling(nn.Module):
     # only output 0 of a shard needs 1 frame (2 if causal) from the left
     # neighbor).  Requires the local T to be a multiple of the factor.
     seq_axis_name: Optional[str] = None
+    # fused Pallas dw_striding chain on TPU (ops/subsampling_pallas.py);
+    # backward recomputes through the lax chain (exact conv gradients)
+    use_pallas: bool = True
     dtype: Any = jnp.float32
 
     @property
@@ -405,35 +426,46 @@ class ConvSubsampling(nn.Module):
         h = x[..., None]  # (B, T, F, 1)
 
         # NOTE (r3): a strided-slice tap+matmul reformulation of these convs
-        # was tried and REVERTED — same-harness A/B on v5e measured the
-        # nn.Conv chain at 22.9 ms vs 129 ms for the tap version at
-        # (16, 16384, 80): XLA's conv lowering is already near the
-        # inter-op-traffic floor here, and strided slices on the minor dims
-        # lower to layout-hostile gathers.  A true Pallas fusion (streaming
-        # stage-1 activations through VMEM) remains the open lever
-        # (ROADMAP.md).
+        # at the XLA level was tried and REVERTED — same-harness A/B on v5e
+        # measured the nn.Conv chain at 22.9 ms vs 129 ms for the tap
+        # version at (16, 16384, 80): strided slices on the minor dims
+        # lower to layout-hostile gathers.  The Pallas fusion below
+        # (ops/subsampling_pallas.py) instead streams the whole chain
+        # through VMEM with parity-split contiguous tap reads.
         if self.subsampling == "dw_striding":
-            h, pad2d = strided(h)
-            h = nn.Conv(
-                C, (3, 3), strides=(2, 2), padding=pad2d,
-                kernel_init=_uniform_init(scale), bias_init=_uniform_init(scale),
-                dtype=self.dtype, name="conv_in",
-            )(h)
-            h = act(h)
+            # params declared with nn.Conv's exact layout (see _ConvParams),
+            # chain evaluated as a pure function — fused Pallas kernel on
+            # TPU, XLA convs elsewhere / under CP / causal / odd shapes
+            from lcasr_tpu.ops.subsampling_pallas import (
+                dw_striding_chain_lax,
+                fused_dw_striding,
+                fused_subsampling_enabled,
+            )
+
+            params = list(_ConvParams((3, 3, 1, C), scale, name="conv_in")())
             for i in range(self._sampling_num - 1):
-                h, pad2d = strided(h)
-                h = nn.Conv(
-                    C, (3, 3), strides=(2, 2), padding=pad2d,
-                    feature_group_count=C,
-                    kernel_init=_uniform_init(dw_max), bias_init=_uniform_init(dw_max),
-                    dtype=self.dtype, name=f"dw_conv_{i}",
-                )(h)
-                h = nn.Conv(
-                    C, (1, 1),
-                    kernel_init=_uniform_init(pw_max), bias_init=_uniform_init(pw_max),
-                    dtype=self.dtype, name=f"pw_conv_{i}",
-                )(h)
-                h = act(h)
+                params += _ConvParams((3, 3, 1, C), dw_max, name=f"dw_conv_{i}")()
+                params += _ConvParams((1, 1, C, C), pw_max, name=f"pw_conv_{i}")()
+            params = tuple(p.astype(self.dtype) for p in params)
+            h = h.astype(self.dtype)
+            use_fused = (
+                self.use_pallas
+                and fused_subsampling_enabled()
+                and cp is None
+                and not self.is_causal
+                and self._sampling_num == 3
+                and h.shape[1] % 8 == 0
+                and self.feat_in % 8 == 0
+                and C % 128 == 0
+            )
+            if use_fused:
+                h = fused_dw_striding(
+                    h[..., 0], params, self.activation
+                )
+            else:
+                h = dw_striding_chain_lax(
+                    h, params, self.activation, t_pad, f_pad, cp
+                )
         elif self.subsampling == "striding":
             for i in range(self._sampling_num):
                 h, pad2d = strided(h)

@@ -215,6 +215,217 @@ def _ctc_grad_single(
     return grad
 
 
+def _alpha_step(alpha, t, emit, can_skip, valid_s, input_length):
+    """One forward lattice step (identical fp ops to `_alpha_all`'s body),
+    with t == 0 handled uniformly so a scan can start from a virtual -inf
+    carry — this is what lets the segmented backward recompute any segment
+    from its entry checkpoint, including the first."""
+    S = alpha.shape[0]
+    a_prev = jnp.concatenate([jnp.array([_NEG_INF]), alpha[:-1]])
+    a_skip = jnp.where(
+        can_skip,
+        jnp.concatenate([jnp.full((2,), _NEG_INF), alpha[:-2]]),
+        _NEG_INF,
+    )
+    stacked = jnp.stack([alpha, a_prev, a_skip])
+    m = stacked.max(0)
+    new = m + jnp.log(jnp.exp(stacked - m).sum(0))
+    new = jnp.where(m <= _NEG_INF / 2, _NEG_INF, new) + emit
+    new = jnp.where(valid_s, new, _NEG_INF)
+    new = jnp.where(t < input_length, new, alpha)
+    alpha0 = jnp.where(jnp.arange(S) < 2, emit, _NEG_INF)
+    alpha0 = jnp.where(valid_s & (input_length > 0), alpha0, _NEG_INF)
+    return jnp.where(t == 0, alpha0, new)
+
+
+def _beta_step(
+    beta_next, t, emit_next, skip_ok_from, valid_s, beta_final, input_length
+):
+    """One reverse lattice step (identical fp ops to `_ctc_grad_single`'s
+    body), uniform from a virtual -inf carry past the last frame."""
+    b = emit_next + beta_next
+    b_next = jnp.concatenate([b[1:], jnp.array([_NEG_INF])])
+    b_skip = jnp.where(
+        skip_ok_from,
+        jnp.concatenate([b[2:], jnp.full((2,), _NEG_INF)]),
+        _NEG_INF,
+    )
+    stacked = jnp.stack([b, b_next, b_skip])
+    m = stacked.max(0)
+    new = m + jnp.log(jnp.exp(stacked - m).sum(0))
+    new = jnp.where(m <= _NEG_INF / 2, _NEG_INF, new)
+    new = jnp.where(valid_s, new, _NEG_INF)
+    new = jnp.where(t == input_length - 1, beta_final, new)
+    new = jnp.where(t < input_length, new, beta_next)
+    return new
+
+
+def _alpha_segments(lp_pad, labels, input_length, label_length, blank_id, K):
+    """Segmented forward: nll + segment-entry alpha checkpoints (n_seg, S).
+
+    Memory: O((T/K)·S) checkpoints + O(K·S) working set, vs the monolithic
+    `_alpha_all`'s (T, S) alphas AND (T, S) hoisted emissions — the 1-hour
+    budget's dominant line (docs/MEMORY_BUDGET_1H.md "CTC lattice").  The
+    emission gather happens per segment inside the scan, so only (K, S) of
+    it is ever live."""
+    Tp, C = lp_pad.shape
+    n_seg = Tp // K
+    S = 2 * labels.shape[0] + 1
+    z, can_skip, valid_s = _lattice(labels, label_length, blank_id, S)
+    lp_seg = lp_pad.reshape(n_seg, K, C)
+
+    def outer(alpha, seg):
+        t0, lps = seg
+        em = lps[:, z]  # (K, S) — per-segment gather
+
+        def inner(a, te):
+            t, e = te
+            return _alpha_step(a, t, e, can_skip, valid_s, input_length), None
+
+        alpha_out, _ = jax.lax.scan(
+            inner, alpha, (t0 + jnp.arange(K), em)
+        )
+        return alpha_out, alpha  # checkpoint = carry ENTERING this segment
+
+    alpha_T, ckpts = jax.lax.scan(
+        outer,
+        jnp.full((S,), _NEG_INF),
+        (jnp.arange(n_seg) * K, lp_seg),
+    )
+
+    end1 = 2 * label_length
+    end2 = 2 * label_length - 1
+    a1 = alpha_T[end1]
+    a2 = jnp.where(
+        label_length > 0, alpha_T[jnp.maximum(end2, 0)], _NEG_INF
+    )
+    m = jnp.maximum(a1, a2)
+    ll = m + jnp.log(jnp.exp(a1 - m) + jnp.exp(a2 - m))
+    return -ll, ckpts
+
+
+def _grad_segments(
+    lp_pad, labels, input_length, label_length, ckpts, nll, blank_id, K
+):
+    """Segmented exact CTC gradient: reverse scan over segments carrying
+    beta (S,); inside each segment the K alphas are RECOMPUTED from the
+    entry checkpoint while the K betas run backwards, so only (K, S)-sized
+    alpha/beta/gamma blocks are ever live (vs four (T, S) tensors in the
+    monolithic `_ctc_grad_single`)."""
+    Tp, C = lp_pad.shape
+    n_seg = Tp // K
+    S = 2 * labels.shape[0] + 1
+    z, can_skip, valid_s = _lattice(labels, label_length, blank_id, S)
+    skip_ok_from = jnp.concatenate([can_skip[2:], jnp.zeros((2,), bool)])
+
+    end1 = 2 * label_length
+    end2 = jnp.maximum(2 * label_length - 1, 0)
+    s_idx = jnp.arange(S)
+    beta_final = jnp.where(
+        (s_idx == end1) | ((s_idx == end2) & (label_length > 0)), 0.0, _NEG_INF
+    )
+
+    lp_seg = lp_pad.reshape(n_seg, K, C)
+    # the beta step at t consumes emissions[t + 1]; a segment's last step
+    # (t = t0 + K - 1) needs row t0 + K = the NEXT segment's first row
+    nxt0 = jnp.concatenate(
+        [lp_seg[1:, 0, :], jnp.zeros((1, C), lp_pad.dtype)], axis=0
+    )  # (n_seg, C)
+    ok = (nll < -_NEG_INF / 2).astype(jnp.float32)
+
+    def outer(beta_carry, seg):
+        t0, lps, nxt = seg[0], seg[1], seg[2]
+        ckpt = seg[3]
+        em = lps[:, z]  # (K, S) rows t0 .. t0+K-1
+        em_next_last = nxt[z]  # (S,) row t0+K
+
+        def ia(a, te):
+            t, e = te
+            na = _alpha_step(a, t, e, can_skip, valid_s, input_length)
+            return na, na
+
+        _, alphas = jax.lax.scan(ia, ckpt, (t0 + jnp.arange(K), em))
+
+        em_shift = jnp.concatenate([em[1:], em_next_last[None]], axis=0)
+
+        def ib(bn, te):
+            t, e_next = te
+            nb = _beta_step(
+                bn, t, e_next, skip_ok_from, valid_s, beta_final, input_length
+            )
+            return nb, nb
+
+        _, betas_rev = jax.lax.scan(
+            ib, beta_carry, (t0 + K - 1 - jnp.arange(K), em_shift[::-1])
+        )
+        betas = betas_rev[::-1]
+
+        gamma = jnp.exp(jnp.clip(alphas + betas + nll, _NEG_INF, 0.0)) * ok
+        gamma = gamma * (
+            (t0 + jnp.arange(K))[:, None] < input_length
+        ).astype(jnp.float32)
+        gseg = jnp.zeros((K, C), jnp.float32).at[:, z].add(-gamma)
+        return betas[0], gseg
+
+    _, grads_rev = jax.lax.scan(
+        outer,
+        jnp.full((S,), _NEG_INF),
+        (
+            jnp.arange(n_seg)[::-1] * K,
+            lp_seg[::-1],
+            nxt0[::-1],
+            ckpts[::-1],
+        ),
+    )
+    return grads_rev[::-1].reshape(Tp, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _ctc_nll_seg(
+    log_probs, labels, input_lengths, label_lengths, blank_id, segment_size
+):
+    """Per-sequence CTC nll with the SEGMENTED analytic backward: only
+    segment-entry alpha checkpoints are saved; each segment's alphas are
+    recomputed during the beta recursion.  Residual memory O((T/K + K)·S)
+    instead of O(T·S) — the lever named in docs/MEMORY_BUDGET_1H.md for
+    1-hour lattices (45k × 18k fp32 ≈ 3.2 GB per (T, S) tensor)."""
+    nll, _ = jax.vmap(_alpha_segments, in_axes=(0, 0, 0, 0, None, None))(
+        log_probs, labels, input_lengths, label_lengths, blank_id, segment_size
+    )
+    return nll
+
+
+def _ctc_nll_seg_fwd(
+    log_probs, labels, input_lengths, label_lengths, blank_id, segment_size
+):
+    nll, ckpts = jax.vmap(_alpha_segments, in_axes=(0, 0, 0, 0, None, None))(
+        log_probs, labels, input_lengths, label_lengths, blank_id, segment_size
+    )
+    return nll, (log_probs, labels, input_lengths, label_lengths, ckpts, nll)
+
+
+def _ctc_nll_seg_bwd(blank_id, segment_size, res, g):
+    log_probs, labels, input_lengths, label_lengths, ckpts, nll = res
+    grad = jax.vmap(
+        _grad_segments, in_axes=(0, 0, 0, 0, 0, 0, None, None)
+    )(
+        log_probs,
+        labels,
+        input_lengths,
+        label_lengths,
+        ckpts,
+        nll,
+        blank_id,
+        segment_size,
+    )
+    grad = grad * g[:, None, None]
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (grad, f0(labels), f0(input_lengths), f0(label_lengths))
+
+
+_ctc_nll_seg.defvjp(_ctc_nll_seg_fwd, _ctc_nll_seg_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _ctc_nll(log_probs, labels, input_lengths, label_lengths, blank_id):
     """Per-sequence CTC nll, batched, with the analytic backward."""
@@ -250,19 +461,43 @@ def ctc_loss(
     label_lengths: jnp.ndarray,  # (B,)
     blank_id: Optional[int] = None,
     reduction: str = "sum",
+    segment_size: Optional[int] = None,
 ) -> jnp.ndarray:
     """CTC negative log-likelihood.  blank defaults to the LAST class
-    (the lcasr convention: vocab 4095 + blank = class 4095)."""
+    (the lcasr convention: vocab 4095 + blank = class 4095).
+
+    segment_size: when set, use the segmented backward — residual memory
+    O((T/K + K)·S) instead of O(T·S), at the cost of one extra alpha pass
+    (recompute) in the backward.  Pick K ≈ √T (e.g. 256 for the 1-hour
+    T_sub = 45,000 lattice, where the monolithic residuals are ~3.2 GB per
+    (T, S) tensor).  Gradients match the monolithic path (same fp ops)."""
     if blank_id is None:
         blank_id = log_probs.shape[-1] - 1
     lp = log_probs.astype(jnp.float32)
-    nll = _ctc_nll(
-        lp,
-        labels,
-        input_lengths.astype(jnp.int32),
-        label_lengths.astype(jnp.int32),
-        blank_id,
-    )
+    if segment_size is not None and segment_size > 0:
+        T = lp.shape[1]
+        K = int(segment_size)
+        Tp = ((T + K - 1) // K) * K
+        if Tp != T:
+            # padded rows are inert: alpha/beta carry past input_length and
+            # gamma is masked by t < input_length, so zeros are fine
+            lp = jnp.pad(lp, ((0, 0), (0, Tp - T), (0, 0)))
+        nll = _ctc_nll_seg(
+            lp,
+            labels,
+            input_lengths.astype(jnp.int32),
+            label_lengths.astype(jnp.int32),
+            blank_id,
+            K,
+        )
+    else:
+        nll = _ctc_nll(
+            lp,
+            labels,
+            input_lengths.astype(jnp.int32),
+            label_lengths.astype(jnp.int32),
+            blank_id,
+        )
     if reduction == "sum":
         return nll.sum()
     if reduction == "mean":

@@ -71,7 +71,47 @@ def shard_params(params: Any, mesh: Mesh):
     return jax.device_put(params, param_shardings(params, mesh))
 
 
-def opt_state_shardings(opt_state_shapes: Any, params: Any, param_sh: Any, mesh: Mesh):
+def zero_spec(spec: P, shape, mesh: Mesh) -> P:
+    """ZeRO-style spec: additionally shard the largest mesh-divisible,
+    currently-unsharded dim over ``data``.
+
+    Optimizer state is pure elementwise per-parameter memory — unlike the
+    params themselves it is never consumed by a matmul — so it can shard
+    over the DATA axis too (the reference's world-size axis, where torch
+    would use ZeRO/FSDP).  XLA then computes the optimizer update
+    data-sharded and all-gathers only the param delta, cutting MADGRAD's
+    three fp32 trees (+ the two grad accumulators) by the data-axis size.
+    """
+    d = mesh.shape.get("data", 1)
+    if d <= 1:
+        return spec
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    best, best_dim = -1, 0
+    for i, (dim, ax) in enumerate(zip(shape, entries)):
+        if ax is None and dim % d == 0 and dim > best_dim:
+            best, best_dim = i, dim
+    if best < 0:
+        return spec
+    entries[best] = "data"
+    return P(*entries)
+
+
+def zero_shardings(tree_sh: Any, shapes: Any, mesh: Mesh):
+    """Map a pytree of NamedShardings (+ matching shapes tree) through
+    `zero_spec`."""
+    return jax.tree.map(
+        lambda sh, leaf: NamedSharding(
+            mesh, zero_spec(sh.spec, leaf.shape, mesh)
+        ),
+        tree_sh,
+        shapes,
+    )
+
+
+def opt_state_shardings(
+    opt_state_shapes: Any, params: Any, param_sh: Any, mesh: Mesh,
+    zero: bool = False,
+):
     """NamedShardings for every optimizer-state leaf, mirroring the param
     layout: madgrad's gss/s/x0 (and any momentum/ema tree) are pytrees that
     embed the param tree, so a leaf whose path SUFFIX and shape match a
@@ -82,6 +122,8 @@ def opt_state_shardings(opt_state_shapes: Any, params: Any, param_sh: Any, mesh:
     madgrad carries 3 fp32 trees (~1.5 GB for the flagship).
 
     `opt_state_shapes`: `jax.eval_shape(optimizer.init, params)`.
+    `zero=True` additionally shards every param-mirroring leaf over the
+    ``data`` axis (see `zero_spec`).
     """
     flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
     flat_sh = jax.tree_util.tree_flatten_with_path(param_sh)[0]
@@ -95,6 +137,10 @@ def opt_state_shardings(opt_state_shapes: Any, params: Any, param_sh: Any, mesh:
         for i in range(len(keys)):  # longest suffix first
             hit = by_path.get(keys[i:])
             if hit is not None and hit[0] == tuple(leaf.shape):
+                if zero:
+                    return NamedSharding(
+                        mesh, zero_spec(hit[1].spec, leaf.shape, mesh)
+                    )
                 return hit[1]
         return NamedSharding(mesh, P())
 

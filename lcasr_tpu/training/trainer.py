@@ -160,6 +160,12 @@ class Trainer:
                     f"{len(jax.devices())} — running single-device"
                 )
         self._param_sh = None  # set by init_state when a mesh is active
+        # ZeRO-style optimizer-state sharding over the data axis: MADGRAD's
+        # three fp32 trees + both grad accumulators shard over `data`
+        # (partition.zero_spec); XLA computes the update data-sharded and
+        # all-gathers only the param delta once per optimizer step
+        self.zero_opt = bool(par_cfg.get("zero_optimizer", False))
+        self._grads_sh = None
         # context parallelism: seq-axis mesh shards split every chunk's time
         # axis across devices (full-model CP — parallel/cp_model.py).  This
         # is how the reference's longest config (360k frames = 1 h, batch 1,
@@ -177,6 +183,10 @@ class Trainer:
         self.backwards_every = tr.get("backwards_every", 1)
         assert self.backprop_every >= self.backwards_every
         self.clip_value = tr.get("clip_value", 0.8)
+        # segmented CTC backward (ops/ctc.py): O((T/K + K)·S) residuals
+        # instead of O(T·S) — set for 1-hour lattices where the monolithic
+        # alphas/emissions are ~3.2 GB each (docs/MEMORY_BUDGET_1H.md)
+        self.ctc_segment_size = tr.get("ctc_segment_size", None)
         self.max_epochs = tr.get("max_epochs", 1)
         self.batch_size = tr.get("batch_size", 2)
         self.chunk_size = config.get("audio_chunking", Config({})).get("size", 2048)
@@ -257,6 +267,7 @@ class Trainer:
             from lcasr_tpu.parallel.partition import (
                 opt_state_shardings,
                 param_shardings,
+                zero_shardings,
             )
 
             self._param_sh = param_shardings(params, self.mesh)
@@ -267,11 +278,17 @@ class Trainer:
                 )
             # optimizer-state shardings PINNED to the param layout (madgrad's
             # gss/s/x0 mirror params) — jit inference could pick a replicated
-            # layout that silently triples per-chip optimizer memory under TP
+            # layout that silently triples per-chip optimizer memory under TP.
+            # zero_optimizer additionally shards them over `data`.
             opt_shapes = jax.eval_shape(self.optimizer.init, params)
             self._opt_sh = opt_state_shardings(
-                opt_shapes, params, self._param_sh, self.mesh
+                opt_shapes, params, self._param_sh, self.mesh,
+                zero=self.zero_opt,
             )
+            if self.zero_opt:
+                self._grads_sh = zero_shardings(
+                    self._param_sh, params, self.mesh
+                )
             opt_state = jax.jit(
                 self.optimizer.init, out_shardings=self._opt_sh
             )(params)
@@ -316,6 +333,8 @@ class Trainer:
         zeros = lambda p: jax.tree.map(
             lambda x: jnp.zeros(x.shape, jnp.float32), p
         )
+        if self._grads_sh is not None:  # ZeRO: accumulators shard over data
+            return jax.jit(zeros, out_shardings=self._grads_sh)
         if self._param_sh is not None:
             return jax.jit(zeros, out_shardings=self._param_sh)
         return jax.jit(zeros)
@@ -331,8 +350,10 @@ class Trainer:
         # INVALID_ARGUMENT on reuse); revisit on direct-attached TPUs.
         loss_mode = self.loss_mode
         ctc_w = self.ctc_loss_weight
+        ctc_seg = self.ctc_segment_size
         cp = self.cp_shards > 1
         mesh = self.mesh
+        grads_sh = self._grads_sh
 
         def forward(p, batch_stats, audio, lengths):
             """model.apply — or, under context parallelism, the seq-sharded
@@ -383,6 +404,7 @@ class Trainer:
                             batch["label_lengths"],
                             blank_id=blank_id,
                             reduction="none",
+                            segment_size=ctc_seg,
                         )
                         loss = loss + ctc_w * (nll * batch["weight"]).sum()
                     # CE on shifted targets with eos=0 at final position
@@ -411,6 +433,7 @@ class Trainer:
                     batch["label_lengths"],
                     blank_id=blank_id,
                     reduction="none",
+                    segment_size=ctc_seg,
                 )
                 loss = (nll * batch["weight"]).sum()
                 # blank probability metric (reference exp/train.py:35-43) —
@@ -434,6 +457,12 @@ class Trainer:
             grads_acc = jax.tree.map(
                 lambda a, g: a + g.astype(jnp.float32), grads_acc, grads
             )
+            if grads_sh is not None:
+                # ZeRO: keep the accumulator data-sharded — the fresh grad is
+                # data-replicated (post-psum), so the add slices it locally
+                grads_acc = jax.lax.with_sharding_constraint(
+                    grads_acc, grads_sh
+                )
             return loss, grads_acc, new_stats, blank_p
 
         return micro_step
@@ -441,8 +470,8 @@ class Trainer:
     def _apply_updates_fn(self):
         optimizer = self.optimizer
         param_sh = self._param_sh
+        opt_sh = getattr(self, "_opt_sh", None)
 
-        @jax.jit
         def apply_updates(params, opt_state, grads, weight):
             grads = jax.tree.map(lambda g: g * weight, grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -452,7 +481,14 @@ class Trainer:
                 params = jax.lax.with_sharding_constraint(params, param_sh)
             return params, opt_state
 
-        return apply_updates
+        if param_sh is not None and opt_sh is not None:
+            # pin BOTH output layouts: under zero_optimizer the update runs
+            # data-sharded (state operands) and only the param delta
+            # all-gathers back to the param layout
+            return jax.jit(
+                apply_updates, out_shardings=(param_sh, opt_sh)
+            )
+        return jax.jit(apply_updates)
 
     @staticmethod
     @jax.jit

@@ -14,5 +14,7 @@ if [ "$1" = "cpu" ]; then
   XLA_FLAGS="--xla_force_host_platform_device_count=8" \
   python -m pytest tests/ -q "$@"
 else
-  python -m pytest tests/ -q "$@"
+  # LCASR_TEST_TPU=1 tells conftest this TPU run is intentional (otherwise
+  # it re-execs onto the CPU backend — see tests/conftest.py)
+  LCASR_TEST_TPU=1 python -m pytest tests/ -q "$@"
 fi

@@ -188,3 +188,66 @@ def test_ctc_analytic_gradient_matches_autodiff():
     assert np.isfinite(np.asarray(g_bad)).all()
     assert np.abs(np.asarray(g_bad[0])).max() == 0.0
     assert np.abs(np.asarray(g_bad[1])).max() == 0.0
+
+
+def test_ctc_segmented_matches_monolithic():
+    """Segmented backward (segment-entry checkpoints + per-segment alpha
+    recompute) vs the monolithic analytic backward: identical losses and
+    gradients, including T not divisible by K, ragged input/label lengths,
+    an empty label, and an impossible alignment (exact-zero grads)."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    B, T, C, U = 4, 37, 9, 6
+    log_probs = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32), -1
+    )
+    labels = jnp.asarray(rng.integers(0, C - 1, size=(B, U)), jnp.int32)
+    il = jnp.array([T, T - 7, T - 1, 5], jnp.int32)  # last: impossible (2U+? > 5)
+    ul = jnp.array([U, U - 2, 0, U], jnp.int32)
+    w = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+
+    def loss(lp, seg):
+        return (
+            ctc_loss(lp, labels, il, ul, reduction="none", segment_size=seg) * w
+        ).sum()
+
+    for K in (8, 16, 64):  # 37 % 8 != 0; 64 > T (single segment)
+        nll_mono = ctc_loss(log_probs, labels, il, ul, reduction="none")
+        nll_seg = ctc_loss(
+            log_probs, labels, il, ul, reduction="none", segment_size=K
+        )
+        np.testing.assert_allclose(
+            np.asarray(nll_seg), np.asarray(nll_mono), rtol=1e-6, atol=1e-6
+        )
+        g_mono = jax.grad(lambda lp: loss(lp, None))(log_probs)
+        g_seg = jax.grad(lambda lp: loss(lp, K))(log_probs)
+        assert np.isfinite(np.asarray(g_seg)).all()
+        np.testing.assert_allclose(
+            np.asarray(g_seg), np.asarray(g_mono), rtol=1e-5, atol=1e-6
+        )
+    # impossible alignment row got exactly-zero grads in both paths
+    assert np.abs(np.asarray(g_seg[3])).max() == 0.0
+
+
+def test_ctc_segmented_matches_torch_oracle():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(12)
+    log_probs, labels, input_lengths, label_lengths = _random_case(rng, T=26)
+    C = log_probs.shape[-1]
+    ours = ctc_loss(
+        jnp.asarray(log_probs),
+        jnp.asarray(labels),
+        jnp.asarray(input_lengths),
+        jnp.asarray(label_lengths),
+        reduction="none",
+        segment_size=7,
+    )
+    t_fn = torch.nn.CTCLoss(blank=C - 1, reduction="none")
+    theirs = t_fn(
+        torch.from_numpy(log_probs).transpose(0, 1),
+        torch.from_numpy(labels),
+        torch.from_numpy(input_lengths),
+        torch.from_numpy(label_lengths),
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4, atol=1e-4)

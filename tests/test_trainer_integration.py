@@ -453,3 +453,90 @@ def test_trainer_opt_state_shardings_pinned(corpus, tmp_path):
     assert len(found) >= 3, f"expected gss/s/x0 qkv mirrors, got {found}"
     for keys, sh in found:
         assert sh.spec == qkv.sharding.spec, (keys, sh.spec)
+
+
+def test_trainer_zero_optimizer_matches_single_device(corpus, tmp_path):
+    """`parallel.zero_optimizer: true` on a data=4 mesh: MADGRAD's fp32
+    state trees and the grad accumulator actually shard over the data axis
+    (partition.zero_spec) while the loss trajectory and final params stay
+    fp-tolerance-identical to single-device training — ZeRO is a memory
+    layout, not a numerics change."""
+    import jax
+    from jax.sharding import PartitionSpec
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices (run via ./run_tests.sh cpu)")
+
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.data.dataloading import VariableBatchSimpleDataloader, load_json
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.models.registry import load_model
+
+    pairs_path, _ = corpus
+
+    def run(parallel_cfg, ckpt_dir):
+        from lcasr_tpu.training.trainer import Trainer
+
+        cfg_dict = {
+            "model_class": "SCConformerXL",
+            "model": {"d_model": 64, "n_layers": 1, "n_heads": 2, "head_dim": 32,
+                      "subsampling_conv_channels": 32, "use_pallas": False},
+            "audio_chunking": {"size": 256, "overlap": 0},
+            "training": {"batch_size": 2, "backprop_every": 2, "max_epochs": 1,
+                         "clip_value": 0.8, "random_seed": 99},
+            "optimizer": {"name": "madgrad", "args": {"lr": 1e-4}},
+            "scheduler": {"warmup_steps": 2, "final_value": 1e-6},
+            "checkpointing": {"dir": str(ckpt_dir), "save_every_n_steps": 10**6},
+        }
+        if parallel_cfg:
+            cfg_dict["parallel"] = parallel_cfg
+        cfg = Config(cfg_dict)
+        tokenizer = load_tokenizer()
+        model = load_model(cfg, tokenizer.vocab_size())
+        trainer = Trainer(cfg, model, tokenizer)
+        state = trainer.init_state(jax.random.PRNGKey(7))
+        dataloader = VariableBatchSimpleDataloader(
+            pairs=load_json(pairs_path), tokenizer=tokenizer,
+            batch_size=2, chunk_size=256, chunk_overlap=0, random_seed=99,
+        )
+        state = trainer.train(state, dataloader)
+        lines = [json.loads(l) for l in open(
+            os.path.join(str(ckpt_dir), "metrics.jsonl"))]
+        losses = [l["loss"] for l in lines if "loss" in l]
+        return trainer, state, losses
+
+    tr1, state1, losses1 = run(None, tmp_path / "single")
+    trz, statez, lossesz = run(
+        {"mesh": {"data": 4}, "zero_optimizer": True}, tmp_path / "zero4"
+    )
+
+    assert trz.zero_opt and trz.mesh is not None
+
+    # every large param-mirroring opt-state leaf is sharded over `data`
+    data_sharded = [
+        leaf for leaf in jax.tree.leaves(statez["opt_state"])
+        if hasattr(leaf, "sharding")
+        and leaf.ndim >= 1
+        and any(ax == "data" for ax in (leaf.sharding.spec or ()) if ax)
+    ]
+    assert len(data_sharded) > 0, "no opt-state leaf sharded over data"
+    biggest = max(
+        (leaf for leaf in jax.tree.leaves(statez["opt_state"])
+         if hasattr(leaf, "ndim") and leaf.ndim >= 2),
+        key=lambda a: a.size,
+    )
+    assert any(ax == "data" for ax in (biggest.sharding.spec or ()) if ax), (
+        f"largest opt-state leaf not data-sharded: {biggest.sharding.spec}"
+    )
+    # the accumulator layout: _grads_sh is pinned
+    assert trz._grads_sh is not None
+
+    # trajectory + final params match single-device
+    assert len(losses1) == len(lossesz) and len(losses1) >= 2
+    np.testing.assert_allclose(np.array(losses1), np.array(lossesz),
+                               rtol=2e-3, atol=2e-3)
+    f1 = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree.leaves(state1["params"])])
+    fz = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree.leaves(statez["params"])])
+    np.testing.assert_allclose(f1, fz, rtol=5e-3, atol=5e-5)
