@@ -30,10 +30,21 @@ def main():
     rng = np.random.default_rng(0)
 
     # (chunk_size, batch) pairs scaled from the paper's schedule to 1 chip
-    # (reference exp/configs/README.md:84-93 uses 150 GB A100 hosts)
-    for chunk, batch, remat in ((2048, 8, 0), (8192, 4, 1), (32768, 1, 1)):
+    # (reference exp/configs/README.md:84-93 uses 150 GB A100 hosts).
+    # remat rows A/B the recompute policy: 'nothing' re-runs whole layers in
+    # the backward; 'dots' saves GEMM outputs and recomputes only the
+    # elementwise chains (see SCConformerXL.remat_policy)
+    configs = (
+        (2048, 8, 0, "nothing"),
+        (8192, 4, 1, "nothing"),
+        (8192, 4, 1, "dots"),
+        (32768, 1, 1, "nothing"),
+        (32768, 1, 1, "dots"),
+    )
+    for chunk, batch, remat, policy in configs:
         model = SCConformerXL(
-            **FLAGSHIP, dtype=jnp.bfloat16, checkpoint_every_n_layers=remat
+            **FLAGSHIP, dtype=jnp.bfloat16, checkpoint_every_n_layers=remat,
+            remat_policy=policy,
         )
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 80, 512), jnp.float32),
@@ -104,9 +115,10 @@ def main():
             "chunk_frames": chunk,
             "batch": batch,
             "remat": bool(remat),
+            "remat_policy": policy,
             "ms_per_step": round(dt * 1000, 1),
             "train_audio_s_per_s": round(audio_s / dt, 1),
-        }))
+        }), flush=True)
 
 
 if __name__ == "__main__":

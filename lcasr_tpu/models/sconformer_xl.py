@@ -327,6 +327,17 @@ class SCConformerXL(nn.Module):
     dropout_conv: float = 0.0
     dropout_attn: float = 0.0
     checkpoint_every_n_layers: int = 0
+    # remat recompute policy for checkpointed layers:
+    #   'nothing'  — save only layer boundaries; backward re-runs the whole
+    #                layer (lowest memory, +1 forward of recompute FLOPs),
+    #   'dots'     — jax.checkpoint_policies.dots_saveable: GEMM outputs are
+    #                saved, only elementwise/norm chains recompute.  Costs
+    #                ~2× the boundary activations in saved dot outputs but
+    #                removes the recompute GEMMs — the backward becomes the
+    #                same 2-GEMM-per-matmul schedule as no-remat training.
+    # The reference's FusedMLP checkpoint_lvl 0/1/2 (fused_dense.py:209-498)
+    # is this same trade expressed per-module; here it is a whole-model knob.
+    remat_policy: str = "nothing"
     # rematerialize the conv-subsampling stage in the backward: its stage-1/2
     # activations dominate hour-scale memory (~0.6 GB/shard bf16 at 360k
     # frames / 8 shards — docs/MEMORY_BUDGET_1H.md) and are cheap to recompute
@@ -472,7 +483,14 @@ class SCConformerXL(nn.Module):
             name="decoder",
         )
 
-        RematLayer = nn.remat(ConformerLayer, static_argnums=(5,), prevent_cse=False)
+        remat_kwargs = {}
+        if self.remat_policy == "dots":
+            remat_kwargs["policy"] = jax.checkpoint_policies.dots_saveable
+        elif self.remat_policy != "nothing":
+            raise ValueError(f"remat_policy must be nothing|dots, got {self.remat_policy}")
+        RematLayer = nn.remat(
+            ConformerLayer, static_argnums=(5,), prevent_cse=False, **remat_kwargs
+        )
 
         for i in range(self.n_layers):
             use_remat = (

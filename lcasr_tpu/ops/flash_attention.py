@@ -794,7 +794,43 @@ def _fused_bwd_safe() -> bool:
 
 def _probe_fused_bwd() -> bool:
     """Compare fused vs split backward on a tiny nK=4/nQ=4 case (one-time,
-    ~100 ms including compile)."""
+    ~100 ms including compile).
+
+    The probe fires lazily — inside the first jit TRACE whose shapes take
+    the fused path — so it must not stage into the enclosing trace: under
+    omnistaging its jnp ops would become tracers and the comparisons raise
+    ConcretizationTypeError, which the defensive except in
+    `_fused_bwd_safe` used to swallow as "probe failed" — silently
+    degrading every jitted training step to the split kernels.  Neither an
+    inner `jax.jit` (inlined into the active trace) nor
+    `ensure_compile_time_eval` (op-by-op eval; cannot run pallas_call)
+    escapes a live trace, so the probe runs on a FRESH THREAD — JAX trace
+    contexts are thread-local, and dispatch is thread-safe (regression
+    test: tests/test_flash_attention.py::
+    test_fused_bwd_probe_runs_inside_trace)."""
+    import threading
+
+    import numpy as np
+
+    box: dict = {}
+
+    def run():
+        try:
+            errs = np.asarray(jax.jit(_probe_fused_bwd_errs)())
+            box["ok"] = bool(np.isfinite(errs).all() and (errs < 1e-3).all())
+        except Exception as e:  # surfaced by the caller's except
+            box["exc"] = e
+
+    t = threading.Thread(target=run, name="lcasr-fused-bwd-probe")
+    t.start()
+    t.join()
+    if "exc" in box:
+        raise box["exc"]
+    return box["ok"]
+
+
+def _probe_fused_bwd_errs():
+    """Relative fused-vs-split gradient errors on a tiny nK=4/nQ=4 case."""
     bq = bk = 128
     T = 4 * bk
     key = jax.random.PRNGKey(0)
@@ -807,16 +843,10 @@ def _probe_fused_bwd() -> bool:
     args = (q, k, v, lengths, qoff, o, lse, do, (-1, -1), 1.0, bq, bk, T, T)
     fused = _bwd_impl(*args, _mode="fused")
     split = _bwd_impl(*args, _mode="split")
-    for a, b in zip(fused, split):
-        err = float(jnp.abs(a - b).max())
-        ref = float(jnp.abs(b).max()) + 1e-6
-        if not np_isfinite(err) or err / ref > 1e-3:
-            return False
-    return True
-
-
-def np_isfinite(x: float) -> bool:
-    return x == x and x not in (float("inf"), float("-inf"))
+    return jnp.stack([
+        jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-6)
+        for a, b in zip(fused, split)
+    ])
 
 
 def _bwd_impl(q, k, v, lengths, q_offset, o, lse, do, window, scale, block_q,

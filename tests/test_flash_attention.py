@@ -195,3 +195,40 @@ def test_head_dim_256_fit_blocks_matches_oracle():
     out_p = flash_attention(q, k, v, lengths=lengths)
     out_r = reference_attention(q, k, v, q_lengths=lengths, kv_lengths=lengths)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=2e-2, rtol=2e-2)
+
+
+def test_fused_bwd_probe_runs_inside_trace():
+    """The once-per-process fused-backward safety probe fires lazily inside
+    the first jit TRACE that takes the fused path.  Under omnistaging its
+    jnp ops would be staged into that trace and the float() comparisons
+    would raise ConcretizationTypeError — which the defensive except used
+    to swallow as 'probe failed', silently downgrading every jitted
+    training step to the split kernels.  The probe must escape the live
+    trace (it runs on a fresh thread — JAX trace contexts are
+    thread-local) and report ok even when invoked mid-trace."""
+    import jax
+    import jax.numpy as jnp
+
+    from lcasr_tpu.ops import flash_attention as fa
+
+    saved = dict(fa._FUSED_BWD_STATE)
+    try:
+        fa._FUSED_BWD_STATE.update(checked=False, ok=True)
+
+        probed = {}
+
+        @jax.jit
+        def traced(x):
+            # call the gate while a trace is active — exactly how the real
+            # backward reaches it
+            probed["ok"] = fa._fused_bwd_safe()
+            return x * 2.0
+
+        traced(jnp.ones((2,)))
+        assert fa._FUSED_BWD_STATE["checked"]
+        # on CPU both probe arms run the split kernels, so the comparison is
+        # trivially equal — ok must be True, and no exception was swallowed
+        assert probed["ok"] is True
+        assert fa._FUSED_BWD_STATE["ok"] is True
+    finally:
+        fa._FUSED_BWD_STATE.update(saved)

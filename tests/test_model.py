@@ -158,3 +158,40 @@ def test_remat_subsampling_matches_plain():
     g1 = jax.grad(loss(m1))(variables["params"])
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_remat_policy_dots_matches_nothing():
+    """`remat_policy='dots'` (save GEMM outputs, recompute elementwise — the
+    reference FusedMLP checkpoint_lvl trade, `fused_dense.py:209-498`) must
+    be a pure schedule change: identical forward outputs AND gradients to
+    the save-nothing layer remat."""
+    import jax
+    import jax.numpy as jnp
+
+    from lcasr_tpu.models.sconformer_xl import SCConformerXL
+
+    kw = dict(vocab_size=32, d_model=64, n_layers=2, n_heads=2, head_dim=32,
+              subsampling_conv_channels=16, use_pallas=False,
+              checkpoint_every_n_layers=1)
+    m0 = SCConformerXL(**kw, remat_policy="nothing")
+    m1 = SCConformerXL(**kw, remat_policy="dots")
+    rng = np.random.default_rng(1)
+    audio = jnp.asarray(rng.normal(size=(2, 80, 256)).astype(np.float32))
+    lengths = jnp.array([256, 200], jnp.int32)
+    variables = m0.init(jax.random.PRNGKey(0), audio)
+
+    o0 = m0.apply(variables, audio, length=lengths)["final_posteriors"]
+    o1 = m1.apply(variables, audio, length=lengths)["final_posteriors"]
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-6)
+
+    def loss(m):
+        def f(p):
+            out = m.apply({"params": p, "batch_stats": variables["batch_stats"]},
+                          audio, length=lengths)
+            return (out["final_posteriors"].astype(jnp.float32) ** 2).sum()
+        return f
+
+    g0 = jax.grad(loss(m0))(variables["params"])
+    g1 = jax.grad(loss(m1))(variables["params"])
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
