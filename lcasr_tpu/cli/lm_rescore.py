@@ -80,10 +80,18 @@ def beam_stage(
     results_csv: Optional[str] = None,
     decoder: str = "prefix",
     bos_id: int = 2,
+    parallel_recordings: int = 1,
 ):
     """decoder='prefix': prefix beam search (pyctcdecode-style AM merge);
     decoder='frame_sync': the reference tlm_beam algorithm (per-beam KV
-    caches, one batched LM call per frame, `ctc_beam_search.py:93-322`)."""
+    caches, one batched LM call per frame, `ctc_beam_search.py:93-322`).
+
+    `parallel_recordings=N > 1` (frame_sync only) rescored N recordings
+    concurrently off one wide device LM — every device call serves all
+    blocked searches (`decoding/frame_sync.py:rescore_many`), the
+    TPU-native replacement for the reference's ray fan-out
+    (`eval/tedlium/tlm_beam.py:55-61`).  Results are identical per
+    recording; throughput scales ~N× on a dispatch-latency-bound link."""
     from lcasr_tpu.data.tokenizer import load_tokenizer
     from lcasr_tpu.decoding.beam_search import BeamSearch
     from lcasr_tpu.evaluation.normalizer import normalize
@@ -128,14 +136,38 @@ def beam_stage(
         )
         search = bs.run_search
 
-    hyps, refs, rows = [], [], []
+    names, all_logits, golds = [], [], []
     for name in sorted(os.listdir(logits_dir)):
         if not name.endswith(".npz"):
             continue
         data = np.load(os.path.join(logits_dir, name), allow_pickle=True)
-        logits = data["logits"].astype(np.float32)
-        gold = str(data["gold"])
-        hyp = normalize(search(logits)).lower()
+        names.append(name)
+        all_logits.append(data["logits"].astype(np.float32))
+        golds.append(str(data["gold"]))
+
+    if decoder == "frame_sync" and parallel_recordings > 1:
+        from lcasr_tpu.decoding.frame_sync import (
+            CachedTransformerLM,
+            rescore_many,
+        )
+
+        n_slots = min(parallel_recordings, max(1, len(all_logits)))
+        max_len = max((lg.shape[0] for lg in all_logits), default=1) + 1
+        wide_lm = CachedTransformerLM(
+            lm_model, lm_variables, width=n_slots * beam_width,
+            max_len=max_len, bos_id=bos_id,
+        )
+        texts = rescore_many(
+            wide_lm, all_logits, n_slots, tokenizer=tokenizer, decode=True,
+            beam_width=beam_width, alpha=alpha, beta=beta,
+            blank_id=tokenizer.vocab_size(), bos_id=bos_id,
+        )
+    else:
+        texts = [search(lg) for lg in all_logits]
+
+    hyps, refs, rows = [], [], []
+    for name, text, gold in zip(names, texts, golds):
+        hyp = normalize(text).lower()
         wer, words, *_ = word_error_rate_detail([hyp], [gold])
         rows.append({"recording": name[:-4], "wer": wer, "words": words,
                      "alpha": alpha, "beta": beta, "beam_width": beam_width})
@@ -176,6 +208,9 @@ def main():
                    help="trained TransformerLM orbax checkpoint")
     b.add_argument("-decoder", "--decoder", default="prefix",
                    choices=["prefix", "frame_sync"])
+    b.add_argument("-parallel", "--parallel_recordings", type=int, default=1,
+                   help="frame_sync only: rescore N recordings concurrently "
+                        "off one wide device LM (≈N× throughput)")
     b.add_argument("-results", "--results_csv", default=None)
     args = parser.parse_args()
     if args.cmd == "create_logits":
@@ -188,7 +223,8 @@ def main():
     else:
         beam_stage(args.logits_dir, args.alpha, args.beta, args.beam_width,
                    lm=args.lm, results_csv=args.results_csv,
-                   decoder=args.decoder)
+                   decoder=args.decoder,
+                   parallel_recordings=args.parallel_recordings)
 
 
 if __name__ == "__main__":

@@ -172,11 +172,41 @@ class FrameSyncBeamSearch:
 
     def run_search(self, log_probs: np.ndarray, decode: bool = False):
         """log_probs (T, C) → token ids (lm_sequence minus bos) or text."""
+        state, lps0 = self.lm.init(self.beam_width)
+        gen = self.search_gen(np.asarray(log_probs), lps0)
+        try:
+            req = next(gen)
+            while True:
+                state, lps = self.lm.step(state, *req)
+                req = gen.send(lps)
+        except StopIteration as stop:
+            beams = stop.value
+        return self._finalize(beams, decode)
+
+    def _finalize(self, beams: List[FSBeam], decode: bool):
+        self.beams = beams
+        best = beams[0]
+        ids = list(best.lm_sequence[1:])
+        if decode and self.tokenizer is not None:
+            return self.tokenizer.decode(ids)
+        return ids
+
+    def search_gen(self, log_probs: np.ndarray, lps0: np.ndarray):
+        """Stepwise core of `run_search` as a generator: runs host-side
+        through blank-dominated frames and PAUSES (yields) exactly when it
+        needs an LM step, yielding `(parent_idx, tokens, update_mask)`
+        arrays of width `beam_width`; the driver `.send()`s back the
+        (width, V) next-token log-probs.  Returns the final beam list.
+
+        This is what lets `rescore_many` drive N recordings' searches
+        concurrently off ONE shared device LM — the TPU-native equivalent
+        of the reference's ray fan-out across recordings
+        (`eval/tedlium/tlm_beam.py:55-61`), where each device round trip
+        serves every blocked search at once instead of one."""
         log_probs = np.asarray(log_probs)  # scores accumulate in input dtype
         T, C = log_probs.shape
         blank = self.blank_id if self.blank_id is not None else C - 1
 
-        state, lps0 = self.lm.init(self.beam_width)
         beams: List[FSBeam] = [
             FSBeam(lm_sequence=(self.bos_id,), next_lps=lps0, row=0)
         ]
@@ -275,16 +305,75 @@ class FrameSyncBeamSearch:
                     parent_idx[j] = b.row
                     tokens[j] = b.lm_sequence[-1]
                     update[j] = b.next_lps is None
-                state, lps = self.lm.step(state, parent_idx, tokens, update)
+                lps = yield (parent_idx, tokens, update)
                 for j, b in enumerate(new_beams):
                     b.row = j
                     if update[j]:
                         b.next_lps = lps[j]
             beams = new_beams
 
-        self.beams = beams
-        best = beams[0]
-        ids = list(best.lm_sequence[1:])
-        if decode and self.tokenizer is not None:
-            return self.tokenizer.decode(ids)
-        return ids
+        return beams
+
+
+def rescore_many(
+    lm,
+    logits_list: Sequence[np.ndarray],
+    n_slots: int,
+    tokenizer=None,
+    decode: bool = False,
+    **search_kwargs,
+):
+    """Rescore many recordings concurrently off ONE shared device LM.
+
+    `lm` must be a BatchedCachedLM of width `n_slots * beam_width`: slot r
+    owns rows [r·W, (r+1)·W).  Each recording's search runs host-side until
+    it blocks on an LM step (`FrameSyncBeamSearch.search_gen`); every tick
+    issues a SINGLE batched device call serving all blocked searches, with
+    identity parent rows / update=False for finished slots.  On a
+    dispatch-latency-bound link this multiplies rescoring throughput by
+    ~n_slots over per-recording `run_search` while producing identical
+    per-recording results (the per-row LM math is row-independent).
+
+    Reference counterpart: `eval/tedlium/tlm_beam.py:55-61` fans recordings
+    out across CPUs with ray; here the fan-out is across rows of the same
+    accelerator call.  Returns per-recording results in input order."""
+    width = search_kwargs.get("beam_width", 25)
+    results: List = [None] * len(logits_list)
+
+    for wave_start in range(0, len(logits_list), n_slots):
+        wave = range(wave_start, min(wave_start + n_slots, len(logits_list)))
+        state, lps0 = lm.init(n_slots * width)
+        live = {}  # slot -> (recording idx, searcher, generator)
+        pending = {}  # slot -> (parent_idx, tokens, update)
+        for slot, ridx in enumerate(wave):
+            searcher = FrameSyncBeamSearch(
+                lm=None, tokenizer=tokenizer, **search_kwargs
+            )
+            gen = searcher.search_gen(np.asarray(logits_list[ridx]), lps0)
+            try:
+                pending[slot] = next(gen)
+                live[slot] = (ridx, searcher, gen)
+            except StopIteration as stop:  # recording with no LM step at all
+                results[ridx] = searcher._finalize(stop.value, decode)
+
+        while live:
+            parent = np.arange(n_slots * width, dtype=np.int32)
+            tokens = np.zeros((n_slots * width,), np.int32)
+            update = np.zeros((n_slots * width,), bool)
+            for slot, (p, t, u) in pending.items():
+                base = slot * width
+                parent[base:base + width] = base + np.asarray(p, np.int32)
+                tokens[base:base + width] = t
+                update[base:base + width] = u
+            state, lps = lm.step(state, parent, tokens, update)
+            pending = {}
+            for slot in list(live):
+                ridx, searcher, gen = live[slot]
+                base = slot * width
+                try:
+                    pending[slot] = gen.send(lps[base:base + width])
+                except StopIteration as stop:
+                    results[ridx] = searcher._finalize(stop.value, decode)
+                    del live[slot]
+
+    return results

@@ -125,3 +125,65 @@ def test_preprocess_roundtrip(tmp_path):
     assert spec.dtype == np.float16 and spec.shape[1] == 80
     pairs = add_durations({"a": {"audio": out, "txt": "x"}})
     assert abs(pairs["a"]["duration"] - 1.0) < 0.05
+
+
+class _TinyTok:
+    def vocab_size(self):
+        return 16
+
+    def decode(self, ids):
+        return " ".join(f"w{i}" for i in ids)
+
+    def encode(self, text):
+        return [int(w[1:]) for w in text.split()] if text else []
+
+    def pad_id(self):
+        return 0
+
+
+def test_dynamic_eval_lr0_matches_plain_decode(tiny):
+    """With lr=0 the adaptation steps are no-ops (madgrad zero-update at
+    lr=0), so dynamic_eval must reproduce the plain averaged-moving-window
+    logits exactly — the reference restores original weights and merges
+    through the same overlap-averaging math (`dynamic_eval.py:122-139`)."""
+    from lcasr_tpu.evaluation.dynamic_eval import dynamic_eval_ctc_loss
+    from lcasr_tpu.evaluation.streaming import fetch_logits, make_windowed_model_fn
+
+    model, variables = tiny
+    spec = np.random.default_rng(3).normal(size=(1, 80, 640)).astype(np.float32)
+
+    adapted = dynamic_eval_ctc_loss(
+        model, variables, spec, seq_len=256, overlap=128,
+        tokenizer=_TinyTok(), num_negatives=1, epochs=1, lr=0.0,
+    )
+    plain = fetch_logits(
+        make_windowed_model_fn(model, variables), spec,
+        seq_len=256, overlap=128, n_classes=17,
+    )
+    assert adapted.shape == plain.shape
+    np.testing.assert_allclose(adapted, plain, atol=1e-5, rtol=1e-5)
+
+
+def test_dynamic_eval_adapts_and_restores(tiny):
+    """lr>0 must actually move the decoded logits (adaptation happened) while
+    leaving the caller's variables untouched (reference `:37-38,138-139`
+    snapshot/restore semantics — immutability gives it for free here, but
+    the contract is worth pinning)."""
+    from lcasr_tpu.evaluation.dynamic_eval import dynamic_eval_ctc_loss
+
+    model, variables = tiny
+    leaves_before = [np.asarray(x).copy() for x in jax.tree.leaves(variables)]
+    spec = np.random.default_rng(4).normal(size=(1, 80, 640)).astype(np.float32)
+
+    base = dynamic_eval_ctc_loss(
+        model, variables, spec, seq_len=256, overlap=128,
+        tokenizer=_TinyTok(), num_negatives=1, epochs=1, lr=0.0,
+    )
+    adapted = dynamic_eval_ctc_loss(
+        model, variables, spec, seq_len=256, overlap=128,
+        tokenizer=_TinyTok(), num_negatives=1, epochs=2, lr=5e-3,
+    )
+    assert adapted.shape == base.shape
+    assert np.abs(adapted - base).max() > 1e-4  # adaptation moved the logits
+    for a, b in zip(leaves_before, jax.tree.leaves(variables)):
+        np.testing.assert_array_equal(a, np.asarray(b))

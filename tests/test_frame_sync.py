@@ -236,7 +236,82 @@ def test_lm_rescore_cli_loads_lm_checkpoint(tmp_path):
     np.savez_compressed(ldir / "rec1.npz", logits=logits.astype(np.float16),
                         gold="hello world")
 
+    np.savez_compressed(ldir / "rec2.npz", logits=logits[:8].astype(np.float16),
+                        gold="hello again")
+
     for decoder in ["prefix", "frame_sync"]:
         wer = beam_stage(str(ldir), alpha=0.3, beta=0.3, beam_width=4,
                          lm=ckpt, decoder=decoder)
         assert np.isfinite(wer)
+
+    # batched multi-recording rescoring through the CLI must agree with the
+    # serial frame_sync path
+    wer_par = beam_stage(str(ldir), alpha=0.3, beta=0.3, beam_width=4,
+                         lm=ckpt, decoder="frame_sync", parallel_recordings=2)
+    assert wer_par == wer
+
+def test_rescore_many_matches_per_recording_history_lm():
+    """`rescore_many` (N searches in lockstep off ONE wide LM — the
+    TPU-native replacement for the reference's ray fan-out,
+    tlm_beam.py:55-61) must produce EXACTLY the per-recording `run_search`
+    results: the per-row LM math is row-independent, so batching across
+    recordings is a pure scheduling change.  Recordings of different
+    lengths + a wave smaller than the recording count exercise the
+    finished-slot identity rows and the multi-wave path."""
+    from lcasr_tpu.decoding.frame_sync import (
+        FrameSyncBeamSearch,
+        HistoryLM,
+        rescore_many,
+    )
+
+    fn = lambda hists: np.stack([fake_lm_scores(h) for h in hists])  # noqa: E731
+    rng = np.random.default_rng(3)
+    recs = []
+    for T in (18, 7, 25):
+        lg = rng.normal(size=(T, C)) * 2.0
+        recs.append(lg - np.log(np.exp(lg).sum(-1, keepdims=True)))
+
+    kw = dict(beam_width=5, alpha=0.4, beta=0.4, blank_id=C - 1,
+              top_am_threshold=-6, prune_less_than_val=8.0, bos_id=2)
+    serial = [
+        FrameSyncBeamSearch(lm=HistoryLM(fn, bos_id=2), **kw).run_search(lp)
+        for lp in recs
+    ]
+    batched = rescore_many(HistoryLM(fn, bos_id=2), recs, n_slots=2, **kw)
+    assert batched == serial
+
+
+def test_rescore_many_matches_per_recording_cached_lm():
+    """Same lockstep-batching parity through the real on-device KV-cached
+    TransformerLM (wide cache: slot r owns rows [rW, (r+1)W))."""
+    from lcasr_tpu.decoding.frame_sync import (
+        CachedTransformerLM,
+        FrameSyncBeamSearch,
+        rescore_many,
+    )
+    from lcasr_tpu.models.lm import TransformerLM
+
+    model = TransformerLM(vocab_size=V, d_model=32, n_layers=2, n_heads=2,
+                          head_dim=16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+
+    rng = np.random.default_rng(4)
+    recs = []
+    for T in (14, 9):
+        lg = rng.normal(size=(T, C)) * 2.0
+        recs.append(lg - np.log(np.exp(lg).sum(-1, keepdims=True)))
+
+    W = 4
+    kw = dict(beam_width=W, alpha=0.5, beta=0.2, blank_id=C - 1,
+              top_am_threshold=-6, bos_id=2)
+    max_len = max(r.shape[0] for r in recs) + 2
+    serial = [
+        FrameSyncBeamSearch(
+            lm=CachedTransformerLM(model, variables, width=W, max_len=max_len),
+            **kw,
+        ).run_search(lp)
+        for lp in recs
+    ]
+    wide = CachedTransformerLM(model, variables, width=2 * W, max_len=max_len)
+    batched = rescore_many(wide, recs, n_slots=2, **kw)
+    assert batched == serial
