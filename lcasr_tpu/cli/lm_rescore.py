@@ -106,36 +106,6 @@ def beam_stage(
         lm_model, lm_variables = load_lm_checkpoint(lm)
         lm_scores = make_lm_scorer(lm_model, lm_variables, bos_id=bos_id)
 
-    if decoder == "frame_sync":
-        if lm_model is None:
-            raise ValueError("frame_sync decoding needs -lm <checkpoint>")
-        from lcasr_tpu.decoding.frame_sync import (
-            CachedTransformerLM,
-            FrameSyncBeamSearch,
-        )
-
-        def search(logits):
-            cached = CachedTransformerLM(
-                lm_model, lm_variables, width=beam_width,
-                max_len=logits.shape[0] + 1, bos_id=bos_id,
-            )
-            fs = FrameSyncBeamSearch(
-                lm=cached, tokenizer=tokenizer, beam_width=beam_width,
-                alpha=alpha, beta=beta, blank_id=tokenizer.vocab_size(),
-                bos_id=bos_id,
-            )
-            return fs.run_search(logits, decode=True)
-    else:
-        bs = BeamSearch(
-            tokenizer=tokenizer,
-            beam_width=beam_width,
-            blank_id=tokenizer.vocab_size(),
-            alpha=alpha,
-            beta=beta,
-            lm_scores=lm_scores,
-        )
-        search = bs.run_search
-
     names, all_logits, golds = [], [], []
     for name in sorted(os.listdir(logits_dir)):
         if not name.endswith(".npz"):
@@ -145,13 +115,15 @@ def beam_stage(
         all_logits.append(data["logits"].astype(np.float32))
         golds.append(str(data["gold"]))
 
-    if decoder == "frame_sync" and parallel_recordings > 1:
-        from lcasr_tpu.decoding.frame_sync import (
-            CachedTransformerLM,
-            rescore_many,
-        )
+    if decoder == "frame_sync":
+        if lm_model is None:
+            raise ValueError("frame_sync decoding needs -lm <checkpoint>")
+        from lcasr_tpu.decoding.frame_sync import CachedTransformerLM, rescore_many
 
-        n_slots = min(parallel_recordings, max(1, len(all_logits)))
+        # serial decoding is just n_slots=1 (rescore_many with one slot IS
+        # run_search per recording); either way ONE fixed-shape LM at the
+        # global max length serves every recording — no per-length recompile
+        n_slots = min(max(1, parallel_recordings), max(1, len(all_logits)))
         max_len = max((lg.shape[0] for lg in all_logits), default=1) + 1
         wide_lm = CachedTransformerLM(
             lm_model, lm_variables, width=n_slots * beam_width,
@@ -163,7 +135,15 @@ def beam_stage(
             blank_id=tokenizer.vocab_size(), bos_id=bos_id,
         )
     else:
-        texts = [search(lg) for lg in all_logits]
+        bs = BeamSearch(
+            tokenizer=tokenizer,
+            beam_width=beam_width,
+            blank_id=tokenizer.vocab_size(),
+            alpha=alpha,
+            beta=beta,
+            lm_scores=lm_scores,
+        )
+        texts = [bs.run_search(lg) for lg in all_logits]
 
     hyps, refs, rows = [], [], []
     for name, text, gold in zip(names, texts, golds):
