@@ -315,3 +315,34 @@ def test_rescore_many_matches_per_recording_cached_lm():
     wide = CachedTransformerLM(model, variables, width=2 * W, max_len=max_len)
     batched = rescore_many(wide, recs, n_slots=2, **kw)
     assert batched == serial
+
+
+def test_rescore_many_handles_recording_with_no_lm_steps():
+    """A recording whose frames never emit (all-blank posteriors) finishes
+    at generator prime time — its slot must drop out cleanly (identity
+    parent rows thereafter) while other recordings keep decoding."""
+    from lcasr_tpu.decoding.frame_sync import (
+        FrameSyncBeamSearch,
+        HistoryLM,
+        rescore_many,
+    )
+
+    fn = lambda hists: np.stack([fake_lm_scores(h) for h in hists])  # noqa: E731
+    rng = np.random.default_rng(5)
+    # recording 0: blank wins every frame by a margin beyond the AM threshold
+    silent = np.full((10, C), -20.0)
+    silent[:, C - 1] = 0.0
+    silent = silent - np.log(np.exp(silent).sum(-1, keepdims=True))
+    noisy = rng.normal(size=(16, C)) * 2.0
+    noisy = noisy - np.log(np.exp(noisy).sum(-1, keepdims=True))
+    recs = [silent, noisy]
+
+    kw = dict(beam_width=4, alpha=0.4, beta=0.4, blank_id=C - 1,
+              top_am_threshold=-6, bos_id=2)
+    serial = [
+        FrameSyncBeamSearch(lm=HistoryLM(fn, bos_id=2), **kw).run_search(lp)
+        for lp in recs
+    ]
+    assert serial[0] == []  # silent recording decodes to nothing
+    batched = rescore_many(HistoryLM(fn, bos_id=2), recs, n_slots=2, **kw)
+    assert batched == serial
