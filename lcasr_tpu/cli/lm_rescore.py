@@ -10,6 +10,9 @@ Usage:
   python -m lcasr_tpu.cli.lm_rescore create_logits -c ckpt -d tedlium \
       --dataset_base_path ... -o logits_dir
   python -m lcasr_tpu.cli.lm_rescore beam -i logits_dir -alpha 0.45 -beta 1.53
+  # α/β grid sweep (the reference's scripts/*.sh loops), one command:
+  python -m lcasr_tpu.cli.lm_rescore beam -i logits_dir \
+      -alpha 0.3,0.45,0.6 -beta 0.5,1.53 -decoder frame_sync -lm lm_ckpt
 """
 from __future__ import annotations
 
@@ -181,8 +184,10 @@ def main():
     c.add_argument("--dataset_base_path", default=None)
     b = sub.add_parser("beam")
     b.add_argument("-i", "--logits_dir", required=True)
-    b.add_argument("-alpha", type=float, default=0.45)
-    b.add_argument("-beta", type=float, default=1.53)
+    b.add_argument("-alpha", default="0.45",
+                   help="LM weight; comma-separated list sweeps a grid")
+    b.add_argument("-beta", default="1.53",
+                   help="token insertion bonus; comma-separated list sweeps")
     b.add_argument("-beam_width", type=int, default=25)
     b.add_argument("-lm", "--lm", default=None,
                    help="trained TransformerLM orbax checkpoint")
@@ -201,10 +206,20 @@ def main():
             if args.dataset_base_path else {},
         )
     else:
-        beam_stage(args.logits_dir, args.alpha, args.beta, args.beam_width,
-                   lm=args.lm, results_csv=args.results_csv,
-                   decoder=args.decoder,
-                   parallel_recordings=args.parallel_recordings)
+        alphas = [float(a) for a in str(args.alpha).split(",")]
+        betas = [float(b_) for b_ in str(args.beta).split(",")]
+        grid = [(a, b_) for a in alphas for b_ in betas]
+        best = None
+        for a, b_ in grid:
+            wer = beam_stage(args.logits_dir, a, b_, args.beam_width,
+                             lm=args.lm, results_csv=args.results_csv,
+                             decoder=args.decoder,
+                             parallel_recordings=args.parallel_recordings)
+            if best is None or wer < best[0]:
+                best = (wer, a, b_)
+        if len(grid) > 1:
+            print(json.dumps({"best_wer": best[0], "alpha": best[1],
+                              "beta": best[2], "grid_points": len(grid)}))
 
 
 if __name__ == "__main__":

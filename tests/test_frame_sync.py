@@ -346,3 +346,43 @@ def test_rescore_many_handles_recording_with_no_lm_steps():
     assert serial[0] == []  # silent recording decodes to nothing
     batched = rescore_many(HistoryLM(fn, bos_id=2), recs, n_slots=2, **kw)
     assert batched == serial
+
+
+def test_lm_rescore_cli_grid_sweep(tmp_path, monkeypatch, capsys):
+    """`-alpha a1,a2` sweeps a grid in one command (reference scripts/*.sh
+    loops) and reports the best (wer, alpha, beta) point."""
+    import sys
+
+    from lcasr_tpu.cli import lm_rescore
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.models.lm import TransformerLM
+    from lcasr_tpu.training import checkpointing
+
+    tok = load_tokenizer()
+    vocab = tok.vocab_size()
+    lm_cfg = dict(vocab_size=vocab, d_model=32, n_layers=1, n_heads=2, head_dim=16)
+    model = TransformerLM(**lm_cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    ckpt = checkpointing.save_checkpoint(
+        str(tmp_path / "lm"), step=1, params=variables["params"],
+        config=Config({"model_class": "TransformerLM", "model": lm_cfg}),
+    )
+    rng = np.random.default_rng(0)
+    lg = rng.normal(size=(8, vocab + 1)).astype(np.float32) * 2
+    lg = lg - np.log(np.exp(lg).sum(-1, keepdims=True))
+    ldir = tmp_path / "logits"
+    ldir.mkdir()
+    np.savez_compressed(ldir / "rec.npz", logits=lg.astype(np.float16), gold="hi")
+
+    monkeypatch.setattr(sys, "argv", [
+        "lm_rescore", "beam", "-i", str(ldir), "-alpha", "0.2,0.5",
+        "-beta", "0.3", "-beam_width", "3", "-lm", ckpt,
+        "-decoder", "frame_sync",
+    ])
+    lm_rescore.main()
+    out = capsys.readouterr().out
+    import json as _json
+
+    best = _json.loads([l for l in out.splitlines() if "best_wer" in l][-1])
+    assert best["grid_points"] == 2 and best["alpha"] in (0.2, 0.5)
