@@ -386,3 +386,45 @@ def test_lm_rescore_cli_grid_sweep(tmp_path, monkeypatch, capsys):
 
     best = _json.loads([l for l in out.splitlines() if "best_wer" in l][-1])
     assert best["grid_points"] == 2 and best["alpha"] in (0.2, 0.5)
+
+
+def test_rescore_many_device_call_count_is_max_not_sum():
+    """The throughput mechanism itself: serial rescoring pays SUM of the
+    per-recording LM-step counts in device round trips; the lockstep driver
+    pays MAX (each tick serves every blocked search at once).  This is the
+    structural guarantee behind the ~N x batched-rescoring speedup on a
+    dispatch-latency-bound link."""
+    from lcasr_tpu.decoding.frame_sync import (
+        FrameSyncBeamSearch,
+        HistoryLM,
+        rescore_many,
+    )
+
+    class CountingLM(HistoryLM):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.steps = 0
+
+        def step(self, state, parent_idx, tokens, update_mask):
+            self.steps += 1
+            return super().step(state, parent_idx, tokens, update_mask)
+
+    fn = lambda hists: np.stack([fake_lm_scores(h) for h in hists])  # noqa: E731
+    rng = np.random.default_rng(6)
+    recs = []
+    for T in (30, 14, 22):
+        lg = rng.normal(size=(T, C)) * 2.0
+        recs.append(lg - np.log(np.exp(lg).sum(-1, keepdims=True)))
+
+    kw = dict(beam_width=4, alpha=0.4, beta=0.4, blank_id=C - 1,
+              top_am_threshold=-6, bos_id=2)
+    per_rec = []
+    for lp in recs:
+        lm = CountingLM(fn, bos_id=2)
+        FrameSyncBeamSearch(lm=lm, **kw).run_search(lp)
+        per_rec.append(lm.steps)
+    assert all(n > 0 for n in per_rec)
+
+    wide = CountingLM(fn, bos_id=2)
+    rescore_many(wide, recs, n_slots=len(recs), **kw)
+    assert wide.steps == max(per_rec), (wide.steps, per_rec)
