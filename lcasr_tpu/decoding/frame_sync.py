@@ -217,6 +217,12 @@ class FrameSyncBeamSearch:
             keep_arr = keep_arr[(keep_arr >= 1) & (keep_arr <= C - 1)]  # ids 1..vocab
             keep = [int(i) for i in keep_arr]
             K = len(keep)
+            if K == 0:
+                # argmax is id 0 (pad — never proposed, reference :224-231)
+                # and nothing else clears the AM threshold: a candidate-less
+                # frame carries the beams over unchanged instead of emptying
+                # the beam set (which would crash the next frame)
+                continue
 
             # vectorized candidate scoring: one (n_beams, K) matrix instead
             # of per-candidate float() math in the inner loop (the loop below

@@ -101,7 +101,8 @@ class Attention(nn.Module):
         if cp is not None and self.attention_cp_impl == "ring":
             # ring attention: K/V stay LOCAL and rotate around the seq axis
             # with online-softmax merging (exact fwd + custom-VJP bwd,
-            # parallel/ring_attention.py) — KV memory O(T/n) per device
+            # parallel/ring_attention.py) — KV memory O(T/n) per device;
+            # falls through to the shared mask/out_proj/dropout tail below
             from lcasr_tpu.parallel.ring_attention import make_ring_local
 
             ring_lengths = (
@@ -110,56 +111,46 @@ class Attention(nn.Module):
                 else jnp.full((B,), N * jax.lax.axis_size(cp), jnp.int32)
             )
             out = make_ring_local(window, None, N, cp)(q, k, v, ring_lengths)
-            out = out.reshape(B, N, H * D)
-            if lengths is not None:
-                out = jnp.where(
-                    length_mask(lengths, N, offset=q_off)[..., None], out, 0.0
-                )
-            out = nn.Dense(
-                self.n_feats, use_bias=self.bias, dtype=self.dtype, name="out_proj"
-            )(out)
-            if self.dropout > 0.0 and train:
-                out = nn.Dropout(self.dropout, deterministic=False)(out)
-            return out
-
-        if cp is not None:
-            # gathered-KV context parallelism (parallel/context_parallel.py
-            # inlined): exact, differentiable
-            k = jax.lax.all_gather(k, cp, axis=1, tiled=True)
-            v = jax.lax.all_gather(v, cp, axis=1, tiled=True)
-
-        use_pallas = (
-            self.use_pallas
-            and not self.return_attention_weights
-            and jax.default_backend() == "tpu"
-        )
-        if use_pallas:
-            from lcasr_tpu.ops.flash_attention import flash_attention
-
-            out = flash_attention(
-                q, k, v, lengths=lengths, window=window, q_offset=q_off
-            )
-        elif self.return_attention_weights:
-            # analysis path (reference CollectAttentionProbs,
-            # attention.py:556-595): exact attention + prob capture
-            out, probs = reference_attention(
-                q, k, v, q_lengths=lengths, kv_lengths=lengths,
-                window=window, return_weights=True, q_offset=q_off,
-            )
-            self.sow("intermediates", "attention_probs", probs)
-        elif cp is not None and window[0] >= 0 and window[1] >= 0:
-            # long banded sequences: O(chunk·band) score memory
-            from lcasr_tpu.ops.attention import banded_attention_chunked
-
-            out = banded_attention_chunked(
-                q, k, v, q_lengths=lengths, kv_lengths=lengths,
-                window=window, q_offset=q_off,
-            )
         else:
-            out = reference_attention(
-                q, k, v, q_lengths=lengths, kv_lengths=lengths,
-                window=window, q_offset=q_off,
+            if cp is not None:
+                # gathered-KV context parallelism
+                # (parallel/context_parallel.py inlined): exact,
+                # differentiable
+                k = jax.lax.all_gather(k, cp, axis=1, tiled=True)
+                v = jax.lax.all_gather(v, cp, axis=1, tiled=True)
+
+            use_pallas = (
+                self.use_pallas
+                and not self.return_attention_weights
+                and jax.default_backend() == "tpu"
             )
+            if use_pallas:
+                from lcasr_tpu.ops.flash_attention import flash_attention
+
+                out = flash_attention(
+                    q, k, v, lengths=lengths, window=window, q_offset=q_off
+                )
+            elif self.return_attention_weights:
+                # analysis path (reference CollectAttentionProbs,
+                # attention.py:556-595): exact attention + prob capture
+                out, probs = reference_attention(
+                    q, k, v, q_lengths=lengths, kv_lengths=lengths,
+                    window=window, return_weights=True, q_offset=q_off,
+                )
+                self.sow("intermediates", "attention_probs", probs)
+            elif cp is not None and window[0] >= 0 and window[1] >= 0:
+                # long banded sequences: O(chunk·band) score memory
+                from lcasr_tpu.ops.attention import banded_attention_chunked
+
+                out = banded_attention_chunked(
+                    q, k, v, q_lengths=lengths, kv_lengths=lengths,
+                    window=window, q_offset=q_off,
+                )
+            else:
+                out = reference_attention(
+                    q, k, v, q_lengths=lengths, kv_lengths=lengths,
+                    window=window, q_offset=q_off,
+                )
 
         out = out.reshape(B, N, H * D)
         if lengths is not None:

@@ -49,7 +49,8 @@ def _fit_blocks(block_q: int, block_k: int, D: int) -> Tuple[int, int]:
     fp32 scratch), and (512, 1024) already sits near the 16 MB VMEM scoped
     limit at D=128.  Keeps multiples of 128 for MXU/lane alignment."""
     if D > 128:
-        shrink = D // 128
+        shrink = _cdiv(D, 128)  # ceil: D=192 must shrink like D=256, not keep
+        # the full near-VMEM-limit blocks tuned for D=128
         block_k = max(128, (block_k // shrink) // 128 * 128)
         block_q = max(128, (block_q // shrink) // 128 * 128)
     return block_q, block_k
@@ -141,8 +142,10 @@ def _fwd_kernel_db(
     only overlapped the two HALVES of one tile).  One extra grid step drains
     the pipeline.  Scratch is PING-PONG (slot = ki & 1) so the stage-A write
     and the stage-B read never alias and Mosaic is free to overlap them.
-    In-band blocks form a PREFIX of the kv loop here (kv_hi fixed per
-    (b, h, qi)), so 'previous step pending' is a pure index predicate."""
+    In-band blocks form a CONTIGUOUS RANGE of the kv loop (a prefix when
+    unwindowed), and the ping-pong schedule works for any subset: a tile is
+    processed at step ki iff it was issued at step ki−1, under the same
+    band predicate."""
     b = pl.program_id(0)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -157,15 +160,21 @@ def _fwd_kernel_db(
     q_len = lengths_ref[b]
     kv_hi = jnp.minimum(q_len, qoff_ref[1] + kv_extent)
     q_hi = jnp.minimum(q_len, qoff_ref[0] + q_extent)
-    row_valid = q_start < q_hi
 
+    # the FULL band predicate (incl. the window limbs), same as _fwd_kernel:
+    # a fully out-of-band tile must be SKIPPED, not processed — processing
+    # one feeds an all-NEG_INF score tile to the online softmax, whose
+    # running max then makes exp(s - m) = 1 at the masked maximum and the
+    # tile contributes garbage instead of nothing
     cur_k_start = ki * block_k + qoff_ref[1]
     cur_in_band = jnp.logical_and(
-        jnp.logical_and(ki < num_k_blocks, cur_k_start < kv_hi), row_valid
+        ki < num_k_blocks,
+        _block_in_band(q_start, cur_k_start, block_q, block_k, window, q_hi, kv_hi),
     )
     prev_k_start = cur_k_start - block_k
     prev_in_band = jnp.logical_and(
-        jnp.logical_and(ki >= 1, prev_k_start < kv_hi), row_valid
+        ki >= 1,
+        _block_in_band(q_start, prev_k_start, block_q, block_k, window, q_hi, kv_hi),
     )
     cur_slot = jax.lax.rem(ki, 2)
     prev_slot = 1 - cur_slot

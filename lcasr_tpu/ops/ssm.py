@@ -82,11 +82,14 @@ def _scan_kernel(
     b_ref,  # (1, TL, N)
     c_ref,  # (1, TL, N)
     y_ref,  # (1, TL, D) f32
-    hout_ref,  # (1, 1, N, D) f32 — state AFTER this block (backward residual)
-    h_scr,  # VMEM (N, D) f32 — the recurrence state, resident ALL sequence
-    *,
+    *rest,  # [hout_ref (1, 1, N, D) f32 — state AFTER this block (backward
+            # residual), only when emit_states] + h_scr VMEM (N, D) f32 —
+            # the recurrence state, resident ALL sequence
     block_l: int,
+    emit_states: bool = True,
 ):
+    h_scr = rest[-1]
+    hout_ref = rest[0] if emit_states else None
     li = pl.program_id(1)
 
     @pl.when(li == 0)
@@ -116,11 +119,14 @@ def _scan_kernel(
         return h
 
     h_scr[:] = jax.lax.fori_loop(0, block_l // G, group, h_scr[:])
-    # checkpoint the state AFTER this block (= the next block's entry; the
-    # backward reads checkpoint[li-1], block 0 starts from zeros).  Written
-    # at the END so the store doesn't serialize against the block's compute
-    # pipeline (an entry-time store measured 4x slower fwd).
-    hout_ref[0, 0] = h_scr[:]
+    if emit_states:
+        # checkpoint the state AFTER this block (= the next block's entry;
+        # the backward reads checkpoint[li-1], block 0 starts from zeros).
+        # Written at the END so the store doesn't serialize against the
+        # block's compute pipeline (an entry-time store measured 4x slower
+        # fwd).  Skipped entirely for forward-only calls (inference) — no
+        # HBM allocation, no per-block stores.
+        hout_ref[0, 0] = h_scr[:]
 
 
 def _scan_pallas(x, delta, A, B, C, block_l: int = 512, return_states: bool = False):
@@ -136,8 +142,15 @@ def _scan_pallas(x, delta, A, B, C, block_l: int = 512, return_states: bool = Fa
     nL = (L + pad) // block_l
     at = jnp.swapaxes(A.astype(jnp.float32), 0, 1)  # (N, D)
 
-    y, states = pl.pallas_call(
-        functools.partial(_scan_kernel, block_l=block_l),
+    out_specs = [pl.BlockSpec((1, block_l, D), lambda b, l: (b, l, 0))]
+    out_shape = [jax.ShapeDtypeStruct((Bt, L + pad, D), jnp.float32)]
+    if return_states:
+        out_specs.append(
+            pl.BlockSpec((1, 1, at.shape[0], D), lambda b, l: (b, l, 0, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((Bt, nL, N, D), jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_scan_kernel, block_l=block_l, emit_states=return_states),
         grid=(Bt, nL),
         in_specs=[
             pl.BlockSpec((1, block_l, D), lambda b, l: (b, l, 0)),
@@ -146,14 +159,8 @@ def _scan_pallas(x, delta, A, B, C, block_l: int = 512, return_states: bool = Fa
             pl.BlockSpec((1, block_l, N), lambda b, l: (b, l, 0)),
             pl.BlockSpec((1, block_l, N), lambda b, l: (b, l, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, block_l, D), lambda b, l: (b, l, 0)),
-            pl.BlockSpec((1, 1, at.shape[0], D), lambda b, l: (b, l, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Bt, L + pad, D), jnp.float32),
-            jax.ShapeDtypeStruct((Bt, nL, N, D), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((at.shape[0], D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -162,8 +169,9 @@ def _scan_pallas(x, delta, A, B, C, block_l: int = 512, return_states: bool = Fa
         interpret=jax.default_backend() != "tpu",
     )(x, delta, at, B, C)
     if return_states:
+        y, states = outs
         return y[:, :L], states
-    return y[:, :L]
+    return outs[0][:, :L]
 
 
 def _scan_bwd_kernel(

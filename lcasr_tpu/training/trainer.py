@@ -171,7 +171,9 @@ class Trainer:
         # is how the reference's longest config (360k frames = 1 h, batch 1,
         # reference exp/configs/README.md:84-93) trains when one chip's HBM
         # can't hold the activations.
-        self.cp_shards = self.mesh.shape["seq"] if self.mesh is not None else 1
+        # .get: an externally passed mesh (the `mesh=` constructor arg) may
+        # carry only a 'data' axis — absent seq means no context parallelism
+        self.cp_shards = self.mesh.shape.get("seq", 1) if self.mesh is not None else 1
         self.checkpoint_dir = checkpoint_dir or config.get("checkpointing", Config({})).get("dir", "./checkpoints")
 
         tr = config.get("training", Config({}))

@@ -187,3 +187,25 @@ def test_dynamic_eval_adapts_and_restores(tiny):
     assert np.abs(adapted - base).max() > 1e-4  # adaptation moved the logits
     for a, b in zip(leaves_before, jax.tree.leaves(variables)):
         np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_trainer_accepts_data_only_external_mesh(tiny):
+    """An externally passed mesh with ONLY a 'data' axis (the documented
+    `mesh=` constructor path) must construct — regression for the
+    unconditional mesh.shape['seq'] KeyError (r3 self-review)."""
+    from jax.sharding import Mesh
+
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.training.trainer import Trainer
+
+    model, _ = tiny
+    n = len(jax.devices())
+    if n < 2:
+        pytest.skip("needs >=2 devices")
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("data",))
+    cfg = Config({"training": {"batch_size": 2},
+                  "optimizer": {"name": "madgrad", "args": {"lr": 1e-4}},
+                  "scheduler": {"warmup_steps": 1}})
+    trainer = Trainer(cfg, model, load_tokenizer(), mesh=mesh)
+    assert trainer.cp_shards == 1

@@ -232,3 +232,39 @@ def test_fused_bwd_probe_runs_inside_trace():
         assert fa._FUSED_BWD_STATE["ok"] is True
     finally:
         fa._FUSED_BWD_STATE.update(saved)
+
+
+def test_double_buffered_forward_out_of_band_shard(monkeypatch):
+    """Regression (r3 self-review): the db kernel must apply the FULL band
+    predicate, not just the column bound — a kv shard entirely behind a
+    one-sided window (the CP/ring regime that reaches the non-banded db
+    path) must contribute NOTHING.  Before the fix, the all-NEG_INF score
+    tile made exp(s - m)=1 at the masked maximum and out-of-band rows
+    returned garbage instead of matching the production kernel's zeros."""
+    rng = np.random.default_rng(41)
+    Tloc, Dh, Hh = 128, 64, 2
+    mk = lambda T: jnp.asarray(rng.normal(size=(1, T, Hh, Dh)).astype(np.float32))
+    q = mk(Tloc)
+    k, v = mk(Tloc), mk(Tloc)
+    lengths = jnp.array([1024], jnp.int32)  # global length
+    kwargs = dict(
+        lengths=lengths, window=(64, -1), block_q=128, block_k=128,
+        q_offset=jnp.asarray(512), kv_offset=jnp.asarray(0),
+    )
+    out_prod = np.asarray(flash_attention(q, k, v, **kwargs))
+    monkeypatch.setenv("LCASR_ATTN_FWD_DB", "1")
+    out_db = np.asarray(flash_attention(q, k, v, **kwargs))
+    # queries at global rows 512.. with left window 64 cannot see cols 0..127
+    assert np.abs(out_prod).max() == 0.0
+    np.testing.assert_array_equal(out_db, out_prod)
+
+    # and a PARTIALLY in-band shard stays exact vs the production kernel
+    kwargs2 = dict(
+        lengths=lengths, window=(64, -1), block_q=128, block_k=128,
+        q_offset=jnp.asarray(128), kv_offset=jnp.asarray(64),
+    )
+    monkeypatch.delenv("LCASR_ATTN_FWD_DB")
+    out_prod2 = np.asarray(flash_attention(q, k, v, **kwargs2))
+    monkeypatch.setenv("LCASR_ATTN_FWD_DB", "1")
+    out_db2 = np.asarray(flash_attention(q, k, v, **kwargs2))
+    np.testing.assert_allclose(out_db2, out_prod2, atol=1e-5, rtol=1e-5)

@@ -428,3 +428,31 @@ def test_rescore_many_device_call_count_is_max_not_sum():
     wide = CountingLM(fn, bos_id=2)
     rescore_many(wide, recs, n_slots=len(recs), **kw)
     assert wide.steps == max(per_rec), (wide.steps, per_rec)
+
+
+def test_frame_sync_survives_candidate_less_frame():
+    """A frame whose argmax is id 0 (pad — never proposed) with every other
+    id below the AM threshold must carry the beams over unchanged instead
+    of emptying the beam set and crashing the next frame (r3 self-review)."""
+    from lcasr_tpu.decoding.frame_sync import FrameSyncBeamSearch, HistoryLM
+
+    fn = lambda hists: np.stack([fake_lm_scores(h) for h in hists])  # noqa: E731
+    rng = np.random.default_rng(7)
+    lg = rng.normal(size=(6, C)) * 2.0
+    lp = lg - np.log(np.exp(lg).sum(-1, keepdims=True))
+    # frame 2: all mass on id 0, everything else 20 nats below
+    lp[2] = -20.0
+    lp[2, 0] = 0.0
+    lp[2] = lp[2] - np.log(np.exp(lp[2]).sum())
+
+    kw = dict(beam_width=4, alpha=0.4, beta=0.4, blank_id=C - 1,
+              top_am_threshold=-6, bos_id=2)
+    ids = FrameSyncBeamSearch(lm=HistoryLM(fn, bos_id=2), **kw).run_search(lp)
+    assert isinstance(ids, list)
+
+    # and the skipped frame is equivalent to that frame not existing
+    lp_without = np.concatenate([lp[:2], lp[3:]])
+    ids_without = FrameSyncBeamSearch(
+        lm=HistoryLM(fn, bos_id=2), **kw
+    ).run_search(lp_without)
+    assert ids == ids_without
