@@ -234,11 +234,15 @@ class SimpleDataloader:
         sentinel = object()
 
         def worker():
+            # exceptions are ENQUEUED and re-raised in the consumer — a
+            # silently dying worker would otherwise end the epoch early and
+            # let training book a partial epoch as complete
             try:
                 for item in self._iter_sync():
                     q.put(item)
-            finally:
                 q.put(sentinel)
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -246,6 +250,8 @@ class SimpleDataloader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

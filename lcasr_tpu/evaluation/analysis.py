@@ -60,8 +60,10 @@ def context_attribution(
 
     audio = jnp.asarray(audio)
 
+    length = jnp.asarray(lengths) if lengths is not None else None
+
     def target(a):
-        out = model.apply(variables, a)
+        out = model.apply(variables, a, length=length)
         lp = out["final_posteriors"][0, frame]
         return lp.max()
 

@@ -38,7 +38,12 @@ def get_text_and_audio(split: str, base_path: str = None, text_path: str = None,
     suffix = "_full" if full else "_original"
     data_path = os.path.join(base_path, f"{split}{suffix}")
     if not os.path.isdir(data_path):
-        data_path = os.path.join(base_path, f"{split}_original")
+        # never fall back from _full to _original: results labeled
+        # earnings22_full computed on trimmed recordings would silently
+        # fake the long-context numbers
+        raise FileNotFoundError(
+            f"earnings22 split directory not found: {data_path}"
+        )
     text_path = text_path or os.path.join(base_path, "full_transcripts.json")
     with open(text_path) as f:
         all_text = json.load(f)

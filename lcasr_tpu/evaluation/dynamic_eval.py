@@ -68,14 +68,15 @@ def dynamic_eval_ctc_loss(
     opt_state = optimizer.init(params)
 
     @functools.partial(jax.jit, static_argnames=("u_len",))
-    def forward_all(params, audio, key, u_len):
-        # audio: (1, 80, seq_len) clean; build negatives inside jit
-        reps = jnp.repeat(audio, num_negatives + 1, axis=0)
-        lengths = jnp.full((num_negatives + 1,), u_len, jnp.int32)
-        aug = augmentation(key, reps[:num_negatives], lengths[:num_negatives])
-        batch = jnp.concatenate([aug, reps[num_negatives:]], axis=0)
+    def forward_clean(params, audio, u_len):
+        # the pseudo-label pass only needs the CLEAN chunk: rows are
+        # independent in eval mode, so forwarding the augmented negatives
+        # here (as a naive port of the reference's single shared forward
+        # would) is num_negatives x pure waste — the adapt step re-forwards
+        # them with fresh augmentation anyway
+        lengths = jnp.full((1,), u_len, jnp.int32)
         out = model.apply(
-            {"params": params, "batch_stats": batch_stats}, batch, length=lengths
+            {"params": params, "batch_stats": batch_stats}, audio, length=lengths
         )
         return out["final_posteriors"], out["length"]
 
@@ -126,11 +127,10 @@ def dynamic_eval_ctc_loss(
             rng.shuffle(keys_order)
         for i in keys_order:
             chunk, u_len = chunks[i]
-            key, k1 = jax.random.split(key)
             audio = jnp.asarray(chunk)
-            lp, out_len = forward_all(params, audio, k1, u_len)
+            lp, out_len = forward_clean(params, audio, u_len)
             n_valid = int(np.asarray(out_len)[0])
-            clean_lp = np.asarray(lp[-1][:n_valid], dtype=np.float64)
+            clean_lp = np.asarray(lp[0][:n_valid], dtype=np.float64)
 
             pseudo_text = decoder(clean_lp)
             pseudo_ids = tokenizer.encode(pseudo_text) if pseudo_text else []
@@ -159,7 +159,7 @@ def dynamic_eval_ctc_loss(
 
     # merge with overlap averaging (params restoration is implicit: the
     # caller's `variables` were never mutated)
-    total = spec_n // subsampling_factor + seq_len
+    total = spec_n // subsampling_factor + seq_len // subsampling_factor + 16
     all_logits = np.zeros((total, n_classes), np.float64)
     count = np.zeros((total, 1), np.float64)
     pos = 0

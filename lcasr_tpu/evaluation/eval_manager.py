@@ -104,8 +104,18 @@ def run_sweep(config_path: str, results_csv: str | None = None) -> List[Dict[str
                     ]
                     combined = prior + rows
                     total_words = sum(float(r["words"]) for r in combined)
+                    # wer*words recovers the per-recording ERROR COUNT; a
+                    # recording whose normalized reference is empty has
+                    # wer=inf, words=0, and inf*0 = nan would poison the
+                    # whole aggregate (and the golden CSV).  Its error count
+                    # is unrecoverable from (wer, words) rows, so the row is
+                    # excluded from the aggregate instead
                     agg_wer = (
-                        sum(float(r["wer"]) * float(r["words"]) for r in combined)
+                        sum(
+                            float(r["wer"]) * float(r["words"])
+                            for r in combined
+                            if float(r["words"]) > 0
+                        )
                         / max(total_words, 1.0)
                     )
                     rows.append({**probe, "wer": agg_wer, "words": total_words})

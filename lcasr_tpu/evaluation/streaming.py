@@ -310,7 +310,18 @@ class StreamingDecoder:
             pos += n_valid
         n_out = pos
 
-        total = spec_n // self.ds + seq_len
+        # slack past n_out only needs one padded WINDOW's subsampled rows
+        # (each step writes fixed subsampled-seq_len blocks at out_offsets);
+        # the old raw-frame seq_len slack was 8x larger — at windowed-
+        # attention scale (seq_len clamped to spec_n) it allocated ~2x the
+        # recording in fp32 sums for nothing
+        total = n_out + subsampled_length(seq_len, self.ds, self.mode, window_t=seq_len)
+        # bucket the STATIC total so recordings of similar length share one
+        # compiled fused_run (2048 rows ≈ 34 MB of fp32 sums per bucket step
+        # — cheap next to a 20-40 s compile); the spec width is bucketed at
+        # upload below for the same reason.  Extra rows are never read:
+        # results are sliced to n_out.
+        total = -(-total // 2048) * 2048
         # bf16 upload halves link traffic (the mel spec is per-recording
         # normalized, so ~3 decimal digits lose nothing audible).  The cast
         # happens on HOST via numpy/ml_dtypes — jnp.asarray(np, bf16) routes
@@ -341,6 +352,15 @@ class StreamingDecoder:
             )
             return sums, counts, n_out
 
+        # bucket the uploaded width: every in-program index is clipped and
+        # every window column past its u_len is zero-masked, so tail padding
+        # is inert — but it makes same-bucket recordings reuse one compiled
+        # program instead of recompiling per distinct spec_n (the nb padding
+        # below alone never deduped anything: spec shape and total varied
+        # per recording).  4096 frames of bf16/int8 tail ≤ 0.7 MB of upload.
+        bucket_w = -(-spec.shape[-1] // 4096) * 4096
+        if bucket_w != spec.shape[-1]:
+            spec = np.pad(spec, ((0, 0), (0, bucket_w - spec.shape[-1])))
         spec_dev = self._upload(spec, i8_scale)
         if fused:
             # one dispatch: scan over (nb, W) window batches.  nb is padded
@@ -439,7 +459,7 @@ def fetch_logits(
         pos += n_valid
     n_out = pos
 
-    total = spec_n // subsampling_factor + seq_len
+    total = spec_n // subsampling_factor + seq_len // subsampling_factor + 16
 
     @jax.jit
     def accumulate(sums, counts, log_probs, out_lens, offsets):

@@ -110,10 +110,22 @@ def test_loss_eval_synthetic(tmp_path):
         batch_stats=variables.get("batch_stats", {}), config=cfg,
     )
     summary = evaluate_loss(
-        ckpt, "synthetic", seq_len=512, verbose=False,
+        ckpt, "synthetic", seq_len=512, overlap=448, verbose=False,
         dataset_kwargs={"n_recordings": 2, "n_frames": 1024},
     )
+    assert summary["target"] == "gold"
     assert len(summary["rows"]) == 2
-    assert np.isfinite(summary["nll_per_frame"]) and summary["nll_per_frame"] > 0
+    # full-recording logits + full transcript: the lattice is FEASIBLE, so
+    # the per-token NLL is finite even for recordings longer than seq_len
+    # (reference final_loss = sum(losses)/sum(target_lengths))
+    assert np.isfinite(summary["nll_per_token"]) and summary["nll_per_token"] > 0
     for row in summary["rows"]:
-        assert np.isfinite(row["nll"]) and row["frames"] > 0
+        assert np.isfinite(row["nll"]) and row["tokens"] > 0 and row["frames"] > 0
+
+    # the rev16_loss variant: NLL of the model's own greedy transcript
+    # (may be empty under random weights — rows can be skipped, summary finite)
+    summary_h = evaluate_loss(
+        ckpt, "synthetic", seq_len=512, overlap=448, target="hypothesis",
+        verbose=False, dataset_kwargs={"n_recordings": 1, "n_frames": 1024},
+    )
+    assert np.isfinite(summary_h["nll_per_token"])

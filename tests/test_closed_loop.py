@@ -27,7 +27,12 @@ FRAMES_PER_WORD = 64  # 8 output frames after 8x subsampling
 
 
 def _word_pattern(word: str) -> np.ndarray:
-    rng = np.random.default_rng(abs(hash(word)) % (2**31))
+    # hashlib, NOT hash(): str hashing is randomized per process, which made
+    # the corpus (and the converged WER) vary run to run
+    import hashlib
+
+    seed = int.from_bytes(hashlib.md5(word.encode()).digest()[:4], "little")
+    rng = np.random.default_rng(seed)
     return rng.normal(size=(80, FRAMES_PER_WORD)).astype(np.float32) * 0.5
 
 
@@ -91,9 +96,10 @@ def test_train_checkpoint_eval_wer_closed_loop(synth_corpus, tmp_path):
                   "conv_norm": "layer_norm"},
         "audio_chunking": {"size": 512, "overlap": 0},
         # flat 3e-3 (final == peak): the cosine decay slows the blank-collapse
-        # escape; 250 epochs x 2 batches ≈ 500 optimizer steps reach WER 0.0
-        # (measured; 150 epochs left 2/32 errors)
-        "training": {"batch_size": 2, "backprop_every": 1, "max_epochs": 250,
+        # escape; 400 epochs x 2 batches ≈ 800 optimizer steps reach WER 0.0
+        # on the (now deterministic, md5-seeded) corpus — 250 left 1/32
+        # errors, which also let int8 quantization flip a marginal word
+        "training": {"batch_size": 2, "backprop_every": 1, "max_epochs": 400,
                      "clip_value": 1.0, "random_seed": 1234},
         "optimizer": {"name": "madgrad", "args": {"lr": 3e-3}},
         "scheduler": {"warmup_steps": 5, "final_value": 3e-3},
