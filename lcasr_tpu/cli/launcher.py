@@ -31,9 +31,43 @@ python -m lcasr_tpu.cli.train -config {config_path}
 """
 
 
-def expand_template(template_path: str, out_dir: str) -> List[str]:
+DEFAULT_ZOO = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "configs",
+    "model_zoo.yaml",
+)
+
+
+def apply_zoo_model(template: Dict[str, Any], model_name: str,
+                    zoo_path: str = None) -> Dict[str, Any]:
+    """Overlay a model-zoo entry's dot-path overrides onto a template.
+
+    Collapses the reference's 13 per-model paper-template files
+    (`exp/configs/paper_templates/*.yaml`) into one launcher template ×
+    one zoo table (`configs/model_zoo.yaml`).  Intermediate mappings are
+    created as needed, so a zoo entry may override keys the template omits.
+    """
+    with open(zoo_path or DEFAULT_ZOO) as f:
+        zoo = yaml.safe_load(f)["zoo"]
+    if model_name not in zoo:
+        raise ValueError(
+            f"unknown zoo model {model_name!r}; available: {sorted(zoo)}"
+        )
+    for path, value in (zoo[model_name].get("overrides") or {}).items():
+        node = template
+        parts = path.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return template
+
+
+def expand_template(template_path: str, out_dir: str,
+                    zoo_model: str = None, zoo_path: str = None) -> List[str]:
     with open(template_path) as f:
         template = yaml.safe_load(f)
+    if zoo_model:
+        template = apply_zoo_model(template, zoo_model, zoo_path)
     info = template.pop("template_info", {})
     keys: List[str] = info.get("template_keys", [])
     if not keys:
@@ -61,6 +95,8 @@ def expand_template(template_path: str, out_dir: str) -> List[str]:
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     base = os.path.splitext(os.path.basename(template_path))[0]
+    if zoo_model:
+        base = f"{base}_{zoo_model}"
     for run in range(n_runs):
         cfg = yaml.safe_load(yaml.safe_dump(template))  # deep copy
         for k in keys:
@@ -106,6 +142,9 @@ def main():
     e = sub.add_parser("expand")
     e.add_argument("-template", required=True)
     e.add_argument("-out", required=True)
+    e.add_argument("--model", default=None,
+                   help="model-zoo entry to overlay (configs/model_zoo.yaml)")
+    e.add_argument("--zoo", default=None, help="alternate zoo file")
     e.add_argument("--submit", action="store_true")
     e.add_argument("--dry_run", action="store_true")
     r = sub.add_parser("restart")
@@ -114,7 +153,8 @@ def main():
     args = parser.parse_args()
 
     if args.cmd == "expand":
-        paths = expand_template(args.template, args.out)
+        paths = expand_template(args.template, args.out,
+                                zoo_model=args.model, zoo_path=args.zoo)
         print("\n".join(paths))
         if args.submit:
             submit(paths, dry_run=args.dry_run)

@@ -58,3 +58,51 @@ def test_maybe_init_distributed_noop_without_config(monkeypatch):
     from lcasr_tpu.parallel.mesh import maybe_init_distributed
 
     assert maybe_init_distributed() is False
+
+
+def test_model_zoo_covers_every_paper_row_and_builds(tmp_path):
+    """Every zoo entry overlays onto the real paper template, expands,
+    parses as Config, and constructs its model class (reference collapses
+    this into 13 per-model template files under
+    exp/configs/paper_templates/)."""
+    from lcasr_tpu.cli.launcher import DEFAULT_ZOO, expand_template
+    from lcasr_tpu.models.registry import get_model_class, load_model
+
+    with open(DEFAULT_ZOO) as f:
+        zoo = yaml.safe_load(f)["zoo"]
+    # the README model table rows (SURVEY/README.md:32-44) must all be present
+    for expected in [
+        "lcasr_9l_768d_6h", "lcasr_6l_768d_6h", "lcasr_6l_768d_12h",
+        "lcasr_6l_768d_24h", "lcasr_6l_768d_nopos", "lcasr_6l_768d_fourier",
+        "lcasr_3l_2048d_16h", "lcasr_3l_768d_6h", "lcasr_12l_256d_8h",
+        "lcasr_6l_256d_8h",
+    ]:
+        assert expected in zoo, expected
+
+    template = os.path.join(
+        os.path.dirname(DEFAULT_ZOO), "paper_template_seq_rotary.yaml"
+    )
+    for name, entry in zoo.items():
+        paths = expand_template(template, str(tmp_path / name), zoo_model=name)
+        assert len(paths) == 12  # 4 seq lens x 3 seeds
+        cfg = Config.load(paths[0])
+        # every override landed
+        for path, value in (entry.get("overrides") or {}).items():
+            assert cfg.select(path) == value, (name, path)
+        model = load_model(cfg, 4095, get_model_class(cfg))
+        assert model.d_model == cfg.model.d_model
+
+    # WER parity targets: 3 context lengths each, where published
+    for name, entry in zoo.items():
+        for key in ("expected_wer_tedlium", "expected_wer_earnings22"):
+            if key in entry:
+                assert len(entry[key]) == 3, (name, key)
+
+
+def test_zoo_unknown_model_raises(tmp_path):
+    import pytest
+
+    from lcasr_tpu.cli.launcher import apply_zoo_model
+
+    with pytest.raises(ValueError, match="unknown zoo model"):
+        apply_zoo_model({}, "lcasr_999l")
