@@ -68,6 +68,7 @@ def evaluate(
     skip_recordings: Optional[set] = None,
     transfer_dtype: Optional[str] = None,  # 'bfloat16' (default) | 'int8' | 'float32'
     pipeline_upload: bool = False,  # stripe uploads to overlap with compute
+    data_parallel: bool = False,  # shard decode windows over all devices
 ) -> Dict[str, Any]:
     import jax
     import jax.numpy as jnp
@@ -101,9 +102,15 @@ def evaluate(
     if evaluation_mode == "buffered":
         model_fn = make_windowed_model_fn(model, variables)
     else:
+        mesh = None
+        if data_parallel and len(jax.devices()) > 1:
+            from lcasr_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()  # all devices on the data axis
         streamer = StreamingDecoder(
             model, variables, n_classes, subsampling_factor=subsampling_factor,
             transfer_dtype=transfer_dtype, pipeline_upload=pipeline_upload,
+            mesh=mesh,
         )
 
     decoder = GreedyCTCDecoder(tokenizer, blank_id=n_classes - 1)
@@ -201,6 +208,11 @@ def main():
         help="stripe the spectrogram upload and overlap it with compute "
              "(wins on direct-attached hosts; see StreamingDecoder)",
     )
+    parser.add_argument(
+        "--data_parallel", action="store_true",
+        help="shard decode windows over all devices (mesh data axis); "
+             "near-linear RTFx in the device count",
+    )
     parser.add_argument("--dataset_base_path", default=None)
     parser.add_argument(
         "--dataset_kwargs", nargs="*", default=[],
@@ -223,6 +235,7 @@ def main():
         dataset_kwargs=dk,
         transfer_dtype=args.transfer_dtype,
         pipeline_upload=args.pipeline_upload,
+        data_parallel=args.data_parallel,
     )
 
 

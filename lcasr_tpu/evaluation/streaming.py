@@ -90,6 +90,7 @@ class StreamingDecoder:
         transfer_dtype=None,  # e.g. jnp.bfloat16 halves the upload
         subsampling_mode: Optional[str] = None,
         pipeline_upload: bool = False,
+        mesh=None,  # jax.sharding.Mesh with a "data" axis → DP decode
     ):
         import jax
         import jax.numpy as jnp
@@ -102,7 +103,16 @@ class StreamingDecoder:
 
         self.jax, self.jnp = jax, jnp
         self.model = model
-        self.variables = jax.device_put(variables)
+        if mesh is not None and int(mesh.shape["data"]) > 1:
+            # DP decode: weights (and uploads, see _upload) must be
+            # replicated across the mesh, not committed to one device
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._replicated = NamedSharding(mesh, PartitionSpec())
+            self.variables = jax.device_put(variables, self._replicated)
+        else:
+            self._replicated = None
+            self.variables = jax.device_put(variables)
         self.n_classes = n_classes
         # output-length arithmetic follows the model's subsampling mode — a
         # stacking-subsampled model has different offsets than dw-striding
@@ -165,12 +175,10 @@ class StreamingDecoder:
         def finalize_argmax(sums, counts):
             return jnp.argmax(sums / jnp.maximum(counts, 1.0), axis=-1)
 
-        @functools.partial(jax.jit, static_argnames=("seq_len", "total", "mode"))
-        def fused_run(variables, spec, starts, lens, offs, seq_len, total, mode):
-            """Whole decode in ONE dispatch: lax.scan over window batches,
-            finalized in-program (returning the raw 0.5 GB sum/count buffers
-            as jit outputs costs an extra HBM materialization + a second
-            dispatch round trip — measured ~300 ms at 20-min contexts)."""
+        def accumulate_scan(variables, spec, starts, lens, offs, seq_len, total):
+            """Scan over (nb, W) window batches, accumulating overlap-average
+            sums/counts for every window this caller owns (under DP decode the
+            W axis is sharded, so this runs per device on W/n windows)."""
             sums = jnp.zeros((total, self.n_classes), jnp.float32)
             counts = jnp.zeros((total, 1), jnp.float32)
             T = spec.shape[-1]
@@ -205,10 +213,67 @@ class StreamingDecoder:
                 return jax.lax.fori_loop(0, lp.shape[0], body, (sums, counts)), None
 
             (sums, counts), _ = jax.lax.scan(batch_step, (sums, counts), (starts, lens, offs))
+            return sums, counts
+
+        @functools.partial(jax.jit, static_argnames=("seq_len", "total", "mode"))
+        def fused_run(variables, spec, starts, lens, offs, seq_len, total, mode):
+            """Whole decode in ONE dispatch: lax.scan over window batches,
+            finalized in-program (returning the raw 0.5 GB sum/count buffers
+            as jit outputs costs an extra HBM materialization + a second
+            dispatch round trip — measured ~300 ms at 20-min contexts)."""
+            sums, counts = accumulate_scan(
+                variables, spec, starts, lens, offs, seq_len, total
+            )
             avg = sums / jnp.maximum(counts, 1.0)
             if mode == "argmax":
                 return jnp.argmax(avg, -1)
             return jnp.log(avg)
+
+        self.mesh = mesh
+        self.n_dp = int(mesh.shape["data"]) if mesh is not None else 1
+        if self.n_dp > 1:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            @functools.partial(
+                jax.jit, static_argnames=("seq_len", "total", "mode")
+            )
+            def fused_run_dp(variables, spec, starts, lens, offs,
+                             seq_len, total, mode):
+                """Data-parallel decode: eval-time windows are independent
+                (running-stat norms), so the W axis shards over the mesh
+                `data` axis — each device forwards W/n windows per scan step
+                and accumulates into a LOCAL (total, C) buffer; one psum
+                merges the partial overlap-averages.  This is the multi-chip
+                decode the single-GPU reference has no counterpart for:
+                near-linear RTFx in the data-axis size once the (replicated)
+                spectrogram upload is amortized."""
+
+                def body(variables, spec, starts, lens, offs):
+                    sums, counts = accumulate_scan(
+                        variables, spec, starts, lens, offs, seq_len, total
+                    )
+                    return (
+                        jax.lax.psum(sums, "data"),
+                        jax.lax.psum(counts, "data"),
+                    )
+
+                sums, counts = shard_map(
+                    body,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P(None, "data"), P(None, "data"),
+                              P(None, "data")),
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                )(variables, spec, starts, lens, offs)
+                avg = sums / jnp.maximum(counts, 1.0)
+                if mode == "argmax":
+                    return jnp.argmax(avg, -1)
+                return jnp.log(avg)
+
+            self._fused_run_dp = fused_run_dp
+        else:
+            self._fused_run_dp = None
 
         @jax.jit
         def dequant(spec_i8, scale):
@@ -230,12 +295,15 @@ class StreamingDecoder:
     def _upload(self, host_f32: np.ndarray, i8_scale: Optional[float]):
         """Host-cast + async device_put of one array (bf16 by default; int8
         symmetric quantization with a per-recording scale when opted in)."""
+        put = (
+            (lambda a: self.jax.device_put(a, self._replicated))
+            if self._replicated is not None
+            else self.jax.device_put
+        )
         if i8_scale is not None:
             q = np.clip(np.rint(host_f32 / i8_scale), -127, 127).astype(np.int8)
-            return self._dequant(
-                self.jax.device_put(q), self.jnp.float32(i8_scale)
-            )
-        return self.jax.device_put(host_f32.astype(np.dtype(self.transfer_dtype)))
+            return self._dequant(put(q), self.jnp.float32(i8_scale))
+        return put(host_f32.astype(np.dtype(self.transfer_dtype)))
 
     def _run_pipelined(self, spec, positions, out_offsets, seq_len, overlap,
                        W, total, i8_scale):
@@ -338,6 +406,10 @@ class StreamingDecoder:
         # recording) would shape a (W, 80, T) batch of mostly-dummy windows
         # and blow HBM at long T
         W = min(self.W, len(positions))
+        if self._fused_run_dp is not None and fused:
+            # DP decode shards the W axis over the data mesh axis; pad W to a
+            # multiple of the axis size (zero-length windows are inert)
+            W = -(-W // self.n_dp) * self.n_dp
 
         if self.pipeline_upload and len(positions) > W:
             # striped upload/compute pipelining (see _run_pipelined).
@@ -375,7 +447,8 @@ class StreamingDecoder:
                 starts[j // W, j % W] = i
                 lengths[j // W, j % W] = u_len
                 offs[j // W, j % W] = out_offsets[j]
-            result = self._fused_run(
+            run = self._fused_run_dp or self._fused_run
+            result = run(
                 self.variables, spec_dev,
                 jnp.asarray(starts), jnp.asarray(lengths), jnp.asarray(offs),
                 seq_len=seq_len, total=total, mode=mode,

@@ -171,3 +171,60 @@ def test_pipelined_upload_matches_fused(model_and_vars):
         dec_f.greedy(spec, seq_len=256, overlap=192),
         dec_p.greedy(spec, seq_len=256, overlap=192),
     )
+
+
+def test_data_parallel_decode_matches_single_device(model_and_vars):
+    """DP decode (window axis sharded over the mesh data axis, per-device
+    local accumulators psummed) matches the single-device fused decode —
+    the multi-chip decode path the single-GPU reference has no counterpart
+    for."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices (run via ./run_tests.sh cpu)")
+    from lcasr_tpu.parallel.mesh import make_mesh
+
+    model, variables = model_and_vars
+    rng = np.random.default_rng(7)
+    spec = rng.normal(size=(1, 80, 1500)).astype(np.float32)
+
+    single = StreamingDecoder(
+        model, variables, N_CLASSES, window_batch_size=8,
+        transfer_dtype=jnp.float32,
+    )
+    dp = StreamingDecoder(
+        model, variables, N_CLASSES, window_batch_size=8,
+        transfer_dtype=jnp.float32,
+        mesh=make_mesh({"data": 8}),
+    )
+    ref = single.logits(spec, seq_len=256, overlap=192)
+    got = dp.logits(spec, seq_len=256, overlap=192)
+    assert got.shape == ref.shape
+    # psum merges per-shard partial sums → fp32 addition order differs
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        dp.greedy(spec, seq_len=256, overlap=192), ref.argmax(-1)
+    )
+
+
+def test_data_parallel_decode_window_count_not_multiple_of_devices(model_and_vars):
+    """W and the window count need not divide the data-axis size: padded
+    zero-length window slots must contribute nothing."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices (run via ./run_tests.sh cpu)")
+    from lcasr_tpu.parallel.mesh import make_mesh
+
+    model, variables = model_and_vars
+    rng = np.random.default_rng(8)
+    # 3 windows at seq 256 stride 64: deliberately fewer than 8 devices
+    spec = rng.normal(size=(1, 80, 400)).astype(np.float32)
+
+    single = StreamingDecoder(
+        model, variables, N_CLASSES, window_batch_size=3,
+        transfer_dtype=jnp.float32,
+    )
+    dp = StreamingDecoder(
+        model, variables, N_CLASSES, window_batch_size=3,
+        transfer_dtype=jnp.float32, mesh=make_mesh({"data": 8}),
+    )
+    ref = single.logits(spec, seq_len=256, overlap=192)
+    got = dp.logits(spec, seq_len=256, overlap=192)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
