@@ -47,6 +47,11 @@ def run_sweep(config_path: str, results_csv: str | None = None) -> List[Dict[str
     overlap_ratio = cfg.get("overlap_ratio", 0.875)
     mode = cfg.get("evaluation_mode", "averaged_moving_window")
     dataset_kwargs = cfg.get("dataset_kwargs", Config({})).to_dict()
+    decode_opts = {
+        k: cfg.get(k)
+        for k in ("transfer_dtype", "pipeline_upload", "data_parallel")
+        if cfg.get(k) is not None
+    }
 
     all_rows: List[Dict[str, Any]] = []
     for model_entry in cfg.get("models", []):
@@ -92,6 +97,7 @@ def run_sweep(config_path: str, results_csv: str | None = None) -> List[Dict[str
                         evaluation_mode=mode,
                         dataset_kwargs=dataset_kwargs.get(dataset, {}),
                         skip_recordings=done_ids,
+                        **decode_opts,
                     )
                     rows = [
                         {

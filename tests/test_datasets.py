@@ -120,3 +120,30 @@ def test_eval_manager_crash_resume_no_duplicate_rows(tmp_path, monkeypatch):
     n_before = len(df)
     eval_manager.run_sweep(str(cfg), csv)
     assert len(pd.read_csv(csv)) == n_before
+
+
+def test_eval_manager_forwards_decode_options(tmp_path, monkeypatch):
+    """Sweep-level decode options (transfer_dtype / pipeline_upload /
+    data_parallel) reach evaluate()."""
+    from lcasr_tpu.evaluation import eval_manager
+
+    seen = {}
+
+    def fake_evaluate(**kw):
+        seen.update(kw)
+        return {"rows": [{"recording": "r1", "wer": 0.0, "words": 10}],
+                "wer": 0.0, "words": 10}
+
+    monkeypatch.setattr("lcasr_tpu.evaluation.run.evaluate", fake_evaluate)
+
+    cfg = tmp_path / "sweep.yaml"
+    cfg.write_text(
+        "models:\n- name: m\n  checkpoint: none.ckpt\n"
+        "datasets:\n- name: synthetic\n  splits: [test]\n"
+        "seq_lens: [1024]\n"
+        "transfer_dtype: int8\ndata_parallel: true\n"
+    )
+    eval_manager.run_sweep(str(cfg), str(tmp_path / "results.csv"))
+    assert seen["transfer_dtype"] == "int8"
+    assert seen["data_parallel"] is True
+    assert "pipeline_upload" not in seen  # unset keys are not forwarded
