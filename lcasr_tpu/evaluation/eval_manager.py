@@ -49,7 +49,8 @@ def run_sweep(config_path: str, results_csv: str | None = None) -> List[Dict[str
     dataset_kwargs = cfg.get("dataset_kwargs", Config({})).to_dict()
     decode_opts = {
         k: cfg.get(k)
-        for k in ("transfer_dtype", "pipeline_upload", "data_parallel")
+        for k in ("transfer_dtype", "pipeline_upload", "data_parallel",
+                  "context_parallel")
         if cfg.get(k) is not None
     }
 

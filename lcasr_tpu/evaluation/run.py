@@ -69,6 +69,7 @@ def evaluate(
     transfer_dtype: Optional[str] = None,  # 'bfloat16' (default) | 'int8' | 'float32'
     pipeline_upload: bool = False,  # stripe uploads to overlap with compute
     data_parallel: bool = False,  # shard decode windows over all devices
+    context_parallel: bool = False,  # windowed_attention: shard the time axis
 ) -> Dict[str, Any]:
     import jax
     import jax.numpy as jnp
@@ -99,8 +100,18 @@ def evaluate(
 
     cfg_model = Config({"model": model_cfg})
     model = load_model(cfg_model, tokenizer.vocab_size(), get_model_class(cfg))
+    cp_model_fn = None
     if evaluation_mode == "buffered":
         model_fn = make_windowed_model_fn(model, variables)
+    elif (evaluation_mode == "windowed_attention" and context_parallel
+          and len(jax.devices()) > 1):
+        # single-pass forward sharded over the seq axis — the multi-chip
+        # route when the full-recording forward exceeds one chip's HBM
+        from lcasr_tpu.evaluation.streaming import make_cp_windowed_model_fn
+        from lcasr_tpu.parallel.mesh import make_mesh
+
+        cp_mesh = make_mesh({"seq": len(jax.devices())})
+        cp_model_fn = make_cp_windowed_model_fn(model, variables, cp_mesh)
     else:
         mesh = None
         if data_parallel and len(jax.devices()) > 1:
@@ -134,6 +145,16 @@ def evaluate(
                 overlap=overlap,
                 n_classes=n_classes,
                 subsampling_factor=subsampling_factor,
+            )
+        elif cp_model_fn is not None:
+            logits = fetch_logits(
+                cp_model_fn,
+                spec,
+                seq_len=seq_len,
+                overlap=0,
+                n_classes=n_classes,
+                subsampling_factor=subsampling_factor,
+                window_batch_size=1,
             )
         else:
             logits = streamer.logits(spec, seq_len=seq_len, overlap=overlap)
@@ -213,6 +234,11 @@ def main():
         help="shard decode windows over all devices (mesh data axis); "
              "near-linear RTFx in the device count",
     )
+    parser.add_argument(
+        "--context_parallel", action="store_true",
+        help="windowed_attention mode: shard the single-pass forward's time "
+             "axis over all devices (for recordings exceeding one chip's HBM)",
+    )
     parser.add_argument("--dataset_base_path", default=None)
     parser.add_argument(
         "--dataset_kwargs", nargs="*", default=[],
@@ -236,6 +262,7 @@ def main():
         transfer_dtype=args.transfer_dtype,
         pipeline_upload=args.pipeline_upload,
         data_parallel=args.data_parallel,
+        context_parallel=args.context_parallel,
     )
 
 

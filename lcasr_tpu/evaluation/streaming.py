@@ -647,6 +647,44 @@ def greedy_ids(
     return logits.argmax(-1)
 
 
+def make_cp_windowed_model_fn(model, variables, mesh, seq_axis: str = "seq") -> Callable:
+    """Context-parallel single-pass forward: the recording's time axis is
+    sharded over the mesh `seq` axis (`parallel/cp_model.py`).  This is the
+    multi-chip route for windowed-attention decode when the full-recording
+    forward exceeds one chip's HBM (reference `eval/run.py:38-43` runs it as
+    one big single-GPU forward; here a 10-hour single pass spreads across
+    the slice).  Satisfies the `fetch_logits` model_fn contract — pass it
+    with `window_batch_size=1`."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from lcasr_tpu.parallel.cp_model import context_parallel_apply
+
+    variables = jax.device_put(variables, NamedSharding(mesh, PartitionSpec()))
+    n = int(mesh.shape[seq_axis])
+    sf = getattr(model, "subsampling_factor", 8)
+
+    @jax.jit
+    def fn(variables, audio, length):
+        out = context_parallel_apply(
+            model, variables, audio, mesh, lengths=length, seq_axis=seq_axis
+        )
+        return out["final_posteriors"], out["length"]
+
+    def call(audio, length):
+        audio = np.asarray(audio)
+        # T must divide (seq shards x subsampling): pad the STATIC width;
+        # true lengths keep the pad masked, callers slice to out_len
+        pad = (-audio.shape[-1]) % (n * sf)
+        if pad:
+            audio = np.pad(audio, ((0, 0), (0, 0), (0, pad)))
+        return fn(variables, jnp.asarray(audio),
+                  jnp.asarray(length, jnp.int32))
+
+    return call
+
+
 def make_windowed_model_fn(model, variables) -> Callable:
     """Build the fixed-shape jitted forward used by the functional loops.
 

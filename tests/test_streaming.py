@@ -228,3 +228,33 @@ def test_data_parallel_decode_window_count_not_multiple_of_devices(model_and_var
     ref = single.logits(spec, seq_len=256, overlap=192)
     got = dp.logits(spec, seq_len=256, overlap=192)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_cp_windowed_model_fn_matches_single_device(model_and_vars):
+    """Context-parallel single-pass windowed-attention decode (time axis
+    sharded over the seq mesh axis) matches the single-device forward —
+    the multi-chip route for recordings whose full forward exceeds one
+    chip's HBM."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices (run via ./run_tests.sh cpu)")
+    from lcasr_tpu.evaluation.streaming import make_cp_windowed_model_fn
+    from lcasr_tpu.parallel.mesh import make_mesh
+
+    model = SCConformerXL(**{**TINY, "attention_window_size": 8})
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 256)))
+
+    rng = np.random.default_rng(9)
+    # 1000 frames: NOT a multiple of 8 shards x subsampling 8 → exercises
+    # the static-width pad inside the CP model_fn
+    spec = rng.normal(size=(1, 80, 1000)).astype(np.float32)
+
+    ref_fn = make_windowed_model_fn(model, variables)
+    ref = fetch_logits(ref_fn, spec, seq_len=1000, overlap=0,
+                       n_classes=N_CLASSES, window_batch_size=1)
+
+    cp_fn = make_cp_windowed_model_fn(model, variables, make_mesh({"seq": 8}))
+    got = fetch_logits(cp_fn, spec, seq_len=1000, overlap=0,
+                       n_classes=N_CLASSES, window_batch_size=1)
+
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
