@@ -147,3 +147,37 @@ def test_eval_manager_forwards_decode_options(tmp_path, monkeypatch):
     assert seen["transfer_dtype"] == "int8"
     assert seen["data_parallel"] is True
     assert "pipeline_upload" not in seen  # unset keys are not forwarded
+
+
+def test_compare_results_against_published_table(tmp_path):
+    """The golden-results workflow: eval_manager CSV rows join against the
+    zoo's published WER table (reference golden DB:
+    eval/results/IS_paper/evals_rb.csv)."""
+    import pandas as pd
+
+    from lcasr_tpu.evaluation.compare import compare, load_expected
+
+    expected = load_expected()
+    # README row: flagship tedlium 20-min context = 5.9%
+    assert abs(expected[("lcasr_9l_768d_6h", "tedlium", 120000)] - 0.059) < 1e-9
+
+    rows = [
+        {"dataset": "tedlium", "split": "test", "recording": "__aggregate__",
+         "model": "lcasr_9l_768d_6h", "seq_len": 120000, "overlap_ratio": 0.875,
+         "wer": 0.058, "words": 1000},      # beats published
+        {"dataset": "earnings22", "split": "test", "recording": "__aggregate__",
+         "model": "lcasr_9l_768d_6h", "seq_len": 16384, "overlap_ratio": 0.875,
+         "wer": 0.30, "words": 1000},       # way over published 23.1
+        {"dataset": "tedlium", "split": "test", "recording": "r1",
+         "model": "lcasr_9l_768d_6h", "seq_len": 120000, "overlap_ratio": 0.875,
+         "wer": 0.5, "words": 10},          # per-recording row: ignored
+    ]
+    csv = str(tmp_path / "results.csv")
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    report = compare(csv)
+    assert len(report) == 2
+    by_ds = {r["dataset"]: r for r in report}
+    assert by_ds["tedlium"]["ok"] is True
+    assert by_ds["earnings22"]["ok"] is False
+    assert abs(by_ds["earnings22"]["expected"] - 0.231) < 1e-9
