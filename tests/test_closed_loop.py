@@ -146,3 +146,13 @@ def test_train_checkpoint_eval_wer_closed_loop(synth_corpus, tmp_path):
     assert summary_opt["wer"] == summary["wer"], (
         summary_opt["wer"], summary["wer"],
     )
+
+    # data-parallel decode (window batch sharded over the mesh data axis)
+    # must be WER-neutral too — certified at the same trained-model level
+    import jax
+
+    if jax.device_count() >= 8:
+        summary_dp = evaluate(**common, data_parallel=True)
+        assert summary_dp["wer"] == summary["wer"], (
+            summary_dp["wer"], summary["wer"],
+        )
