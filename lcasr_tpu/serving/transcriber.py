@@ -1,0 +1,236 @@
+"""Online (streaming-input) transcription for serving.
+
+The reference is an offline research framework: every decode mode
+(`lcasr/eval/utils.py:46-110` moving window, `buffered_transcription.py:11-97`
+center-crop) takes the COMPLETE recording up front.  This module provides the
+serving-side counterpart: audio arrives in arbitrary-size chunks, mel frames
+are computed incrementally (bit-identical to the offline frontend,
+`data/audio.py`), and the model runs over a FIXED-SHAPE sliding context
+window — one compiled program reused for the whole stream — emitting
+finalized text with a configurable lookahead delay.
+
+Finalization contract (same reasoning as buffered transcription's
+center-crop): a frame's logits are finalized only once it has
+`right_delay_frames` of real future context and the window supplies
+`context_frames - stride - right_delay` of left context.  For a model whose
+receptive field per side (attention window + conv stack) fits inside those
+margins, the finalized logits are IDENTICAL to a full-recording forward —
+tested to argmax-exactness in tests/test_serving.py.
+
+Normalization: the reference normalizes each recording with its GLOBAL
+mel mean/std (`audio_tools.py:44-57`) — unavailable online.  Options:
+  * norm="running"  — cumulative mel statistics over the stream so far
+    (converges to the offline stats as the stream grows),
+  * norm=(mean, std) — precomputed (e.g. corpus-level) statistics,
+  * norm="none"     — caller feeds pre-normalized audio.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+from lcasr_tpu.data.audio import (
+    HOP_LENGTH,
+    N_FFT,
+    WIN_LENGTH,
+    _hann_window,
+    mel_filterbank,
+)
+
+_PAD = N_FFT // 2  # center=True padding (reflect), matches data/audio.py
+
+
+class OnlineTranscriber:
+    """Incremental transcription over a raw-sample stream.
+
+    feed(samples) -> newly finalized text (possibly "")
+    finish()      -> remaining text (flushes the tail with end padding)
+    text          -> full transcript so far
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        tokenizer,
+        context_frames: int = 2048,
+        stride_frames: int = 512,
+        right_delay_frames: int = 512,
+        norm: Union[str, Tuple[np.ndarray, np.ndarray]] = "running",
+        eps: float = 1e-8,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        sf = getattr(model, "subsampling_factor", 8)
+        assert context_frames % sf == 0 and stride_frames % sf == 0
+        assert right_delay_frames % sf == 0
+        assert context_frames >= stride_frames + right_delay_frames
+        self.jax, self.jnp = jax, jnp
+        self.model = model
+        self.variables = jax.device_put(variables)
+        self.tokenizer = tokenizer
+        self.blank_id = tokenizer.vocab_size()  # blank is LAST (reference)
+        self.sf = sf
+        self.ctx = context_frames
+        self.stride = stride_frames
+        self.delay = right_delay_frames
+        self.norm = norm
+        self.eps = eps
+
+        self._fb = mel_filterbank().astype(np.float64)  # (n_freqs, n_mels)
+        self._win = _hann_window(WIN_LENGTH, N_FFT).astype(np.float64)
+
+        self._samples = np.zeros((0,), np.float32)
+        self._mel = np.zeros((80, 0), np.float32)  # UNNORMALIZED mel frames
+        self._mel_sum = np.zeros((80,), np.float64)
+        self._mel_sumsq = np.zeros((80,), np.float64)
+        self._frontier = 0  # first not-yet-finalized frame
+        self._prev_id = self.blank_id  # CTC collapse carry across chunks
+        self._ids: list[int] = []
+        self._text = ""
+        self._finished = False
+
+        # ONE compiled program for the whole stream: fixed (1, 80, ctx) input
+        @jax.jit
+        def forward(variables, window, length):
+            out = model.apply(variables, window, length=length)
+            return out["final_posteriors"], out["length"]
+
+        self._forward = forward
+
+    # ---------------- incremental mel frontend ----------------
+    def _frames_available(self, n_samples: int) -> int:
+        """Frames computable WITHOUT end padding: frame t spans original
+        samples [t*hop - pad, t*hop + pad)."""
+        if n_samples < _PAD + 1:
+            return 0
+        return (n_samples - _PAD) // HOP_LENGTH + 1
+
+    def _compute_frames(self, f0: int, f1: int, total: Optional[int]) -> np.ndarray:
+        """Mel frames [f0, f1), bit-matching data/audio.spectrogram's
+        center=True reflect framing.  `total`: final sample count for
+        end-reflect (finish only); None while streaming (no end pad needed)."""
+        if f1 <= f0:
+            return np.zeros((80, 0), np.float32)
+        T = len(self._samples)
+        k = np.arange(N_FFT)[None, :]
+        f = np.arange(f0, f1)[:, None]
+        orig = f * HOP_LENGTH + k - _PAD  # original sample index
+        orig = np.where(orig < 0, -orig, orig)  # reflect at start
+        if total is not None:
+            over = orig > total - 1
+            orig = np.where(over, 2 * (total - 1) - orig, orig)
+        assert orig.max() < T and orig.min() >= 0
+        frames = self._samples[orig].astype(np.float64) * self._win
+        spec = np.fft.rfft(frames, n=N_FFT, axis=-1)
+        power = np.abs(spec) ** 2  # (nf, n_freqs)
+        mel = power @ self._fb  # (nf, n_mels)
+        return mel.T.astype(np.float32)  # (80, nf)
+
+    def _ingest(self, end_of_stream: bool) -> None:
+        T = len(self._samples)
+        done = self._mel.shape[1]
+        if end_of_stream:
+            avail = T // HOP_LENGTH + 1 if T > 0 else 0  # offline frame count
+        else:
+            avail = self._frames_available(T)
+        if avail <= done:
+            return
+        new = self._compute_frames(done, avail, T if end_of_stream else None)
+        self._mel = np.concatenate([self._mel, new], axis=1)
+        self._mel_sum += new.astype(np.float64).sum(-1)
+        self._mel_sumsq += (new.astype(np.float64) ** 2).sum(-1)
+
+    def _normalized(self, lo: int, hi: int) -> np.ndarray:
+        seg = self._mel[:, lo:hi]
+        if self.norm == "none":
+            return seg
+        if self.norm == "running":
+            n = self._mel.shape[1]
+            mean = self._mel_sum / max(n, 1)
+            # unbiased variance, matching the offline ddof=1 normalizer
+            var = (self._mel_sumsq - n * mean**2) / max(n - 1, 1)
+            std = np.sqrt(np.maximum(var, 0.0)) + self.eps
+        else:
+            mean, std = self.norm
+            mean = np.asarray(mean).reshape(80)
+            std = np.asarray(std).reshape(80)
+        return ((seg - mean[:, None]) / std[:, None]).astype(np.float32)
+
+    # ---------------- decode steps ----------------
+    def _emit(self, g0: int, g1: int, win_start: int, log_probs, out_len: int,
+              tail: bool) -> None:
+        """Finalize global frames [g0, g1) from a window forward whose input
+        started at `win_start` (multiple of sf, so subsampled rows align).
+        `tail`: take every remaining output row (g1 may not be sf-aligned at
+        end of stream — the last subsampled row covers a partial group)."""
+        r0 = (g0 - win_start) // self.sf
+        r1 = out_len if tail else min((g1 - win_start) // self.sf, out_len)
+        if r1 <= r0:
+            return
+        ids = np.asarray(log_probs[0, r0:r1].argmax(-1))
+        for i in ids.tolist():
+            if i != self.blank_id and i != self._prev_id:
+                self._ids.append(int(i))
+            self._prev_id = i
+
+    def _step(self, end: int, final: bool) -> None:
+        """One fixed-shape forward over mel [end-ctx, end), finalizing frames
+        [frontier, end - delay) — or everything through `end` when final."""
+        win_start = max(0, end - self.ctx)
+        win_start -= win_start % self.sf
+        width = end - win_start
+        window = self._normalized(win_start, end)
+        if width < self.ctx:
+            window = np.pad(window, ((0, 0), (0, self.ctx - width)))
+        log_probs, out_len = self._forward(
+            self.variables,
+            self.jnp.asarray(window[None]),
+            self.jnp.asarray([width], np.int32),
+        )
+        fin_end = end if final else end - self.delay
+        self._emit(self._frontier, fin_end, win_start, log_probs,
+                   int(out_len[0]), tail=final)
+        self._frontier = fin_end
+
+    def _drain(self) -> str:
+        n = self._mel.shape[1]
+        # interior steps: finalize stride-sized blocks with full lookahead
+        while n - self._frontier >= self.stride + self.delay:
+            self._step(self._frontier + self.stride + self.delay, final=False)
+        if self._finished and self._frontier < n:
+            # end of stream: no future context exists, flush the tail
+            self._step(n, final=True)
+        prev = self._text
+        self._text = self.tokenizer.decode(self._ids) if self._ids else ""
+        if self._text.startswith(prev):
+            return self._text[len(prev):]
+        # BPE re-decode can adjust the piece boundary (e.g. whitespace
+        # marker at a chunk edge); fall back to the common-prefix delta
+        k = 0
+        while k < min(len(prev), len(self._text)) and prev[k] == self._text[k]:
+            k += 1
+        return self._text[k:]
+
+    # ---------------- public API ----------------
+    def feed(self, samples: np.ndarray) -> str:
+        """Append raw 16 kHz samples; returns newly finalized text."""
+        assert not self._finished, "stream already finished"
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._samples = np.concatenate([self._samples, samples])
+        self._ingest(end_of_stream=False)
+        return self._drain()
+
+    def finish(self) -> str:
+        """End of stream: compute the reflect-end-padded tail frames and
+        finalize everything remaining (no lookahead left to wait for)."""
+        assert not self._finished, "stream already finished"
+        self._finished = True
+        self._ingest(end_of_stream=True)
+        return self._drain()
+
+    @property
+    def text(self) -> str:
+        return self._text
