@@ -31,11 +31,9 @@ python -m lcasr_tpu.cli.train -config {config_path}
 """
 
 
-DEFAULT_ZOO = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "configs",
-    "model_zoo.yaml",
-)
+from lcasr_tpu.utils.resources import find_repo_file
+
+DEFAULT_ZOO = find_repo_file(os.path.join("configs", "model_zoo.yaml"))
 
 
 def apply_zoo_model(template: Dict[str, Any], model_name: str,
@@ -57,7 +55,11 @@ def apply_zoo_model(template: Dict[str, Any], model_name: str,
         node = template
         parts = path.split(".")
         for p in parts[:-1]:
-            node = node.setdefault(p, {})
+            # an empty YAML section (`scheduler:`) parses to None — treat it
+            # as an empty mapping rather than failing on None.setdefault
+            if not isinstance(node.get(p), dict):
+                node[p] = {}
+            node = node[p]
         node[parts[-1]] = value
     return template
 

@@ -25,11 +25,9 @@ import yaml
 # (SURVEY §6: WERs quoted at 1024 / 16384 / 120000 mel frames)
 CONTEXT_SEQ_LENS = (1024, 16384, 120000)
 
-DEFAULT_ZOO = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "configs",
-    "model_zoo.yaml",
-)
+from lcasr_tpu.utils.resources import find_repo_file
+
+DEFAULT_ZOO = find_repo_file(os.path.join("configs", "model_zoo.yaml"))
 
 
 def load_expected(zoo_path: Optional[str] = None) -> Dict[tuple, float]:
@@ -51,14 +49,20 @@ def compare(
     results_csv: str,
     zoo_path: Optional[str] = None,
     tolerance: float = 0.005,
+    split: str = "test",
 ) -> List[Dict[str, Any]]:
     """Join aggregate rows against the zoo table.  Returns one report row
-    per match: {model, dataset, seq_len, wer, expected, delta, ok}."""
+    per match: {model, dataset, seq_len, wer, expected, delta, ok}.
+
+    Only `split` rows are compared (default "test" — the published table is
+    test-split; a dev aggregate must not be judged against it)."""
     import pandas as pd
 
     expected = load_expected(zoo_path)
     df = pd.read_csv(results_csv)
     agg = df[df["recording"].astype(str) == "__aggregate__"]
+    if "split" in agg.columns:
+        agg = agg[agg["split"].astype(str) == split]
 
     report = []
     for _, row in agg.iterrows():
@@ -88,9 +92,13 @@ def main() -> None:
         "--tolerance", type=float, default=0.005,
         help="absolute WER slack over the published number (default 0.5 pt)",
     )
+    parser.add_argument(
+        "--split", default="test",
+        help="which split's aggregates to judge (published table is test)",
+    )
     args = parser.parse_args()
 
-    report = compare(args.results_csv, args.zoo, args.tolerance)
+    report = compare(args.results_csv, args.zoo, args.tolerance, args.split)
     if not report:
         print("no rows matched the zoo's published table "
               "(model names must be zoo keys, e.g. lcasr_9l_768d_6h)")

@@ -410,8 +410,19 @@ class StreamingDecoder:
             # DP decode shards the W axis over the data mesh axis; pad W to a
             # multiple of the axis size (zero-length windows are inert)
             W = -(-W // self.n_dp) * self.n_dp
+            if self.pipeline_upload:
+                # the striped-upload path runs the non-DP per-group step;
+                # silently losing the mesh would forfeit the promised
+                # near-linear scaling, so DP wins and pipelining is skipped
+                import warnings
 
-        if self.pipeline_upload and len(positions) > W:
+                warnings.warn(
+                    "pipeline_upload is ignored under data-parallel decode "
+                    "(the DP fused path takes precedence)", stacklevel=3,
+                )
+
+        if (self.pipeline_upload and len(positions) > W
+                and self._fused_run_dp is None):
             # striped upload/compute pipelining (see _run_pipelined).
             # OPT-IN: on a direct-attached host the async stripe transfers
             # hide behind compute; on the tunnel-attached dev chip the link

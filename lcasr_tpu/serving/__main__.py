@@ -33,7 +33,8 @@ def main() -> None:
     from lcasr_tpu.serving import OnlineTranscriber
 
     if args.audio.endswith(".npy"):
-        wave = np.load(args.audio).astype(np.float32).reshape(-1)
+        wave = np.load(args.audio).astype(np.float32)
+        wave = grab_left_channel(wave).reshape(-1)  # (C, T) → left channel
     else:
         wave, sr = load_audio(args.audio)
         wave = grab_left_channel(wave).reshape(-1)

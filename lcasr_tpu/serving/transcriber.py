@@ -17,6 +17,11 @@ receptive field per side (attention window + conv stack) fits inside those
 margins, the finalized logits are IDENTICAL to a full-recording forward —
 tested to argmax-exactness in tests/test_serving.py.
 
+Memory is BOUNDED for indefinite streams: consumed raw samples and mel
+frames outside the live decode window are dropped (base-offset ring
+semantics); normalization statistics are carried as running sums and the
+transcript as an append-only string.
+
 Normalization: the reference normalizes each recording with its GLOBAL
 mel mean/std (`audio_tools.py:44-57`) — unavailable online.  Options:
   * norm="running"  — cumulative mel statistics over the stream so far
@@ -82,13 +87,25 @@ class OnlineTranscriber:
         self._fb = mel_filterbank().astype(np.float64)  # (n_freqs, n_mels)
         self._win = _hann_window(WIN_LENGTH, N_FFT).astype(np.float64)
 
+        # base-offset buffers: _samples holds stream positions
+        # [_sample_base, _sample_base + len), _mel holds frames
+        # [_mel_base, _mel_base + width) — prefixes outside the live decode
+        # window are dropped so memory stays bounded on indefinite streams
         self._samples = np.zeros((0,), np.float32)
+        self._sample_base = 0
+        self._n_samples = 0  # total stream samples seen
         self._mel = np.zeros((80, 0), np.float32)  # UNNORMALIZED mel frames
+        self._mel_base = 0
+        self._n_mel = 0  # total mel frames computed
         self._mel_sum = np.zeros((80,), np.float64)
         self._mel_sumsq = np.zeros((80,), np.float64)
-        self._frontier = 0  # first not-yet-finalized frame
+        self._frontier = 0  # first not-yet-finalized frame (global)
         self._prev_id = self.blank_id  # CTC collapse carry across chunks
+        # token ids are tiny (~10k/hour of speech): keeping them all and
+        # re-decoding on change is O(total) per EMITTING drain, which is
+        # negligible; the buffers that must stay bounded are samples/mel
         self._ids: list[int] = []
+        self._dirty = False
         self._text = ""
         self._finished = False
 
@@ -108,47 +125,54 @@ class OnlineTranscriber:
             return 0
         return (n_samples - _PAD) // HOP_LENGTH + 1
 
-    def _compute_frames(self, f0: int, f1: int, total: Optional[int]) -> np.ndarray:
+    def _compute_frames(self, f0: int, f1: int, final: bool) -> np.ndarray:
         """Mel frames [f0, f1), bit-matching data/audio.spectrogram's
-        center=True reflect framing.  `total`: final sample count for
-        end-reflect (finish only); None while streaming (no end pad needed)."""
+        center=True reflect framing.  `final`: reflect at the stream end too
+        (finish only); while streaming only start-reflection can occur."""
         if f1 <= f0:
             return np.zeros((80, 0), np.float32)
-        T = len(self._samples)
+        T = self._n_samples
         k = np.arange(N_FFT)[None, :]
         f = np.arange(f0, f1)[:, None]
-        orig = f * HOP_LENGTH + k - _PAD  # original sample index
+        orig = f * HOP_LENGTH + k - _PAD  # global sample index
         orig = np.where(orig < 0, -orig, orig)  # reflect at start
-        if total is not None:
-            over = orig > total - 1
-            orig = np.where(over, 2 * (total - 1) - orig, orig)
-        assert orig.max() < T and orig.min() >= 0
-        frames = self._samples[orig].astype(np.float64) * self._win
+        if final:
+            # reflect at the end, repeatedly for very short streams (np.pad
+            # "reflect" semantics); T >= 2 is guaranteed by _ingest's guard
+            for _ in range(int(np.ceil(_PAD / max(T - 1, 1)))):
+                orig = np.where(orig > T - 1, 2 * (T - 1) - orig, orig)
+                orig = np.where(orig < 0, -orig, orig)
+        local = orig - self._sample_base
+        assert local.min() >= 0 and local.max() < len(self._samples)
+        frames = self._samples[local].astype(np.float64) * self._win
         spec = np.fft.rfft(frames, n=N_FFT, axis=-1)
         power = np.abs(spec) ** 2  # (nf, n_freqs)
         mel = power @ self._fb  # (nf, n_mels)
         return mel.T.astype(np.float32)  # (80, nf)
 
     def _ingest(self, end_of_stream: bool) -> None:
-        T = len(self._samples)
-        done = self._mel.shape[1]
+        T = self._n_samples
+        done = self._n_mel
         if end_of_stream:
-            avail = T // HOP_LENGTH + 1 if T > 0 else 0  # offline frame count
+            if T < 2:
+                return  # sub-millisecond stream: nothing to transcribe
+            avail = T // HOP_LENGTH + 1  # offline frame count
         else:
             avail = self._frames_available(T)
         if avail <= done:
             return
-        new = self._compute_frames(done, avail, T if end_of_stream else None)
+        new = self._compute_frames(done, avail, final=end_of_stream)
         self._mel = np.concatenate([self._mel, new], axis=1)
+        self._n_mel = avail
         self._mel_sum += new.astype(np.float64).sum(-1)
         self._mel_sumsq += (new.astype(np.float64) ** 2).sum(-1)
 
     def _normalized(self, lo: int, hi: int) -> np.ndarray:
-        seg = self._mel[:, lo:hi]
+        seg = self._mel[:, lo - self._mel_base : hi - self._mel_base]
         if self.norm == "none":
             return seg
         if self.norm == "running":
-            n = self._mel.shape[1]
+            n = self._n_mel
             mean = self._mel_sum / max(n, 1)
             # unbiased variance, matching the offline ddof=1 normalizer
             var = (self._mel_sumsq - n * mean**2) / max(n - 1, 1)
@@ -158,6 +182,18 @@ class OnlineTranscriber:
             mean = np.asarray(mean).reshape(80)
             std = np.asarray(std).reshape(80)
         return ((seg - mean[:, None]) / std[:, None]).astype(np.float32)
+
+    def _trim(self) -> None:
+        """Drop consumed prefixes: samples already framed (keep the lookback
+        the NEXT frame needs) and mel frames behind any future window."""
+        keep_sample = max(0, self._n_mel * HOP_LENGTH - _PAD)
+        if keep_sample > self._sample_base:
+            self._samples = self._samples[keep_sample - self._sample_base:]
+            self._sample_base = keep_sample
+        keep_mel = max(0, self._frontier - self.ctx)
+        if keep_mel > self._mel_base:
+            self._mel = self._mel[:, keep_mel - self._mel_base:]
+            self._mel_base = keep_mel
 
     # ---------------- decode steps ----------------
     def _emit(self, g0: int, g1: int, win_start: int, log_probs, out_len: int,
@@ -174,13 +210,16 @@ class OnlineTranscriber:
         for i in ids.tolist():
             if i != self.blank_id and i != self._prev_id:
                 self._ids.append(int(i))
+                self._dirty = True
             self._prev_id = i
 
     def _step(self, end: int, final: bool) -> None:
         """One fixed-shape forward over mel [end-ctx, end), finalizing frames
         [frontier, end - delay) — or everything through `end` when final."""
         win_start = max(0, end - self.ctx)
-        win_start -= win_start % self.sf
+        # align UP so win_start stays a multiple of sf (row mapping) AND
+        # width <= ctx (the single compiled shape is preserved)
+        win_start += (-win_start) % self.sf
         width = end - win_start
         window = self._normalized(win_start, end)
         if width < self.ctx:
@@ -196,19 +235,23 @@ class OnlineTranscriber:
         self._frontier = fin_end
 
     def _drain(self) -> str:
-        n = self._mel.shape[1]
+        n = self._n_mel
         # interior steps: finalize stride-sized blocks with full lookahead
         while n - self._frontier >= self.stride + self.delay:
             self._step(self._frontier + self.stride + self.delay, final=False)
         if self._finished and self._frontier < n:
             # end of stream: no future context exists, flush the tail
             self._step(n, final=True)
+        self._trim()
+        if not self._dirty:
+            return ""
+        self._dirty = False
         prev = self._text
-        self._text = self.tokenizer.decode(self._ids) if self._ids else ""
+        self._text = self.tokenizer.decode(self._ids)
         if self._text.startswith(prev):
             return self._text[len(prev):]
-        # BPE re-decode can adjust the piece boundary (e.g. whitespace
-        # marker at a chunk edge); fall back to the common-prefix delta
+        # BPE re-decode can adjust the boundary (e.g. outer-whitespace
+        # stripping); fall back to the common-prefix delta
         k = 0
         while k < min(len(prev), len(self._text)) and prev[k] == self._text[k]:
             k += 1
@@ -220,6 +263,7 @@ class OnlineTranscriber:
         assert not self._finished, "stream already finished"
         samples = np.asarray(samples, np.float32).reshape(-1)
         self._samples = np.concatenate([self._samples, samples])
+        self._n_samples += len(samples)
         self._ingest(end_of_stream=False)
         return self._drain()
 

@@ -181,3 +181,25 @@ def test_compare_results_against_published_table(tmp_path):
     assert by_ds["tedlium"]["ok"] is True
     assert by_ds["earnings22"]["ok"] is False
     assert abs(by_ds["earnings22"]["expected"] - 0.231) < 1e-9
+
+
+def test_compare_ignores_non_test_splits(tmp_path):
+    """A dev aggregate must not be judged against the published test-split
+    table."""
+    import pandas as pd
+
+    from lcasr_tpu.evaluation.compare import compare
+
+    base = {"dataset": "tedlium", "recording": "__aggregate__",
+            "model": "lcasr_9l_768d_6h", "seq_len": 120000,
+            "overlap_ratio": 0.875, "words": 1000}
+    rows = [
+        {**base, "split": "dev", "wer": 0.50},   # terrible, but dev: ignored
+        {**base, "split": "test", "wer": 0.058},
+    ]
+    csv = str(tmp_path / "results.csv")
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    report = compare(csv)
+    assert len(report) == 1 and report[0]["ok"] is True
+    dev = compare(csv, split="dev")
+    assert len(dev) == 1 and dev[0]["ok"] is False

@@ -106,3 +106,15 @@ def test_zoo_unknown_model_raises(tmp_path):
 
     with pytest.raises(ValueError, match="unknown zoo model"):
         apply_zoo_model({}, "lcasr_999l")
+
+
+def test_zoo_overlay_onto_empty_yaml_section(tmp_path):
+    """An empty YAML section (`scheduler:` → None) must accept dot-path
+    overrides instead of crashing on None.setdefault."""
+    from lcasr_tpu.cli.launcher import apply_zoo_model
+
+    template = yaml.safe_load("model:\n  d_model: 768\nscheduler:\n")
+    assert template["scheduler"] is None
+    out = apply_zoo_model(template, "lcasr_6l_256d_8h_5k_warmup")
+    assert out["scheduler"]["warmup_steps"] == 5000
+    assert out["model"]["d_model"] == 256

@@ -81,8 +81,11 @@ def test_streamed_transcript_matches_full_forward(model_and_vars):
                            norm="none")
     pieces = _feed_in_chunks(tr, wave, 3)
 
-    # offline: same (unnormalized) mel through one full forward
-    mel = tr._mel  # incremental-mel parity is covered by the test above
+    # offline: the offline frontend's (unnormalized) mel through one full
+    # forward (incremental-mel parity is covered by the test above; tr._mel
+    # is trimmed to the live window, so it cannot be used here)
+    mel = np.asarray(mel_spectrogram(jnp.asarray(wave),
+                                     global_normalisation=False))[0]
     out = model.apply(variables, jnp.asarray(mel[None]),
                       length=jnp.asarray([mel.shape[1]], np.int32))
     lp = np.asarray(out["final_posteriors"])[0, : int(out["length"][0])]
@@ -110,11 +113,13 @@ def test_running_normalization_converges(model_and_vars):
                            stride_frames=128, right_delay_frames=128,
                            norm="running")
     _feed_in_chunks(tr, wave, 5)
-    n = tr._mel.shape[1]
+    n = tr._n_mel
     mean = tr._mel_sum / n
     var = (tr._mel_sumsq - n * mean**2) / (n - 1)
     offline = np.asarray(mel_spectrogram(jnp.asarray(wave)))[0]
-    online_full = (tr._mel - mean[:, None]) / (np.sqrt(var)[:, None] + tr.eps)
+    unnorm = np.asarray(mel_spectrogram(jnp.asarray(wave),
+                                        global_normalisation=False))[0]
+    online_full = (unnorm - mean[:, None]) / (np.sqrt(var)[:, None] + tr.eps)
     # final running stats == offline global stats (same formula, whole stream)
     np.testing.assert_allclose(online_full, offline, rtol=1e-3, atol=1e-3)
     assert isinstance(tr.text, str)
@@ -133,3 +138,59 @@ def test_streaming_with_real_tokenizer(model_and_vars):
                            norm="running")
     pieces = _feed_in_chunks(tr, _random_wave(5.0, 6), 7)
     assert "".join(pieces) == tr.text
+
+
+def test_finish_on_tiny_stream_does_not_crash(model_and_vars):
+    """Streams shorter than the STFT padding must not crash finish() (the
+    end-reflection used to produce negative sample indices); a 6 ms stream
+    still yields one mel frame, so SOME output is legitimate."""
+    model, variables = model_and_vars
+    tr = OnlineTranscriber(model, variables, _IdTokenizer(), context_frames=512,
+                           stride_frames=128, right_delay_frames=128)
+    assert tr.feed(np.zeros(100, np.float32)) == ""
+    out = tr.finish()
+    assert isinstance(out, str) and out == tr.text
+
+    # sub-2-sample stream: nothing to transcribe at all
+    tr2 = OnlineTranscriber(model, variables, _IdTokenizer(), context_frames=512,
+                            stride_frames=128, right_delay_frames=128)
+    tr2.feed(np.zeros(1, np.float32))
+    assert tr2.finish() == ""
+    assert tr2.text == ""
+
+
+def test_single_compiled_shape_for_whole_stream(model_and_vars):
+    """The forward must see ONE (1, 80, ctx) shape for the entire stream —
+    including the final flush when total frames exceed ctx and are not a
+    multiple of the subsampling factor (801 frames here)."""
+    model, variables = model_and_vars
+    tr = OnlineTranscriber(model, variables, _IdTokenizer(), context_frames=512,
+                           stride_frames=128, right_delay_frames=128,
+                           norm="none")
+    shapes = set()
+    inner = tr._forward
+
+    def spy(variables, window, length):
+        shapes.add(tuple(window.shape))
+        return inner(variables, window, length)
+
+    tr._forward = spy
+    _feed_in_chunks(tr, _random_wave(8.0, 2), 3)
+    assert shapes == {(1, 80, 512)}
+
+
+def test_buffers_stay_bounded(model_and_vars):
+    """Consumed samples/mel are dropped: memory must not grow with stream
+    length (only the live decode window + lookback is retained)."""
+    model, variables = model_and_vars
+    tr = OnlineTranscriber(model, variables, _IdTokenizer(), context_frames=512,
+                           stride_frames=128, right_delay_frames=128,
+                           norm="none")
+    wave = _random_wave(20.0, 10)  # 2001 frames >> ctx
+    for pos in range(0, len(wave), 8000):
+        tr.feed(wave[pos : pos + 8000])
+        # mel kept: at most ctx behind the frontier + un-finalized backlog
+        assert tr._mel.shape[1] <= 512 + 128 + 128 + 16
+        # samples kept: one frame's lookback + one feed chunk + STFT pad
+        assert len(tr._samples) <= 8000 + 2 * 256 + 160
+    tr.finish()
