@@ -37,3 +37,31 @@ def test_roundtrip_save_load(tmp_path):
     cfg.save(p)
     cfg2 = Config.load(p)
     assert cfg2.to_dict() == cfg.to_dict()
+
+
+def test_shipped_configs_parse_and_build_models():
+    """Every YAML under configs/ (except templates/zoo/paths) parses into
+    Config, resolves a model class, and constructs the model; parallel.mesh
+    products stay within a v5e-8."""
+    import glob
+    import os
+
+    from lcasr_tpu.models.registry import get_model_class, load_model
+    from lcasr_tpu.utils.resources import find_repo_file
+
+    cfg_dir = os.path.dirname(find_repo_file(os.path.join("configs", "model_zoo.yaml")))
+    skip = {"model_zoo.yaml", "paths_template.yaml", "eval_sweep_example.yaml",
+            "paper_template_seq_rotary.yaml"}
+    checked = 0
+    for path in sorted(glob.glob(os.path.join(cfg_dir, "*.yaml"))):
+        if os.path.basename(path) in skip:
+            continue
+        cfg = Config.load(path)
+        model = load_model(cfg, 4095, get_model_class(cfg))
+        assert model.d_model == cfg.model.d_model
+        mesh = cfg.select("parallel.mesh")
+        if mesh:
+            n = (mesh.get("data", 1) * mesh.get("model", 1) * mesh.get("seq", 1))
+            assert n <= 8, (path, n)
+        checked += 1
+    assert checked >= 3  # flagship, smoke, cp_1hour, 315M-TP
