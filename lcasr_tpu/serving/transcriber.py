@@ -261,10 +261,31 @@ class OnlineTranscriber:
     def feed(self, samples: np.ndarray) -> str:
         """Append raw 16 kHz samples; returns newly finalized text."""
         assert not self._finished, "stream already finished"
+        assert self._n_mel == 0 or self._n_samples > 0, (
+            "stream already fed via feed_frames(); don't mix inputs"
+        )
         samples = np.asarray(samples, np.float32).reshape(-1)
         self._samples = np.concatenate([self._samples, samples])
         self._n_samples += len(samples)
         self._ingest(end_of_stream=False)
+        return self._drain()
+
+    def feed_frames(self, mel: np.ndarray) -> str:
+        """Append precomputed (80, T) mel frames — for pipelines whose
+        frontend already ran (e.g. `.spec` files, an upstream VAD stage).
+        Mutually exclusive with feed(); frames are used as-is apart from the
+        configured normalization."""
+        assert not self._finished, "stream already finished"
+        assert self._n_samples == 0, (
+            "stream already fed raw samples; don't mix inputs"
+        )
+        mel = np.asarray(mel, np.float32)
+        if mel.ndim == 3:
+            mel = mel[0]
+        self._mel = np.concatenate([self._mel, mel], axis=1)
+        self._n_mel += mel.shape[1]
+        self._mel_sum += mel.astype(np.float64).sum(-1)
+        self._mel_sumsq += (mel.astype(np.float64) ** 2).sum(-1)
         return self._drain()
 
     def finish(self) -> str:
@@ -272,7 +293,8 @@ class OnlineTranscriber:
         finalize everything remaining (no lookahead left to wait for)."""
         assert not self._finished, "stream already finished"
         self._finished = True
-        self._ingest(end_of_stream=True)
+        if self._n_samples > 0:  # raw-sample mode; frame mode has no tail
+            self._ingest(end_of_stream=True)
         return self._drain()
 
     @property

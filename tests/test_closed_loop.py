@@ -156,3 +156,35 @@ def test_train_checkpoint_eval_wer_closed_loop(synth_corpus, tmp_path):
         assert summary_dp["wer"] == summary["wer"], (
             summary_dp["wer"], summary["wer"],
         )
+
+    # serving certification: the ONLINE transcriber (incremental frame feed,
+    # sliding fixed-shape window, lookahead finalization) reaches the same
+    # WER 0 on the trained model — streamed in small chunks
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.evaluation.run import load_any_checkpoint
+    from lcasr_tpu.evaluation.wer import word_error_rate_detail
+    from lcasr_tpu.models.registry import get_model_class, load_model
+    from lcasr_tpu.serving import OnlineTranscriber
+
+    cfg_ck, variables = load_any_checkpoint(ckpt)
+    tokenizer = load_tokenizer()
+    model = load_model(
+        Config({"model": cfg_ck.get("model", Config({})).to_dict()}),
+        tokenizer.vocab_size(), get_model_class(cfg_ck),
+    )
+    hyps, refs = [], []
+    for rec_id, pair in json.load(open(pairs_path)).items():
+        spec = np.load(pair["audio"])[0]  # (80, T), the model's input as-is
+        gold = json.load(open(pair["txt"]))
+        words = [w["word"] for w in gold["results"][0]["alternatives"][0]["words"]]
+        tr = OnlineTranscriber(model, variables, tokenizer, context_frames=256,
+                               stride_frames=64, right_delay_frames=64,
+                               norm="none")
+        for t0 in range(0, spec.shape[1], 100):
+            tr.feed_frames(spec[:, t0 : t0 + 100])
+        tr.finish()
+        hyps.append(tr.text)
+        refs.append(" ".join(words))
+    wer_stream, _, _, _, _ = word_error_rate_detail(hyps, refs)
+    assert wer_stream <= 0.05, (wer_stream, hyps[0], refs[0])
