@@ -85,6 +85,20 @@ def main(args=None):
         print(f"random seed: {random_seed}")
     random.seed(random_seed)
 
+    # presegmented-utterance training (reference exp/train_files/train_sa.py
+    # / train_mamba.py): data.utterances_dir points at save_utterances output
+    utt_dir = config.get("data", Config({})).get("utterances_dir", None)
+    if utt_dir:
+        from lcasr_tpu.data.utterances import UtteranceDataloader
+
+        dataloader = UtteranceDataloader(
+            utt_dir, batch_size=trainer.batch_size, random_seed=random_seed
+        )
+        trainer.train_utterances(
+            state, dataloader, epochs=trainer.max_epochs
+        )
+        return
+
     paired_data = load_json(config["data"]["path"])
     dataloader = VariableBatchSimpleDataloader(
         pairs=paired_data,

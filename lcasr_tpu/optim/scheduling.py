@@ -38,7 +38,14 @@ class CosineLRScheduler:
         return self.is_warmup and self.last_epoch < self.warmup_steps
 
     def set_cosine_schedule(self, total_recordings: int, cur_podcast: int) -> None:
-        """Switch from warmup to cosine, re-based on recordings seen."""
+        """Switch from warmup to cosine, re-based on recordings seen.
+
+        NOTE (reference-parity quirk, scheduling.py:18-29 upstream): until
+        the first post-handoff `step(epoch=cur_podcast)` fires (end of the
+        current podcast batch), get_last_lr() evaluates at last_epoch=0 with
+        offset=-cur_podcast, i.e. cos(cur_podcast/steps·π) — which is far
+        below peak when warmup ends deep into the schedule.  The reference
+        computes exactly the same value, so this is kept bit-faithful."""
         self.last_epoch = 0
         self.is_warmup = False
         self.steps = total_recordings - cur_podcast + 1

@@ -91,7 +91,13 @@ def make_chunks(
     for ix, chunk in enumerate(audio_chunks):
         active = culm <= audio_lengths  # sample still has frames left
         u_len = chunk.shape[-1]
-        cur_lengths = np.clip(audio_lengths - culm, 0, u_len) * active
+        # reference length formula (exp/train.py:185): the -chunk_overlap
+        # term compensates culm's per-chunk overshoot when overlap > 0
+        # (identical to audio_lengths - culm at overlap 0)
+        cur_lengths = u_len - np.clip(
+            culm + u_len - audio_lengths - chunk_overlap, 0, None
+        )
+        cur_lengths = np.clip(cur_lengths, 0, u_len) * active
 
         enc = [
             tokenizer.encode(txt_chunks[b][ix]) if active[b] else []
@@ -110,7 +116,12 @@ def make_chunks(
         if u_len < chunk_size:
             padded = np.pad(chunk, ((0, 0), (0, 0), (0, chunk_size - u_len)))
 
-        weight = (active & (cur_lengths > 0) & (t_lens > 0)).astype(np.float32)
+        # NOTE: live rows with EMPTY transcripts keep weight 1 — the
+        # reference's CTCLoss accepts zero-length targets, training the
+        # model to emit blanks on silent/untranscribed spans (only an
+        # all-empty chunk is skipped, above); ops/ctc.py handles
+        # label_length == 0 the same way
+        weight = (active & (cur_lengths > 0)).astype(np.float32)
         out.append(
             {
                 "audio": padded.astype(np.float32),
@@ -231,6 +242,19 @@ class Trainer:
         if "spec_augment" in config:
             self.augmentation = SpecAugment(**config["spec_augment"].to_dict())
         self.start_augment_after_n_epochs = tr.get("start_spec_augment_after_n_epochs", -1)
+        if self.augmentation is not None and self.start_augment_after_n_epochs == -1:
+            # reference-parity gate (exp/train.py:64-68): -1 disables the
+            # augment even when a spec_augment block exists — warn, because
+            # a config author who wrote the block almost certainly wants
+            # training.start_spec_augment_after_n_epochs set (e.g. 0)
+            import warnings
+
+            warnings.warn(
+                "spec_augment is configured but "
+                "training.start_spec_augment_after_n_epochs is unset/-1 — "
+                "augmentation will NEVER be applied",
+                stacklevel=2,
+            )
 
         self.rotary_interp_bump = bool(
             config.get("model", Config({})).get("use_rotary", False)
@@ -246,15 +270,21 @@ class Trainer:
             wandb_config=config.get("wandb", Config({})).to_dict() if "wandb" in config else None,
         )
 
-        self._step_fns: Dict[Tuple, Any] = {}
-        self._apply_fn = None
         self.debug_hooks = False  # per-parameter grad stats (reference -debug_hooks)
 
     # -- state ----------------------------------------------------------------
     def init_state(self, rng_key=None):
         key = rng_key if rng_key is not None else jax.random.PRNGKey(12345)
         dummy = jnp.zeros((1, 80, 256), jnp.float32)
-        variables = self.model.init(key, dummy, length=jnp.array([256]))
+        if self.loss_mode == "enc_dec":
+            # flax init is lazy: without a text_sequence the AED decoder
+            # branch never runs and its params are never created, crashing
+            # the first enc_dec micro step with ScopeParamNotFoundError
+            variables = self.model.init(
+                key, dummy, jnp.zeros((1, 4), jnp.int32), length=jnp.array([256])
+            )
+        else:
+            variables = self.model.init(key, dummy, length=jnp.array([256]))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self.optimizer = build_optimizer(
@@ -408,6 +438,11 @@ class Trainer:
                             reduction="none",
                             segment_size=ctc_seg,
                         )
+                        # impossible alignments return the ~1e30 lattice
+                        # sentinel (finite, so the NaN skip never fires);
+                        # their grads are already exact-zero, so excluding
+                        # them here only keeps the loss metric honest
+                        nll = jnp.where(nll < 1e29, nll, 0.0)
                         loss = loss + ctc_w * (nll * batch["weight"]).sum()
                     # CE on shifted targets with eos=0 at final position
                     B, U1 = text_bos.shape
@@ -437,6 +472,9 @@ class Trainer:
                     reduction="none",
                     segment_size=ctc_seg,
                 )
+                # see enc_dec branch: exclude the impossible-alignment
+                # sentinel (~1e30, grads already zero) from the loss metric
+                nll = jnp.where(nll < 1e29, nll, 0.0)
                 loss = (nll * batch["weight"]).sum()
                 # blank probability metric (reference exp/train.py:35-43) —
                 # over LIVE frames only: the static batch carries weight-0
@@ -525,7 +563,8 @@ class Trainer:
         cur_podcast, last_save = step, step
         total_recordings = dataloader.total_recordings() * self.max_epochs
         nans_in_a_row = 0
-        finished = False
+        # resuming an already-completed run must not train an extra epoch
+        finished = epoch >= self.max_epochs
         data_iter = iter(dataloader)
         rng = random.Random(cfg.get("training", Config({})).get("random_seed", 12345))
 
@@ -546,6 +585,11 @@ class Trainer:
                 data_iter = iter(dataloader)
                 continue
 
+            # reference parity (exp/train.py:152): the batch is marked seen
+            # BEFORE training it, so a crash mid-batch skips it on resume —
+            # deliberate upstream ("avoid dodgy batch that caused the
+            # crash", run_restarter.py:69); worst case one batch of data
+            # per crash
             seen_ids.extend(ids)
             cur_batch_size = audio.shape[0]
             cur_podcast += cur_batch_size
@@ -674,8 +718,21 @@ class Trainer:
         zero_fn = self._zero_grads_fn(state["params"])
         zero_grads = lambda: zero_fn(state["params"])
         step = 0
+        seen = 0
+        if hasattr(dataloader, "total_recordings"):
+            total = dataloader.total_recordings() * epochs
+        else:  # plain list of batches (tests / ad-hoc loops)
+            total = max(1, len(dataloader)) * epochs
         for epoch in range(epochs):
             for batch_np in dataloader:
+                # warmup → cosine handoff, as in the podcast loop (the
+                # reference's utterance trainer does the same,
+                # train_sa.py:210-214 — without it the LR stays pinned at
+                # peak forever)
+                if self.scheduler.is_warmup and not self.scheduler.is_warming_up():
+                    self.scheduler.set_cosine_schedule(
+                        total_recordings=total, cur_podcast=seen
+                    )
                 a_bucket = _bucket(batch_np["audio"].shape[-1], 256)
                 audio = np.zeros(
                     (batch_np["audio"].shape[0], 80, a_bucket), np.float32
@@ -696,10 +753,17 @@ class Trainer:
                 loss, grads, new_stats, blank_p = micro_step(
                     state["params"], state["batch_stats"], batch, sub, grads
                 )
+                seen += audio.shape[0]
                 if not np.isfinite(float(loss)):
                     continue
                 state["batch_stats"] = new_stats
-                lr = self.scheduler.step()
+                # warmup: one scheduler tick per optimizer step; cosine:
+                # re-based on utterances seen (reference train_sa.py:60-61,
+                # 321-322 semantics)
+                if self.scheduler.is_warmup:
+                    lr = self.scheduler.step()
+                else:
+                    lr = self.scheduler.step(epoch=seen)
                 state["opt_state"] = set_learning_rate(state["opt_state"], lr)
                 weight = 1.0 / max(int(batch_np["audio_lengths"].sum()), 1) * 100
                 state["params"], state["opt_state"] = apply_updates(

@@ -540,3 +540,165 @@ def test_trainer_zero_optimizer_matches_single_device(corpus, tmp_path):
     fz = np.concatenate([np.asarray(x).ravel()
                          for x in jax.tree.leaves(statez["params"])])
     np.testing.assert_allclose(f1, fz, rtol=5e-3, atol=5e-5)
+
+
+def test_trainer_enc_dec_loss_mode_trains(corpus, tmp_path):
+    """loss_mode='enc_dec' end to end through the production Trainer: the AED
+    decoder params must be created at init (flax init is lazy — without a
+    dummy text_sequence the first micro step crashed with
+    ScopeParamNotFoundError)."""
+    import jax
+
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.data.dataloading import VariableBatchSimpleDataloader, load_json
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.models.registry import load_model
+    from lcasr_tpu.training.trainer import Trainer
+
+    pairs_path, _ = corpus
+    cfg = Config({
+        "model_class": "EncDecSconformer",
+        "model": {"d_model": 64, "n_layers": 1, "n_heads": 2, "head_dim": 32,
+                  "decoder_layers": 1, "subsampling_conv_channels": 32,
+                  "use_pallas": False},
+        "audio_chunking": {"size": 256, "overlap": 0},
+        "training": {"batch_size": 2, "backprop_every": 1, "max_epochs": 1,
+                     "clip_value": 0.8, "random_seed": 5,
+                     "loss_mode": "enc_dec", "ctc_loss_weight": 0.3},
+        "optimizer": {"name": "madgrad", "args": {"lr": 1e-4}},
+        "scheduler": {"warmup_steps": 2, "final_value": 1e-6},
+        "checkpointing": {"dir": str(tmp_path), "save_every_n_steps": 10**6},
+    })
+    tokenizer = load_tokenizer()
+    model = load_model(cfg, tokenizer.vocab_size())
+    trainer = Trainer(cfg, model, tokenizer)
+    state = trainer.init_state(jax.random.PRNGKey(3))
+    assert "language_model_decoder" in state["params"] or any(
+        "decoder" in k for k in state["params"]
+    ), list(state["params"])
+    dataloader = VariableBatchSimpleDataloader(
+        pairs=load_json(pairs_path), tokenizer=tokenizer,
+        batch_size=2, chunk_size=256, chunk_overlap=0, random_seed=5,
+    )
+    trainer.train(state, dataloader)
+    lines = [json.loads(l) for l in open(os.path.join(str(tmp_path), "metrics.jsonl"))]
+    losses = [l["loss"] for l in lines if "loss" in l]
+    assert losses and all(np.isfinite(losses))
+
+
+def test_make_chunks_zero_transcript_rows_keep_weight():
+    """A live row whose window has no transcript words still trains (blank
+    supervision, reference exp/train.py:187-192 keeps such rows); only a
+    chunk empty for EVERY row is skipped."""
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.training.trainer import make_chunks
+
+    tokenizer = load_tokenizer()
+    rng = np.random.default_rng(0)
+    audio = rng.normal(size=(2, 80, 512)).astype(np.float32)
+    lengths = np.array([512, 512])
+    # sample 0: words only in the FIRST 256 frames; sample 1: words throughout
+    words0 = [{"word": "hello", "startTime": "0.20s", "endTime": "0.50s"}]
+    words1 = [{"word": "world", "startTime": f"{t:.2f}s",
+               "endTime": f"{t + 0.3:.2f}s"} for t in (0.2, 3.0)]
+    chunks = make_chunks(audio, lengths, [words0, words1], tokenizer,
+                         chunk_size=256, chunk_overlap=0, pad_id=0)
+    assert len(chunks) == 2
+    second = chunks[1]
+    assert second["label_lengths"][0] == 0      # no words in this window
+    assert second["weight"][0] == 1.0           # ...but still trained (blanks)
+    assert second["label_lengths"][1] > 0
+
+
+def test_resume_completed_run_trains_nothing(corpus, tmp_path):
+    """Resuming with epoch == max_epochs must not train an extra epoch."""
+    import jax
+
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.data.dataloading import VariableBatchSimpleDataloader, load_json
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.models.registry import load_model
+    from lcasr_tpu.training.trainer import Trainer
+
+    pairs_path, _ = corpus
+    cfg = Config({
+        "model_class": "SCConformerXL",
+        "model": {"d_model": 64, "n_layers": 1, "n_heads": 2, "head_dim": 32,
+                  "subsampling_conv_channels": 32, "use_pallas": False},
+        "audio_chunking": {"size": 256, "overlap": 0},
+        "training": {"batch_size": 2, "backprop_every": 1, "max_epochs": 1,
+                     "clip_value": 0.8, "random_seed": 6},
+        "optimizer": {"name": "madgrad", "args": {"lr": 1e-4}},
+        "scheduler": {"warmup_steps": 2, "final_value": 1e-6},
+        "checkpointing": {"dir": str(tmp_path), "save_every_n_steps": 10**6},
+    })
+    tokenizer = load_tokenizer()
+    model = load_model(cfg, tokenizer.vocab_size())
+    trainer = Trainer(cfg, model, tokenizer)
+    state = trainer.init_state(jax.random.PRNGKey(4))
+    dataloader = VariableBatchSimpleDataloader(
+        pairs=load_json(pairs_path), tokenizer=tokenizer,
+        batch_size=2, chunk_size=256, chunk_overlap=0, random_seed=6,
+    )
+    trainer.train(state, dataloader, epoch=1)  # already-completed run
+    lines = [json.loads(l) for l in open(os.path.join(str(tmp_path), "metrics.jsonl"))]
+    assert not any("loss" in l for l in lines)
+
+
+def test_trainer_utterance_mode_cosine_handoff(tmp_path):
+    """Trainer.train_utterances hands the scheduler off from warmup to
+    cosine decay (reference train_sa.py:210-214) — before, the LR stayed
+    pinned at peak forever — and is launchable from cli/train.py via
+    data.utterances_dir."""
+    import jax
+
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.data.utterances import UtteranceDataloader, save_utterances
+    from lcasr_tpu.models.registry import load_model
+    from lcasr_tpu.training.trainer import Trainer
+
+    tokenizer = load_tokenizer()
+    rng = np.random.default_rng(0)
+    pairs = {}
+    for i in range(2):
+        T = 900
+        np.save(tmp_path / f"rec{i}.spec.npy",
+                rng.normal(size=(1, 80, T)).astype(np.float32))
+        words, t = [], 0.5
+        for j in range(20):
+            words.append({"word": f"word{j}", "startTime": f"{t:.2f}s",
+                          "endTime": f"{t + 0.3:.2f}s"})
+            t += 0.4 if (j + 1) % 10 else 2.5
+        with open(tmp_path / f"rec{i}.json", "w") as f:
+            json.dump({"results": [{"alternatives": [{"words": words}]}]}, f)
+        pairs[f"rec{i}"] = {"audio": str(tmp_path / f"rec{i}.spec.npy"),
+                            "txt": str(tmp_path / f"rec{i}.json"),
+                            "duration": T / 100}
+    out_dir = tmp_path / "utts"
+    save_utterances(pairs, str(out_dir), tokenizer, max_gap_seconds=1.0)
+
+    cfg = Config({
+        "model_class": "SCConformerXL",
+        "model": {"d_model": 64, "n_layers": 1, "n_heads": 2, "head_dim": 32,
+                  "subsampling_conv_channels": 32, "use_pallas": False},
+        "audio_chunking": {"size": 256, "overlap": 0},
+        "training": {"batch_size": 2, "max_epochs": 1, "clip_value": 0.8},
+        "optimizer": {"name": "madgrad", "args": {"lr": 1e-3}},
+        # warmup ends after 1 step → the handoff must fire mid-run
+        "scheduler": {"warmup_steps": 1, "final_value": 1e-6},
+        "checkpointing": {"dir": str(tmp_path / "ckpt"),
+                          "save_every_n_steps": 10**6},
+    })
+    model = load_model(cfg, tokenizer.vocab_size())
+    trainer = Trainer(cfg, model, tokenizer)
+    state = trainer.init_state(jax.random.PRNGKey(8))
+    dl = UtteranceDataloader(str(out_dir), batch_size=2)
+    trainer.train_utterances(state, dl, epochs=1)
+
+    assert trainer.scheduler.is_warmup is False  # handoff happened
+    lines = [json.loads(l) for l in
+             open(os.path.join(str(tmp_path / "ckpt"), "metrics.jsonl"))]
+    lrs = [l["learning_rate"] for l in lines if "learning_rate" in l]
+    # post-handoff LRs decay along the cosine instead of pinning at peak
+    assert len(lrs) >= 2 and lrs[-1] < 1e-3
