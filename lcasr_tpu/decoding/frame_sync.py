@@ -27,13 +27,14 @@ The LM is anything implementing the BatchedCachedLM protocol below;
 """
 from __future__ import annotations
 
+import heapq
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-LOG0 = -1e30
+DEFAULT_BEAM_WIDTH = 25
 
 
 def _sum_log_scores(s1: float, s2: float) -> float:
@@ -74,14 +75,18 @@ class HistoryLM:
         feed_rows = [j for j in range(len(tokens)) if update_mask[j]]
         for j in feed_rows:
             state[j].append(int(tokens[j]))
-            if self.max_cache_length > 0:
-                state[j] = state[j][-self.max_cache_length:]
         lps = np.full((len(tokens), 1), 0.0)
         if feed_rows:
             out = np.asarray(self.fn([state[j] for j in feed_rows]))
             lps = np.zeros((len(tokens), out.shape[-1]), out.dtype)
             for i, j in enumerate(feed_rows):
                 lps[j] = out[i]
+        # reference trim_cache (:177-184) trims AFTER the LM call — the LM
+        # must see the full pre-trim context for this step (trimming before
+        # scoring was measured to diverge beam-for-beam from the reference)
+        if self.max_cache_length > 0:
+            for j in feed_rows:
+                state[j] = state[j][-self.max_cache_length:]
         return state, lps
 
 
@@ -99,6 +104,12 @@ class CachedTransformerLM:
         self.jnp = jnp
         self.bos_id = bos_id
         self.width = width
+        self.max_len = max_len
+        # host-side shadow of the device cache_lengths (exact mirror of the
+        # gather/increment logic) so overflow is caught WITHOUT a per-step
+        # device sync: past max_len the KV write mask is all-False and
+        # scores would silently corrupt
+        self._host_lengths = np.zeros((width,), np.int64)
         L, H, D = model.n_layers, model.n_heads, model.head_dim
         self.cache_shape = (L, 2, width, H, max_len + 1, D)
         variables = jax.device_put(variables)
@@ -129,16 +140,28 @@ class CachedTransformerLM:
             jnp.arange(width), jnp.full((width,), self.bos_id, jnp.int32),
             jnp.ones((width,), bool),
         )
+        self._host_lengths = np.ones((width,), np.int64)
         return (cache, lengths), np.asarray(lps[0])
 
     def step(self, state, parent_idx, tokens, update_mask):
         jnp = self.jnp
         cache, lengths = state
+        parent_idx = np.asarray(parent_idx, np.int32)
+        update_mask = np.asarray(update_mask, bool)
+        hl = self._host_lengths[parent_idx] + update_mask
+        if hl.max(initial=0) > self.max_len + 1:
+            raise RuntimeError(
+                f"LM KV cache overflow: a beam reached "
+                f"{int(hl.max())} tokens > max_len={self.max_len} — size the "
+                f"cache for the worst-case emission count (one per candidate "
+                f"frame), not a heuristic"
+            )
+        self._host_lengths = hl
         cache, lengths, lps = self._step(
             cache, lengths,
-            jnp.asarray(np.asarray(parent_idx, np.int32)),
+            jnp.asarray(parent_idx),
             jnp.asarray(np.asarray(tokens, np.int32)),
-            jnp.asarray(np.asarray(update_mask, bool)),
+            jnp.asarray(update_mask),
         )
         return (cache, lengths), np.asarray(lps)
 
@@ -148,7 +171,7 @@ class FrameSyncBeamSearch:
         self,
         lm,
         tokenizer=None,
-        beam_width: int = 25,
+        beam_width: int = DEFAULT_BEAM_WIDTH,
         alpha: float = 0.4,
         beta: float = 0.4,
         blank_id: Optional[int] = None,
@@ -206,6 +229,18 @@ class FrameSyncBeamSearch:
         log_probs = np.asarray(log_probs)  # scores accumulate in input dtype
         T, C = log_probs.shape
         blank = self.blank_id if self.blank_id is not None else C - 1
+        # the emit-score gather below clips ids to the LM vocab on the
+        # assumption that ONLY blank can exceed it (blank = last id, LM
+        # vocab = C-1); with a different layout a real token would silently
+        # score with the wrong LM column — refuse instead
+        V = len(lps0)
+        top_nonblank = C - 2 if blank == C - 1 else C - 1
+        if top_nonblank >= V:
+            raise ValueError(
+                f"LM vocab {V} cannot score emit candidates up to id "
+                f"{top_nonblank} (C={C}, blank={blank}); only a trailing "
+                f"blank may exceed the LM vocab"
+            )
 
         beams: List[FSBeam] = [
             FSBeam(lm_sequence=(self.bos_id,), next_lps=lps0, row=0)
@@ -214,7 +249,7 @@ class FrameSyncBeamSearch:
         for t in range(T):
             frame = log_probs[t]
             keep_arr = np.where(frame > frame.max() + self.top_am_threshold)[0]
-            keep_arr = keep_arr[(keep_arr >= 1) & (keep_arr <= C - 1)]  # ids 1..vocab
+            keep_arr = keep_arr[keep_arr >= 1]  # drop pad id 0 (reference :224)
             keep = [int(i) for i in keep_arr]
             K = len(keep)
             if K == 0:
@@ -281,8 +316,6 @@ class FrameSyncBeamSearch:
                     merged[key].score = _sum_log_scores(b.score, merged[key].score)
                 else:
                     merged[key] = b
-            import heapq
-
             new_beams = heapq.nlargest(
                 self.beam_width, merged.values(), key=lambda b: b.score
             )
@@ -343,7 +376,7 @@ def rescore_many(
     Reference counterpart: `eval/tedlium/tlm_beam.py:55-61` fans recordings
     out across CPUs with ray; here the fan-out is across rows of the same
     accelerator call.  Returns per-recording results in input order."""
-    width = search_kwargs.get("beam_width", 25)
+    width = search_kwargs.get("beam_width", DEFAULT_BEAM_WIDTH)
     results: List = [None] * len(logits_list)
 
     for wave_start in range(0, len(logits_list), n_slots):

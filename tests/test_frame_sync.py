@@ -456,3 +456,77 @@ def test_frame_sync_survives_candidate_less_frame():
         lm=HistoryLM(fn, bos_id=2), **kw
     ).run_search(lp_without)
     assert ids == ids_without
+
+
+def test_frame_sync_matches_reference_with_cache_trim(reference_search_cls):
+    """max_cache_length parity: the reference trims the LM context AFTER
+    scoring (trim_cache, :176-193); trimming before scoring diverges
+    beam-for-beam."""
+    mod, torch = reference_search_cls
+    from lcasr_tpu.decoding.frame_sync import FrameSyncBeamSearch, HistoryLM
+
+    rng = np.random.default_rng(0)
+    T = 24
+    logits = rng.normal(size=(T, C)) * 2.0
+    log_probs = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+    ref = mod.BeamSearch(
+        tokenizer=_Tok(), beam_width=8,
+        log_probs=torch.tensor(log_probs, dtype=torch.float64),
+        language_model=_make_ref_mock_lm(torch),
+        alpha=0.4, beta=0.4, blank_id=C - 1, top_am_threshold=-6,
+        max_cache_length=3,
+    )
+    ref.run_search(use_tqdm=False)
+    ref_beams = [(tuple(b.am_sequence), float(b.score)) for b in ref.beams]
+
+    mine = FrameSyncBeamSearch(
+        lm=HistoryLM(
+            lambda hists: np.stack([fake_lm_scores(h) for h in hists]),
+            bos_id=2, max_cache_length=3,
+        ),
+        tokenizer=_Tok(), beam_width=8, alpha=0.4, beta=0.4,
+        blank_id=C - 1, top_am_threshold=-6, bos_id=2,
+    )
+    mine.run_search(log_probs)
+    my_beams = [(tuple(b.am_sequence), float(b.score)) for b in mine.beams]
+
+    assert len(ref_beams) == len(my_beams)
+    for (ra, rs), (ma, ms) in zip(ref_beams, my_beams):
+        assert ra == ma
+        assert math.isclose(rs, ms, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_cached_lm_overflow_raises():
+    """A beam exceeding the KV cache capacity must fail loudly, not score
+    silently wrong (the device write mask just stops writing)."""
+    import jax
+
+    from lcasr_tpu.decoding.frame_sync import CachedTransformerLM
+    from lcasr_tpu.models.lm import TransformerLM
+
+    lm = TransformerLM(vocab_size=V, d_model=32, n_layers=1, n_heads=2,
+                       head_dim=16)
+    variables = lm.init(jax.random.PRNGKey(0), np.zeros((1, 4), np.int32))
+    clm = CachedTransformerLM(lm, variables, width=2, max_len=2)
+    state, _ = clm.init(2)
+    parent = np.array([0, 1])
+    tok = np.array([3, 4])
+    upd = np.array([True, True])
+    state, _ = clm.step(state, parent, tok, upd)  # len 2
+    state, _ = clm.step(state, parent, tok, upd)  # len 3 == max_len + 1 (ok)
+    with pytest.raises(RuntimeError, match="KV cache overflow"):
+        clm.step(state, parent, tok, upd)  # would need slot 4
+
+
+def test_vocab_layout_guard_raises():
+    """Non-blank candidate ids past the LM vocab must be refused, not
+    silently clipped onto the wrong LM column."""
+    from lcasr_tpu.decoding.frame_sync import FrameSyncBeamSearch, HistoryLM
+
+    lm = HistoryLM(lambda hists: np.zeros((len(hists), V)), bos_id=2)
+    # blank placed mid-vocab: id C-1 becomes a REAL emit candidate > LM vocab
+    search = FrameSyncBeamSearch(lm=lm, beam_width=4, blank_id=3, bos_id=2)
+    log_probs = np.log(np.full((4, V + 1), 1.0 / (V + 1)))
+    with pytest.raises(ValueError, match="only a trailing blank"):
+        search.run_search(log_probs)
