@@ -28,7 +28,38 @@ AUDIO_MINUTES = 20
 FRAMES_PER_SECOND = 100
 
 
+def _wait_for_device(max_wait_s: float = 1200.0) -> None:
+    """The axon tunnel has outage windows (hours-long ones observed); rather
+    than hanging forever in jax.devices() or dying instantly, probe device
+    discovery in a subprocess with a bounded timeout and retry within a
+    budget so a transient outage at bench time still yields a real number."""
+    import subprocess
+    import sys
+    import time as _time
+
+    deadline = _time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert len(jax.devices()) > 0"],
+                timeout=240, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if _time.time() > deadline:
+                raise RuntimeError(
+                    f"no JAX device after {attempt} probes / "
+                    f"{max_wait_s:.0f}s — backend/tunnel down"
+                )
+            _time.sleep(60)
+
+
 def main() -> None:
+    _wait_for_device()
     import jax
     import jax.numpy as jnp
 
