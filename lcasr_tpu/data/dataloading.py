@@ -151,18 +151,27 @@ class SimpleDataset:
         audio, txt = load_sample(
             {"audio": self.pairs["audio"][idx], "txt": self.pairs["txt"][idx]}
         )
-        rec_id = self.pairs["id"][idx]
-        words = txt["results"][-1]["alternatives"][0]["words"]
-        # (1, 80, T) → (T, 80)
-        return audio[0].T, words, rec_id
+        return decode_item(audio, txt, self.pairs["id"][idx])
+
+
+def decode_item(audio: np.ndarray, txt: dict, rec_id):
+    """Shared per-item decode: transcript drill-down + (F, T) → (T, F).
+    Used by BOTH the python __getitem__ path and the native .npy batch
+    path so the two can never diverge."""
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim == 3:
+        audio = audio[0]
+    words = txt["results"][-1]["alternatives"][0]["words"]
+    return audio.T, words, rec_id
 
 
 def collate(batch):
-    """Pad a list of (T, 80) specs to (B, 80, T_max) + lengths."""
+    """Pad a list of (T, F) specs to (B, F, T_max) + lengths."""
     audio, txt, ids = zip(*batch)
     lengths = np.array([a.shape[0] for a in audio], np.int64)
     t_max = int(lengths.max())
-    out = np.zeros((len(audio), 80, t_max), np.float32)
+    n_feat = audio[0].shape[1]
+    out = np.zeros((len(audio), n_feat, t_max), np.float32)
     for i, a in enumerate(audio):
         out[i, :, : a.shape[0]] = a.T
     return out, lengths, list(txt), list(ids)
@@ -212,12 +221,10 @@ class SimpleDataloader:
                 specs = mod.read_npy_batch(paths, min(8, len(paths)))
                 items = []
                 for off, j in enumerate(range(lo, hi)):
-                    audio = np.asarray(specs[off], dtype=np.float32)
-                    if audio.ndim == 3:
-                        audio = audio[0]
                     txt = load_json(self.dataset.pairs["txt"][j])
-                    words = txt["results"][-1]["alternatives"][0]["words"]
-                    items.append((audio.T, words, self.dataset.pairs["id"][j]))
+                    items.append(decode_item(
+                        specs[off], txt, self.dataset.pairs["id"][j]
+                    ))
                 return items
         return [self.dataset[j] for j in range(lo, hi)]
 
@@ -230,8 +237,19 @@ class SimpleDataloader:
         if not self.prefetch:
             yield from self._iter_sync()
             return
-        q: "queue.Queue" = queue.Queue(maxsize=2)
+        q: "queue.Queue" = queue.Queue(maxsize=1)  # one-deep, as documented
         sentinel = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put so an abandoned iterator can release the worker
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             # exceptions are ENQUEUED and re-raised in the consumer — a
@@ -239,20 +257,27 @@ class SimpleDataloader:
             # let training book a partial epoch as complete
             try:
                 for item in self._iter_sync():
-                    q.put(item)
-                q.put(sentinel)
+                    if not put(item):
+                        return
+                put(sentinel)
             except BaseException as e:  # noqa: BLE001
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # mid-epoch abandonment (sequence-warmup dataloader.update(),
+            # crash paths) must not leak a worker pinned on a full queue
+            # holding whole-podcast batches
+            stop.set()
 
 
 class VariableBatchSimpleDataloader:
@@ -269,8 +294,16 @@ class VariableBatchSimpleDataloader:
         random_seed: int = 1234,
         subgroup_shuffle_size: int = 2000,
         seen_ids: Optional[List[str]] = None,
+        prefetch: bool = True,
+        num_workers: int = 0,  # accepted for reference-API compat (torch
+        pin_memory: bool = False,  # DataLoader knobs with no JAX analogue)
         **kwargs,
     ):
+        if kwargs:
+            raise TypeError(
+                f"unknown dataloader argument(s): {sorted(kwargs)}"
+            )
+        self.prefetch = prefetch
         self.pairs = pairs
         self.tokenizer = tokenizer
         self.chunk_size = chunk_size
@@ -280,7 +313,8 @@ class VariableBatchSimpleDataloader:
         self.subgroup_shuffle_size = subgroup_shuffle_size
         self._build(seen_ids or [], random_seed)
 
-    def _build(self, seen_ids: List[str], random_seed: int):
+    def _build(self, seen_ids: List[str], random_seed: int,
+               subgroup_shuffle_size: Optional[int] = None):
         self.dataloader = SimpleDataloader(
             pairs=self.pairs,
             tokenizer=self.tokenizer,
@@ -288,15 +322,26 @@ class VariableBatchSimpleDataloader:
             chunk_size=self.chunk_size,
             chunk_overlap=self.chunk_overlap,
             random_seed=random_seed,
-            subgroup_shuffle_size=self.subgroup_shuffle_size,
+            subgroup_shuffle_size=(
+                self.subgroup_shuffle_size
+                if subgroup_shuffle_size is None
+                else subgroup_shuffle_size
+            ),
             seen_ids=seen_ids,
+            prefetch=self.prefetch,
         )
 
     def update(self, batch_size: int, seen_ids: Optional[List[str]] = None, random_seed="same"):
         self.batch_size = batch_size
+        # reference-parity quirk: the reference's update() (dataloading.py:
+        # 385-396) does NOT forward subgroup_shuffle_size, so every rebuild
+        # falls back to 2000 regardless of the constructor value — kept
+        # bit-faithful because the docstring promises the reference's batch
+        # order for the same (pairs, seed)
         self._build(
             seen_ids or [],
             self.random_seed if random_seed == "same" else random_seed,
+            subgroup_shuffle_size=2000,
         )
 
     def total_recordings(self) -> int:
@@ -330,7 +375,7 @@ def chunk_text_and_speakers_json(
             start_t, end_t = float(el["startTime"][:-1]), float(el["endTime"][:-1])
             if start_t >= c_start_sec and end_t <= c_end_sec:
                 c_text.append(el["word"])
-                c_speakers.append(el.get("speakerTag"))
+                c_speakers.append(el["speakerTag"])  # KeyError on untagged data, like the reference (:83)
             if end_t < c_end_sec - overlap_sec:
                 max_idx = j
             if end_t > c_end_sec:
@@ -361,13 +406,13 @@ def chunk_text_json_with_speaker_change(
         overlap_sec = total_seconds(chunk_overlap)
         c_text, max_idx, prev_speaker = [], 0, None
         for j, el in enumerate(text_remaining):
-            prev_speaker = el.get("speakerTag") if prev_speaker is None else prev_speaker
+            prev_speaker = el["speakerTag"] if prev_speaker is None else prev_speaker
             start_t, end_t = float(el["startTime"][:-1]), float(el["endTime"][:-1])
             if start_t >= c_start_sec and end_t <= c_end_sec:
-                if el.get("speakerTag") != prev_speaker:
+                if el["speakerTag"] != prev_speaker:
                     c_text.append(speaker_change_token)
                 c_text.append(el["word"])
-                prev_speaker = el.get("speakerTag")
+                prev_speaker = el["speakerTag"]
             if end_t < c_end_sec - overlap_sec:
                 max_idx = j
             if end_t > c_end_sec:

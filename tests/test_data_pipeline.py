@@ -84,3 +84,62 @@ def test_specaugment_mean_fill():
     out = np.asarray(aug(jax.random.PRNGKey(1), spec))
     masked = np.isclose(out, np.asarray(spec.mean()), atol=1e-5)
     assert masked.any()
+
+
+def test_prefetch_iterator_abandonment_does_not_leak_worker(tmp_path):
+    """Abandoning a prefetching iterator mid-epoch (what the trainer does
+    when sequence warmup rebuilds the dataloader) must release the worker
+    thread instead of leaving it pinned on a full queue holding batches."""
+    import gc
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    from lcasr_tpu.data.dataloading import SimpleDataloader
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+
+    rng = np.random.default_rng(0)
+    pairs = {}
+    for i in range(6):
+        np.save(tmp_path / f"r{i}.spec.npy",
+                rng.normal(size=(1, 80, 100)).astype(np.float32))
+        (tmp_path / f"r{i}.json").write_text(
+            '{"results": [{"alternatives": [{"words": '
+            '[{"word": "a", "startTime": "0.1s", "endTime": "0.2s"}]}]}]}'
+        )
+        pairs[f"r{i}"] = {"audio": str(tmp_path / f"r{i}.spec.npy"),
+                          "txt": str(tmp_path / f"r{i}.json"), "duration": 1.0}
+
+    before = threading.active_count()
+    dl = SimpleDataloader(pairs, load_tokenizer(), batch_size=1)
+    it = iter(dl)
+    next(it)          # worker running, queue full behind us
+    it.close()        # abandon mid-epoch (GeneratorExit → finally → stop)
+    del it
+    gc.collect()
+    for _ in range(50):  # worker notices stop within its 0.2 s put timeout
+        if threading.active_count() <= before:
+            break
+        _time.sleep(0.1)
+    assert threading.active_count() <= before
+
+
+def test_variable_batch_loader_rejects_unknown_kwargs(tmp_path):
+    import numpy as np
+    import pytest
+
+    from lcasr_tpu.data.dataloading import VariableBatchSimpleDataloader
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+
+    np.save(tmp_path / "r.spec.npy", np.zeros((1, 80, 50), np.float32))
+    (tmp_path / "r.json").write_text(
+        '{"results": [{"alternatives": [{"words": []}]}]}'
+    )
+    pairs = {"r": {"audio": str(tmp_path / "r.spec.npy"),
+                   "txt": str(tmp_path / "r.json"), "duration": 0.5}}
+    with pytest.raises(TypeError, match="unknown dataloader"):
+        VariableBatchSimpleDataloader(pairs, load_tokenizer(), random_sed=7)
+    # reference-API compat args are accepted (and ignored/forwarded)
+    VariableBatchSimpleDataloader(pairs, load_tokenizer(), prefetch=False,
+                                  num_workers=2, pin_memory=True)
