@@ -157,11 +157,25 @@ class BatchNorm(nn.Module):
         orig_dtype = x.dtype
         xf = x.astype(jnp.float32)
         if train:
-            mean = xf.mean((0, 1))
-            var = ((xf - mean) ** 2).mean((0, 1))
+            if pad_mask is not None:
+                keep = (~pad_mask).astype(xf.dtype)[..., None]
+                n = jnp.maximum(keep.sum((0, 1)), 1.0)
+                mean = (xf * keep).sum((0, 1)) / n
+                var = (((xf - mean) ** 2) * keep).sum((0, 1)) / n
+                unbias = n / jnp.maximum(n - 1.0, 1.0)
+            else:
+                mean = xf.mean((0, 1))
+                var = ((xf - mean) ** 2).mean((0, 1))
+                n = xf.shape[0] * xf.shape[1]
+                unbias = n / max(n - 1, 1)
             if not self.is_initializing():
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
-                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
+                # torch BatchNorm1d accumulates the UNBIASED batch variance
+                # into running_var (batch norm itself uses the biased one)
+                ra_var.value = (
+                    (1 - self.momentum) * ra_var.value
+                    + self.momentum * var * unbias
+                )
         else:
             mean, var = ra_mean.value, ra_var.value
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
@@ -220,6 +234,11 @@ class ConformerConvolution(nn.Module):
     exp_factor: float = 1.0
     seq_axis_name: Optional[str] = None  # context parallel (inside shard_map)
     stat_axes: Tuple[str, ...] = ()  # mesh axes for batch-norm statistics
+    # reference parity: the reference calls batch_norm(x) with NO mask
+    # (convolution.py:119 — BatchRenorm's masked-stats support is dead code
+    # upstream), so padded frames (zeroed above) COUNT toward batch stats.
+    # True excludes them — cleaner, but a training-trajectory divergence.
+    mask_norm_stats: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -250,18 +269,20 @@ class ConformerConvolution(nn.Module):
             seq_axis_name=self.seq_axis_name,
         )
 
+        stat_mask = pad_mask if self.mask_norm_stats else None
         if self.norm_type == "batch_renorm":
             x = BatchRenorm(inner, stat_axes=self.stat_axes, name="norm")(
-                x, pad_mask=pad_mask, train=train
+                x, pad_mask=stat_mask, train=train
             )
         elif self.norm_type == "batch_norm":
-            x = BatchNorm(inner, name="norm")(x, pad_mask=pad_mask, train=train)
+            x = BatchNorm(inner, name="norm")(x, pad_mask=stat_mask, train=train)
         elif self.norm_type == "layer_norm":
             from lcasr_tpu.ops.norms import LayerNorm
 
             x = LayerNorm(inner, name="norm")(x)
         elif self.norm_type == "group_norm":
-            x = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="norm")(x)
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5,  # torch default
+                             dtype=self.dtype, name="norm")(x)
         elif self.norm_type == "none":
             pass
         else:
@@ -404,11 +425,19 @@ class ConvSubsampling(nn.Module):
         scale = 1.0 / 3.0  # 1/kernel_size
         dw_max = (3 ** 2) ** -0.5
         pw_max = C ** -0.5
-        t_pad = (2, 0) if self.is_causal else (1, 1)
-        f_pad = (2, 0) if self.is_causal else (1, 1)
+        # causal: left k-1 = 2, right s-1 = 1 on BOTH dims (reference
+        # causal_convs.py:48-49,70) — total 3, matching calc_length's
+        # all_paddings=3 above; a (2, 0) pad would yield one fewer frame
+        # per stage than the reported lengths
+        t_pad = (2, 1) if self.is_causal else (1, 1)
+        f_pad = (2, 1) if self.is_causal else (1, 1)
         cp = self.seq_axis_name
         if cp is not None and self.subsampling == "vggnet":
             raise NotImplementedError("context parallel: use dw_striding/striding")
+        if cp is not None and self.is_causal:
+            # the causal right pad (s-1) adds one output per stage that the
+            # halo scheme does not reproduce
+            raise NotImplementedError("context parallel: causal subsampling unsupported")
 
         def strided(h):
             """Halo-exchange the time axis for one stride-2 stage under CP:
@@ -417,6 +446,13 @@ class ConvSubsampling(nn.Module):
             conv's slice (local T must be even)."""
             if cp is None:
                 return h, [t_pad, f_pad]
+            # shapes are static under trace: fail loudly instead of producing
+            # misaligned stride-2 windows at every shard boundary
+            assert h.shape[1] % 2 == 0, (
+                f"context parallel needs an even local T per stride-2 stage, "
+                f"got {h.shape[1]} (global T must divide shards x "
+                f"subsampling_factor)"
+            )
             h = halo_exchange(h, cp, left=t_pad[0], right=0, axis=1)
             # no right pad: with even local T the global stride-2 windows
             # never read the right zero pad, and haloed length Tl + t_pad[0]
@@ -469,9 +505,16 @@ class ConvSubsampling(nn.Module):
         elif self.subsampling == "striding":
             for i in range(self._sampling_num):
                 h, pad2d = strided(h)
+                # reference EFFECTIVE init: ConvSubsampling.reset_parameters
+                # is never invoked upstream (and is gated to dw_striding
+                # anyway), so striding convs carry torch's default
+                # kaiming-uniform bound 1/sqrt(fan_in) — 1/3 for stage 0
+                # (fan_in 9), 1/sqrt(9C) for the C-channel stages
+                st_scale = scale if i == 0 else (9 * C) ** -0.5
                 h = nn.Conv(
                     C, (3, 3), strides=(2, 2), padding=pad2d,
-                    kernel_init=_uniform_init(scale), bias_init=_uniform_init(scale),
+                    kernel_init=_uniform_init(st_scale),
+                    bias_init=_uniform_init(st_scale),
                     dtype=self.dtype, name=f"conv_{i}",
                 )(h)
                 h = act(h)
@@ -493,7 +536,12 @@ class ConvSubsampling(nn.Module):
 
         B, T, F, _ = h.shape
         h = h.reshape(B, T, F * C)
-        fc_scale = (self.feat_out * self.feat_in / self._sampling_num) ** -0.5
+        # reference EFFECTIVE init for `out`: torch nn.Linear default
+        # uniform(±1/sqrt(in_features)) — the Squeezeformer fc_scale in
+        # reset_parameters (subsampling.py:448-451) is dead code upstream
+        # (never invoked), so matching it would diverge from real reference
+        # from-scratch runs
+        fc_scale = (F * C) ** -0.5
         # NOTE: bias iff norm_out — reference `subsampling.py:374` passes
         # `bias=norm_out` (comment there says the opposite; behavior wins,
         # since published checkpoints carry this layout)
@@ -533,7 +581,9 @@ class StackingSubsampling(nn.Module):
         sf = self.subsampling_factor
         pad = (sf - t % sf) % sf
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-        if self.norm and not self.norm_out:
+        # reference builds pre_norm from `norm` ALONE (subsampling.py:61-68)
+        # — norm and norm_out are independent, both may apply
+        if self.norm:
             x = LayerNorm(self.feat_in, name="pre_norm")(x)
         x = x.reshape(b, (t + pad) // sf, h * sf)
         x = ConformerFeedForward(
@@ -563,7 +613,8 @@ class Conv1DSubsampling(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray):
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray,
+                 train: bool = False):
         sampling_num = int(math.log2(self.subsampling_factor))
         new_lengths = calc_length(
             lengths, all_paddings=2, kernel_size=3, stride=2,
@@ -576,7 +627,9 @@ class Conv1DSubsampling(nn.Module):
             h = nn.Conv(self.conv_channels, (3,), strides=(2,), padding=[(1, 1)],
                         dtype=self.dtype, name=f"conv_{i}")(h)
             if self.batch_norm:
-                h = BatchRenorm(self.conv_channels, name=f"norm_{i}")(h)
+                # `train` must thread through or the renorm would run on
+                # frozen init running-stats forever
+                h = BatchRenorm(self.conv_channels, name=f"norm_{i}")(h, train=train)
             h = jax.nn.silu(h)
         h = nn.Dense(self.feat_out, use_bias=False, dtype=self.dtype, name="out")(h)
         return h, new_lengths
@@ -605,9 +658,13 @@ class TimeReductionModule(nn.Module):
             x = jnp.where(
                 (jnp.arange(x.shape[1])[None, :] < lengths[:, None])[..., None], x, 0.0
             )
+        # reference torch Conv1d pads SYMMETRICALLY (padding=3 both sides,
+        # subsampling.py:590-596), then truncates to len(pad_mask[::stride])
+        # = ceil(T/stride) when masks are supplied (:616-620); a left-only
+        # pad dropped one frame for odd T
         h = jax.lax.conv_general_dilated(
             x, kernel[:, None, :].astype(x.dtype), window_strides=(S,),
-            padding=[(pad, 0)], dimension_numbers=("NWC", "WIO", "NWC"),
+            padding=[(pad, pad)], dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=self.d_model,
         ) + bias.astype(x.dtype)
         h = nn.Dense(
@@ -615,6 +672,7 @@ class TimeReductionModule(nn.Module):
             bias_init=_uniform_init(pw_max), dtype=self.dtype, name="pw",
         )(h)
         if lengths is not None:
-            lengths = calc_length(lengths, all_paddings=pad, kernel_size=K,
-                                  stride=S, ceil_mode=False)
+            L = -(-x.shape[1] // S)  # ceil, ≙ pad_mask[::stride] columns
+            h = h[:, :L]
+            lengths = -(-lengths // S)
         return h, lengths

@@ -116,6 +116,12 @@ def dw_striding_chain_lax(
     def strided(x):
         if cp_axis is None:
             return x, [t_pad, f_pad]
+        # see ConvSubsampling.strided: odd local T silently misaligns the
+        # stride-2 windows at every shard boundary — fail at trace time
+        assert x.shape[1] % 2 == 0, (
+            f"context parallel needs an even local T per stride-2 stage, "
+            f"got {x.shape[1]}"
+        )
         x = halo_exchange(x, cp_axis, left=t_pad[0], right=0, axis=1)
         return x, [(0, 0), f_pad]
 

@@ -103,3 +103,133 @@ def test_swiglu_matches_manual():
     gate, up = gu.chunk(2, dim=-1)
     ref = ((torch.nn.functional.silu(gate) * up) @ torch.tensor(wout)).numpy()
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_causal_subsampling_lengths_match_output_frames():
+    """Causal stages pad (k-1, s-1) on both dims like the reference
+    CausalConv2D (causal_convs.py:48-49): the conv output frame count must
+    equal calc_length's report for a full-length input."""
+    import jax
+    import jax.numpy as jnp
+
+    from lcasr_tpu.ops.conv import ConvSubsampling
+
+    for mode in ("dw_striding", "striding"):
+        sub = ConvSubsampling(
+            subsampling="dw_striding" if mode == "dw_striding" else "striding",
+            subsampling_factor=8, feat_in=80, feat_out=64, conv_channels=32,
+            is_causal=True, use_pallas=False,
+        )
+        x = jnp.zeros((1, 16, 80))
+        lengths = jnp.array([16])
+        variables = sub.init(jax.random.PRNGKey(0), x, lengths)
+        h, out_len = sub.apply(variables, x, lengths)
+        assert h.shape[1] == int(out_len[0]), (mode, h.shape, out_len)
+
+
+def test_time_reduction_odd_length_keeps_ceil_frames():
+    """Reference TimeReductionModule pads symmetrically then truncates to
+    ceil(T/stride) (subsampling.py:590-620); odd T must not lose a frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from lcasr_tpu.ops.conv import TimeReductionModule
+
+    m = TimeReductionModule(d_model=16, out_dim=16)
+    x = jnp.zeros((2, 17, 16))
+    lengths = jnp.array([17, 13])
+    variables = m.init(jax.random.PRNGKey(0), x, lengths)
+    h, out_len = m.apply(variables, x, lengths)
+    assert h.shape[1] == 9  # ceil(17/2)
+    assert out_len.tolist() == [9, 7]  # ceil per sample
+
+
+def test_batch_norm_running_var_matches_torch():
+    """torch BatchNorm1d accumulates the UNBIASED batch variance into
+    running_var; exact parity on a small batch where the n/(n-1) factor is
+    visible."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from lcasr_tpu.ops.conv import BatchNorm
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, 4)).astype(np.float32)  # (B, T, C), n=6
+
+    bn = BatchNorm(4)
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+    y, mutated = bn.apply(variables, jnp.asarray(x), train=True,
+                          mutable=["batch_stats"])
+
+    t = torch.nn.BatchNorm1d(4)
+    t.train()
+    yt = t(torch.tensor(x).permute(0, 2, 1)).permute(0, 2, 1)
+
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["running_var"]),
+        t.running_var.detach().numpy(), rtol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(y), yt.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_conv1d_subsampling_norm_trains():
+    """Conv1DSubsampling threads train= into its BatchRenorm (was pinned in
+    eval mode forever)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lcasr_tpu.ops.conv import Conv1DSubsampling
+
+    m = Conv1DSubsampling(subsampling_factor=4, feat_in=16, feat_out=16,
+                          conv_channels=8, batch_norm=True)
+    x = jnp.ones((1, 32, 16))
+    lengths = jnp.array([32])
+    variables = m.init(jax.random.PRNGKey(0), x, lengths, train=True)
+    _, mutated = m.apply(variables, x, lengths, train=True,
+                         mutable=["batch_stats"])
+    tracked = jax.tree.leaves({
+        k: v for k, v in mutated["batch_stats"].items()
+    })
+    flat = jax.tree_util.tree_flatten_with_path(mutated["batch_stats"])[0]
+    n_tracked = [v for p, v in flat if "num_batches_tracked" in str(p)]
+    assert n_tracked and all(int(v) == 1 for v in n_tracked)
+
+
+def test_striding_init_uses_effective_torch_bounds():
+    """Reference reset_parameters is dead upstream: striding stages >= 1
+    carry torch's default 1/sqrt(9C) bound, not 1/3."""
+    import jax
+    import jax.numpy as jnp
+
+    from lcasr_tpu.ops.conv import ConvSubsampling
+
+    C = 32
+    sub = ConvSubsampling(subsampling="striding", subsampling_factor=8,
+                          feat_in=80, feat_out=64, conv_channels=C,
+                          use_pallas=False)
+    variables = sub.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 80)),
+                         jnp.array([16]))
+    k1 = np.asarray(variables["params"]["conv_1"]["kernel"])
+    bound = (9 * C) ** -0.5
+    assert np.abs(k1).max() <= bound + 1e-7
+    assert np.abs(k1).max() > 0.5 * bound  # actually near the bound
+    k0 = np.asarray(variables["params"]["conv_0"]["kernel"])
+    assert np.abs(k0).max() <= 1 / 3 + 1e-7
+
+
+def test_stacking_norm_and_norm_out_both_apply():
+    """Reference builds pre_norm from `norm` alone (subsampling.py:61-68);
+    norm=True + norm_out=True applies BOTH."""
+    import jax
+    import jax.numpy as jnp
+
+    from lcasr_tpu.ops.conv import StackingSubsampling
+
+    m = StackingSubsampling(subsampling_factor=4, feat_in=16, feat_out=16,
+                            norm=True, norm_out=True)
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)),
+                       jnp.array([8]))
+    assert "pre_norm" in variables["params"]
+    assert "norm_out" in variables["params"]
