@@ -112,11 +112,18 @@ def convert_sconformer_state_dict(
         qkv_w = np.transpose(qkv_w, (2, 0, 1, 3)).reshape(3 * H * D, -1)
         attn_p = {"qkv_proj": {"kernel": _t(qkv_w)},
                   "out_proj": {"kernel": _t(sd[f"{pre}.attend.fn.out_proj.weight"])}}
-        if f"{pre}.attend.fn.qkv_proj.bias" in sd:
-            b = sd[f"{pre}.attend.fn.qkv_proj.bias"].reshape(H, D, 3)
-            attn_p["qkv_proj"]["bias"] = np.transpose(b, (2, 0, 1)).reshape(-1)
-        if f"{pre}.attend.fn.out_proj.bias" in sd:
-            attn_p["out_proj"]["bias"] = sd[f"{pre}.attend.fn.out_proj.bias"]
+        # the reference ConformerLayer hardcodes Attention bias=False
+        # (sconformer_xl.py:332), as does ours — a checkpoint carrying
+        # attention biases cannot be represented, and flax.apply would
+        # silently IGNORE the extra leaves (wrong logits, no error)
+        for bias_key in (f"{pre}.attend.fn.qkv_proj.bias",
+                         f"{pre}.attend.fn.out_proj.bias"):
+            if bias_key in sd:
+                raise ValueError(
+                    f"checkpoint carries {bias_key}, but the conformer "
+                    f"attention is built bias-free (reference parity) — "
+                    f"importing would silently drop it"
+                )
         lp["attend"] = attn_p
 
         lp["conv_norm"] = norm_params(f"{pre}.conv.norm")

@@ -171,6 +171,8 @@ class Mamba(nn.Module):
             )
         else:
             sub = ConvSubsampling(
+                subsampling=self.subsampling,  # mode must forward (see
+                # sconformer_xl: default-dw_striding otherwise)
                 subsampling_factor=self.subsampling_factor,
                 feat_in=self.feat_in,
                 feat_out=self.d_model,

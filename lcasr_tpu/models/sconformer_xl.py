@@ -99,6 +99,14 @@ class Attention(nn.Module):
             q, k = apply_rotary(q, k, cos, sin)
 
         if cp is not None and self.attention_cp_impl == "ring":
+            if self.return_attention_weights:
+                # the prob-capture path needs materialized scores; ring's
+                # online-softmax merge never forms them — refuse rather than
+                # silently sowing nothing
+                raise NotImplementedError(
+                    "return_attention_weights is unavailable under ring "
+                    "context parallelism (use attention_cp_impl='gather')"
+                )
             # ring attention: K/V stay LOCAL and rotate around the seq axis
             # with online-softmax merging (exact fwd + custom-VJP bwd,
             # parallel/ring_attention.py) — KV memory O(T/n) per device;
@@ -157,6 +165,11 @@ class Attention(nn.Module):
             out = jnp.where(length_mask(lengths, N, offset=q_off)[..., None], out, 0.0)
         out = nn.Dense(self.n_feats, use_bias=self.bias, dtype=self.dtype, name="out_proj")(out)
         if self.dropout > 0.0 and train:
+            # APPROXIMATION vs the reference: dropout_attn is applied to the
+            # projected attention OUTPUT here, not to the attention
+            # probabilities (the Pallas kernel keeps probs unmaterialized).
+            # Every paper config trains with dropout_attn 0.0, where the two
+            # coincide exactly.
             out = nn.Dropout(self.dropout, deterministic=False)(out)
         return out
 
@@ -406,6 +419,13 @@ class SCConformerXL(nn.Module):
             length = jnp.full((B,), t_global, dtype=jnp.int32)
 
         if self.subsampling == "stacking":
+            if self.seq_axis_name is not None:
+                # StackingSubsampling pads the LOCAL shard to a factor
+                # multiple — zeros mid-global-sequence at shard boundaries
+                raise NotImplementedError(
+                    "context parallel: stacking subsampling unsupported "
+                    "(use dw_striding/striding)"
+                )
             SubCls = StackingSubsampling
             sub_kw = dict(
                 subsampling_factor=self.subsampling_factor,
@@ -418,6 +438,10 @@ class SCConformerXL(nn.Module):
         else:
             SubCls = ConvSubsampling
             sub_kw = dict(
+                # forward the MODE — without it a 'striding'/'vggnet' config
+                # silently built the default dw_striding chain (is_causal
+                # stays component-level, as in the reference model)
+                subsampling=self.subsampling,
                 subsampling_factor=self.subsampling_factor,
                 feat_in=self.feat_in,
                 feat_out=self.d_model,

@@ -195,3 +195,46 @@ def test_remat_policy_dots_matches_nothing():
     g1 = jax.grad(loss(m1))(variables["params"])
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_subsampling_mode_is_forwarded():
+    """model.subsampling='striding'/'vggnet' must build that architecture —
+    the mode used to be dropped, silently building dw_striding."""
+    import jax
+    import jax.numpy as jnp
+
+    from lcasr_tpu.models.sconformer_xl import SCConformerXL
+
+    kw = dict(vocab_size=16, d_model=64, n_layers=1, n_heads=2, head_dim=32,
+              subsampling_conv_channels=32, use_pallas=False)
+    v_str = SCConformerXL(**kw, subsampling="striding").init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 80, 128)))
+    sub = v_str["params"]["subsampling"]
+    assert "conv_1" in sub and not any(k.startswith("dw_conv") for k in sub)
+
+    v_dw = SCConformerXL(**kw).init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 128)))
+    assert any(k.startswith("dw_conv") for k in v_dw["params"]["subsampling"])
+
+
+def test_stacking_subsampling_under_cp_raises():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from lcasr_tpu.models.sconformer_xl import SCConformerXL
+
+    model = SCConformerXL(vocab_size=16, d_model=64, n_layers=1, n_heads=2,
+                          head_dim=32, subsampling="stacking",
+                          seq_axis_name="seq", use_pallas=False)
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    import numpy as np
+
+    mesh = Mesh(np.array(jax.devices()[:1]), axis_names=("seq",))
+
+    def f(x):
+        return model.init(jax.random.PRNGKey(0), x)
+
+    with pytest.raises(NotImplementedError, match="stacking"):
+        shard_map(f, mesh=mesh, in_specs=P(None, None, "seq"),
+                  out_specs=P(), check_vma=False)(jnp.zeros((1, 80, 128)))
