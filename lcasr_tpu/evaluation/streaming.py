@@ -56,11 +56,6 @@ def subsampled_length(
     return int(n)
 
 
-def _out_len(u_len: int, subsampling_factor: int) -> int:
-    """Back-compat alias (dw-striding)."""
-    return subsampled_length(u_len, subsampling_factor)
-
-
 def _window_positions(spec_n: int, seq_len: int, overlap: int):
     """Window (start, true_length) pairs with the reference's truncation
     guard (one trailing short window allowed, then stop —
@@ -361,7 +356,18 @@ class StreamingDecoder:
             spec = spec[0]
         spec_n = spec.shape[-1]
         if seq_len > spec_n:
-            seq_len, overlap = spec_n, 0
+            # windowed-attention mode: ONE window over the whole recording.
+            # Bucket the STATIC window width to the 4096-frame upload bucket
+            # so same-bucket recordings share one compiled fused_run — the
+            # true length rides in `lengths`, the pad is masked (a per-
+            # recording static here cost a 20-40 s recompile per recording).
+            # EXCEPT stacking subsampling, whose output length depends on
+            # the static window pad — widening the window would drop the
+            # final partial frame group vs a direct forward.
+            if self.mode == "stacking":
+                seq_len, overlap = spec_n, 0
+            else:
+                seq_len, overlap = -(-spec_n // 4096) * 4096, 0
         assert overlap % self.ds == 0, (
             "Overlap must be a multiple of the downsampling factor"
         )
@@ -423,7 +429,19 @@ class StreamingDecoder:
 
         if (self.pipeline_upload and len(positions) > W
                 and self._fused_run_dp is None):
-            # striped upload/compute pipelining (see _run_pipelined).
+            if overlap > W * (seq_len - overlap):
+                # each group's halo is ONE stripe (W*stride frames); windows
+                # reaching further would read clamped garbage — fall back to
+                # the single-upload fused path rather than corrupt silently
+                import warnings
+
+                warnings.warn(
+                    f"pipeline_upload disabled: overlap {overlap} exceeds "
+                    f"the one-stripe halo (W*stride = {W * (seq_len - overlap)}); "
+                    f"raise window_batch_size to re-enable",
+                    stacklevel=3,
+                )
+                # striped upload/compute pipelining (see _run_pipelined).
             # OPT-IN: on a direct-attached host the async stripe transfers
             # hide behind compute; on the tunnel-attached dev chip the link
             # serializes transfers with dispatches, so striping only adds
@@ -503,6 +521,34 @@ class StreamingDecoder:
 # ---------------------------------------------------------------------------
 # functional API (reference-parity contract, used by eval/run + tests)
 # ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _make_accumulate(n_classes: int):
+    """Shared jitted overlap-average accumulator (cached per n_classes so
+    repeated fetch_logits calls — one per recording — reuse one program)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def accumulate(sums, counts, log_probs, out_lens, offsets):
+        def body(j, carry):
+            sums, counts = carry
+            lp = log_probs[j].astype(jnp.float32)
+            n = out_lens[j]
+            valid = (jnp.arange(lp.shape[0]) < n)[:, None]
+            probs = jnp.where(valid, jnp.exp(lp), 0.0)
+            seg = jax.lax.dynamic_slice(sums, (offsets[j], 0), (lp.shape[0], n_classes))
+            sums = jax.lax.dynamic_update_slice(sums, seg + probs, (offsets[j], 0))
+            cseg = jax.lax.dynamic_slice(counts, (offsets[j], 0), (lp.shape[0], 1))
+            counts = jax.lax.dynamic_update_slice(
+                counts, cseg + valid.astype(jnp.float32), (offsets[j], 0)
+            )
+            return sums, counts
+
+        return jax.lax.fori_loop(0, log_probs.shape[0], body, (sums, counts))
+
+    return accumulate
+
+
 def fetch_logits(
     model_fn: Callable,
     spec: np.ndarray,  # (1, 80, T)
@@ -543,25 +589,13 @@ def fetch_logits(
         pos += n_valid
     n_out = pos
 
-    total = spec_n // subsampling_factor + seq_len // subsampling_factor + 16
-
-    @jax.jit
-    def accumulate(sums, counts, log_probs, out_lens, offsets):
-        def body(j, carry):
-            sums, counts = carry
-            lp = log_probs[j].astype(jnp.float32)
-            n = out_lens[j]
-            valid = (jnp.arange(lp.shape[0]) < n)[:, None]
-            probs = jnp.where(valid, jnp.exp(lp), 0.0)
-            seg = jax.lax.dynamic_slice(sums, (offsets[j], 0), (lp.shape[0], n_classes))
-            sums = jax.lax.dynamic_update_slice(sums, seg + probs, (offsets[j], 0))
-            cseg = jax.lax.dynamic_slice(counts, (offsets[j], 0), (lp.shape[0], 1))
-            counts = jax.lax.dynamic_update_slice(
-                counts, cseg + valid.astype(jnp.float32), (offsets[j], 0)
-            )
-            return sums, counts
-
-        return jax.lax.fori_loop(0, log_probs.shape[0], body, (sums, counts))
+    # exact buffer size from the offset recurrence + one padded window's
+    # rows of slack (the naive spec_n//factor formula under-allocated when
+    # per-window rounding drifts, e.g. seq_len not a factor multiple)
+    total = n_out + subsampled_length(
+        seq_len, subsampling_factor, subsampling_mode, window_t=seq_len
+    )
+    accumulate = _make_accumulate(n_classes)
 
     sums = jnp.zeros((total, n_classes), jnp.float32)
     counts = jnp.zeros((total, 1), jnp.float32)
@@ -638,24 +672,6 @@ def fetch_logits_buffered(
             break
 
     return np.concatenate(outputs, axis=0)
-
-
-def greedy_ids(
-    model_fn: Callable,
-    spec: np.ndarray,
-    seq_len: int,
-    overlap: int,
-    n_classes: int,
-    subsampling_factor: int = 8,
-    window_batch_size: int = 8,
-) -> np.ndarray:
-    """Deprecated shim — use StreamingDecoder.greedy for the device-resident
-    path; this computes merged logits then argmaxes on host."""
-    logits = fetch_logits(
-        model_fn, spec, seq_len, overlap, n_classes,
-        subsampling_factor, window_batch_size=window_batch_size,
-    )
-    return logits.argmax(-1)
 
 
 def make_cp_windowed_model_fn(model, variables, mesh, seq_axis: str = "seq") -> Callable:

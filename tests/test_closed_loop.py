@@ -178,8 +178,11 @@ def test_train_checkpoint_eval_wer_closed_loop(synth_corpus, tmp_path):
         spec = np.load(pair["audio"])[0]  # (80, T), the model's input as-is
         gold = json.load(open(pair["txt"]))
         words = [w["word"] for w in gold["results"][0]["alternatives"][0]["words"]]
-        tr = OnlineTranscriber(model, variables, tokenizer, context_frames=256,
-                               stride_frames=64, right_delay_frames=64,
+        # full-attention model: the context window must cover the whole
+        # 512-frame recording for the finalized logits to match a full
+        # forward (no bounded receptive field to hide behind)
+        tr = OnlineTranscriber(model, variables, tokenizer, context_frames=512,
+                               stride_frames=128, right_delay_frames=128,
                                norm="none")
         for t0 in range(0, spec.shape[1], 100):
             tr.feed_frames(spec[:, t0 : t0 + 100])
