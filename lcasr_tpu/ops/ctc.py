@@ -91,8 +91,11 @@ def _ctc_alpha_single(
     ll = m + jnp.log(jnp.exp(a1 - m) + jnp.exp(a2 - m))
     # degenerate: empty label → path of all blanks ends at end1 only (covered)
     nll = -ll
-    # guard: impossible alignments (T < required length) give +inf-ish loss;
-    # torch returns inf there as well with zero_infinity=False
+    # impossible alignments (T < required length) give the FINITE ~1e30
+    # lattice sentinel — deliberately NOT inf (torch returns inf with
+    # zero_infinity=False): the trainer's non-finite skip must not fire for
+    # this class; it filters rows at nll >= 1e29 instead (trainer.py).  Do
+    # not "fix" this to inf.
     return nll
 
 
@@ -501,7 +504,9 @@ def ctc_loss(
     if reduction == "sum":
         return nll.sum()
     if reduction == "mean":
-        return nll.mean()
+        # torch CTCLoss 'mean': per-sample loss / target_length, then batch
+        # mean (zero-length targets divide by 1, as torch clamps)
+        return (nll / jnp.maximum(label_lengths, 1)).mean()
     return nll
 
 
@@ -514,56 +519,81 @@ def wctc_loss(
     mode: str = "soft",
     reduction: str = "sum",
 ) -> jnp.ndarray:
-    """Wild-card CTC (reference `lcasr/losses/wctc.py`): tolerant to
-    untranscribed prefixes/suffixes by letting the alignment start at any
-    label position with a free "wildcard" prefix row.
+    """Wild-card CTC — faithful to reference `lcasr/losses/wctc.py:7-68`:
 
-    Implemented as the standard lattice but with the initial alpha allowing
-    every augmented position (mode='soft': uniform prior over start states).
-    """
+      * the augmented lattice carries a WILDCARD column pinned to log-prob 0
+        at EVERY time step, feeding the first blank/label states — so the
+        alignment may BEGIN at any frame for free (untranscribed prefix),
+      * the two end states are read out at EVERY time step, and the per-time
+        end log-likelihoods combine by mode (untranscribed suffix):
+          'soft'     — softmax-over-time expectation Σ_t p_t·y_t,
+          'max_prob' — max_t y_t,
+          'sum_prob' — logsumexp_t y_t.
+
+    The reference runs the recursion over the full (unbatched) T and never
+    consults input_lengths; here batch rows are padded, so frames at
+    t >= input_length are excluded from the per-time readout (identical to
+    the reference on unpadded inputs)."""
     if blank_id is None:
         blank_id = log_probs.shape[-1] - 1
     lp = log_probs.astype(jnp.float32)
 
     def single(lpb, lab, il, ll):
         T, C = lpb.shape
-        U = lab.shape[0]
-        S = 2 * U + 1
-        z = jnp.full((S,), blank_id, dtype=jnp.int32)
-        z = z.at[1::2].set(lab.astype(jnp.int32))
-        prev2 = jnp.concatenate([jnp.full((2,), -1, jnp.int32), z[:-2]])
-        can_skip = (z != blank_id) & (z != prev2)
-        valid_s = jnp.arange(S) < (2 * ll + 1)
-        emissions = lpb[:, z]  # (T, S) hoisted gather
-        # wildcard start: any state may begin the path (il == 0 → no valid
-        # frame 0 → all -inf, same contract as ctc_loss)
-        alpha0 = jnp.where(valid_s & (il > 0), emissions[0], _NEG_INF)
+        lab = lab.astype(jnp.int32)
+        lab_ext = jnp.concatenate([lab, lab[:1]])  # (U+1,)
+        tgt = jnp.stack(
+            [jnp.full_like(lab_ext, blank_id), lab_ext], axis=-1
+        ).reshape(-1)  # (2U+2,): [b, l1, b, l2, ..., b, lU, b, l1]
+        tgt = jnp.where(tgt < 0, blank_id, tgt)
+        S = tgt.shape[0]
+        diff = jnp.concatenate(
+            [jnp.array([False, True]), tgt[2:] != tgt[:-2]]
+        )  # reference diff_labels: the first LABEL may skip in from the
+        #    wildcard at any time
+        emissions = lpb[:, tgt]  # (T, S)
 
-        def step(alpha, te):
-            t, emit = te
-            a_prev = jnp.concatenate([jnp.array([_NEG_INF]), alpha[:-1]])
-            a_skip = jnp.where(
-                can_skip,
-                jnp.concatenate([jnp.full((2,), _NEG_INF), alpha[:-2]]),
-                _NEG_INF,
+        def end_ll(alpha):
+            # reference gathers at augmented cols (zp+2L-1, zp+2L); doing the
+            # take on [NEG, wildcard] + alpha reproduces the L == 0 edge too
+            aug = jnp.concatenate([jnp.array([_NEG_INF, 0.0]), alpha])
+            pair = jnp.take(aug, jnp.array([1, 2]) + 2 * ll)
+            m = pair.max()
+            return m + jnp.log(jnp.exp(pair - m).sum())
+
+        alpha0 = (
+            jnp.full((S,), _NEG_INF)
+            .at[0].set(lpb[0, blank_id])
+            .at[1].set(lpb[0, tgt[1]])
+        )
+
+        def step(alpha, emit):
+            # augmented left/skip sources: col 0's left neighbour and col 1's
+            # skip source are the PERMANENT wildcard (log-prob 0)
+            from_left = jnp.concatenate([jnp.array([0.0]), alpha[:-1]])
+            from_skip = jnp.concatenate([jnp.array([_NEG_INF, 0.0]), alpha[:-2]])
+            stacked = jnp.stack(
+                [alpha, from_left, jnp.where(diff, from_skip, _NEG_INF)]
             )
-            stacked = jnp.stack([alpha, a_prev, a_skip])
             m = stacked.max(0)
-            new = m + jnp.log(jnp.exp(stacked - m).sum(0))
-            new = jnp.where(m <= _NEG_INF / 2, _NEG_INF, new) + emit
-            new = jnp.where(valid_s, new, _NEG_INF)
-            new = jnp.where(t < il, new, alpha)
-            return new, None
+            new = m + jnp.log(jnp.exp(stacked - m).sum(0)) + emit
+            return new, end_ll(new)
 
-        alpha_T, _ = jax.lax.scan(step, alpha0, (jnp.arange(1, T), emissions[1:]))
-        # wildcard end: sum over all end states (suffix may be untranscribed)
-        masked = jnp.where(valid_s, alpha_T, _NEG_INF)
-        if mode == "max_prob":
-            ll_val = masked.max()
-        else:  # soft / sum_prob
-            m = masked.max()
-            ll_val = m + jnp.log(jnp.exp(masked - m).sum())
-        return -ll_val
+        alpha_last, ys = jax.lax.scan(step, alpha0, emissions[1:])
+        ys = jnp.concatenate([end_ll(alpha0)[None], ys])  # (T,)
+        valid_t = jnp.arange(T) < il
+        ys_masked = jnp.where(valid_t, ys, _NEG_INF)
+        if mode == "soft":
+            p = jax.nn.softmax(ys_masked)
+            sigma = (p * jnp.where(valid_t, ys, 0.0)).sum()
+        elif mode == "max_prob":
+            sigma = ys_masked.max()
+        elif mode == "sum_prob":
+            m = ys_masked.max()
+            sigma = m + jnp.log(jnp.exp(ys_masked - m).sum())
+        else:
+            raise ValueError(f"unknown wctc mode {mode!r}")
+        return -sigma
 
     nll = jax.vmap(single)(lp, labels, input_lengths, label_lengths)
     if reduction == "sum":

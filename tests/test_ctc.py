@@ -251,3 +251,80 @@ def test_ctc_segmented_matches_torch_oracle():
         torch.from_numpy(label_lengths),
     ).numpy()
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["soft", "max_prob", "sum_prob"])
+def test_wctc_matches_reference_oracle(mode):
+    """wctc_loss vs the reference lcasr/losses/wctc.py run as a torch
+    oracle: wildcard start at any frame, per-time end-state readout, and
+    the three distinct modes."""
+    from tests.reference_oracle import load_reference_module, reference_available
+
+    if not reference_available():
+        pytest.skip("reference checkout not present")
+    import torch
+
+    ref = load_reference_module("lcasr/losses/wctc.py", "ref_wctc")
+
+    from lcasr_tpu.ops.ctc import wctc_loss
+
+    rng = np.random.default_rng(0)
+    B, T, C, U = 2, 12, 7, 3
+    logits = rng.normal(size=(B, T, C)) * 2.0
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    labels = rng.integers(1, C - 1, size=(B, U))
+    t_lens = np.array([U, U - 1])
+    i_lens = np.array([T, T])
+    blank = 0
+
+    got = wctc_loss(
+        jnp.asarray(lp), jnp.asarray(labels), jnp.asarray(i_lens),
+        jnp.asarray(t_lens), blank_id=blank, mode=mode, reduction="none",
+    )
+    want = ref.wctc_loss(
+        torch.tensor(np.transpose(lp, (1, 0, 2)), dtype=torch.float64),
+        torch.tensor(labels), torch.tensor(i_lens), torch.tensor(t_lens),
+        blank=blank, mode=mode,
+    )
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_wctc_tolerates_untranscribed_prefix():
+    """The canonical wildcard case: frames [x, a, b] with labels [a, b] —
+    the untranscribed leading frame is absorbed for ~free (the old
+    implementation scored it ~19 nats)."""
+    from lcasr_tpu.ops.ctc import wctc_loss
+
+    C, blank = 4, 0
+    # near-one-hot frames: x(class 3), a(1), b(2)
+    lp = np.full((1, 3, C), -25.0, np.float32)
+    for t, c in enumerate((3, 1, 2)):
+        lp[0, t, c] = 0.0
+    loss = wctc_loss(
+        jnp.asarray(lp), jnp.asarray([[1, 2]]), jnp.asarray([3]),
+        jnp.asarray([2]), blank_id=blank, mode="soft", reduction="none",
+    )
+    assert float(loss[0]) < 1.0, float(loss[0])
+
+
+def test_ctc_mean_reduction_matches_torch():
+    """reduction='mean' divides per-sample losses by target length first
+    (torch CTCLoss semantics), not a plain batch mean."""
+    import torch
+
+    rng = np.random.default_rng(1)
+    B, T, C, U = 2, 10, 6, 4
+    logits = rng.normal(size=(B, T, C))
+    lp = jnp.asarray(logits - np.log(np.exp(logits).sum(-1, keepdims=True)))
+    labels = rng.integers(0, C - 1, size=(B, U))
+    t_lens = np.array([U, 2])
+    i_lens = np.array([T, T])
+
+    got = ctc_loss(lp, jnp.asarray(labels), jnp.asarray(i_lens),
+                   jnp.asarray(t_lens), blank_id=C - 1, reduction="mean")
+    want = torch.nn.CTCLoss(blank=C - 1, reduction="mean")(
+        torch.tensor(np.transpose(np.asarray(lp), (1, 0, 2)), dtype=torch.float64),
+        torch.tensor(labels), torch.tensor(i_lens), torch.tensor(t_lens),
+    )
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
