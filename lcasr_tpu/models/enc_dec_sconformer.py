@@ -18,6 +18,7 @@ Counterparts of reference `lcasr/models/enc_dec_sconformer.py:29-860` and
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Tuple
 
 import jax
@@ -81,7 +82,8 @@ class DecoderSelfAttention(nn.Module):
         qkv = nn.Dense(3 * H * D, use_bias=False, dtype=self.dtype, name="qkv_proj")(x)
         q, k, v = (a.reshape(B, T, H, D) for a in jnp.split(qkv, 3, axis=-1))
         if self.cosine:
-            temp = self.param("temperature", nn.initializers.constant(15.5), (H, 1, 1), jnp.float32)
+            # ONE shared scalar (reference enc_dec_sconformer_v2.py:790), not per-head
+            temp = self.param("temperature", nn.initializers.constant(15.5), (), jnp.float32)
 
         if cache is not None:
             k_cache, v_cache, t = cache
@@ -100,7 +102,7 @@ class DecoderSelfAttention(nn.Module):
             scores = jnp.einsum(
                 "bthd,bshd->bhts", q.astype(jnp.float32), k_cache.astype(jnp.float32)
             )  # (B, H, 1, S)
-            scores = scores * (temp[None] if self.cosine else D ** -0.5)
+            scores = scores * (temp if self.cosine else D ** -0.5)
             if pos_bias is not None:
                 scores = scores + pos_bias[None]  # (1, H, 1, S)
             valid = (jnp.arange(S) <= t)[None, None, None, :]
@@ -119,9 +121,18 @@ class DecoderSelfAttention(nn.Module):
             k = self._normalize(k)
             scores = jnp.einsum(
                 "bthd,bshd->bhts", q.astype(jnp.float32), k.astype(jnp.float32)
-            ) * temp[None]
+            ) * temp
             if pos_bias is not None:
                 scores = scores + pos_bias[None]
+            scores = jnp.where(causal, scores, NEG_INF)
+            probs = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32)).astype(x.dtype)
+        elif pos_bias is not None:
+            # keep the full pass and the cached step the SAME model: the
+            # bias must not silently drop on the training path
+            scores = jnp.einsum(
+                "bthd,bshd->bhts", q.astype(jnp.float32), k.astype(jnp.float32)
+            ) * (D ** -0.5) + pos_bias[None]
             scores = jnp.where(causal, scores, NEG_INF)
             probs = jax.nn.softmax(scores, axis=-1)
             out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32)).astype(x.dtype)
@@ -188,20 +199,29 @@ class CrossAttnDecoder(nn.Module):
     bias_in_ff: bool = False
     cosine_attention: bool = False  # V2
     use_dynamic_pos_bias: bool = False  # V2
+    use_acoustic_norm: bool = False  # reference v2:902 kwarg, default off
     dtype: Any = jnp.float32
 
     def setup(self):
         Norm = get_norm(self.default_norm)
         self.embed = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype, name="embed")
-        self.pos_enc = LearnableFourierPosEnc(self.d_model, dtype=self.dtype, name="pos_enc")
-        self.acoustic_norm = Norm(self.d_model, name="acoustic_norm")
+        # reference builds the decoder pos enc with an MLP head (hidden 64,
+        # enc_dec_sconformer.py:86) and gates acoustic_norm behind a kwarg
+        # defaulting OFF (v2:902)
+        self.pos_enc = LearnableFourierPosEnc(
+            self.d_model, hidden_dim=64, dtype=self.dtype, name="pos_enc"
+        )
+        self.acoustic_norm = (
+            Norm(self.d_model, name="acoustic_norm")
+            if self.use_acoustic_norm else (lambda v: v)
+        )
         if self.use_rotary and not self.cosine_attention:
             self.rotary_pos_emb = RotaryEmbedding(
                 dim=self.head_dim, base=self.rotary_base_freq, name="rotary_pos_emb"
             )
         if self.use_dynamic_pos_bias:
             self.dynamic_pos_bias = DynamicPositionBias(
-                dim=self.d_model // 4, heads=self.n_heads, name="dynamic_pos_bias"
+                dim=64, heads=self.n_heads, name="dynamic_pos_bias"  # reference v2:947-952
             )
         self.self_norms = [Norm(self.d_model, name=f"self_norm_{i}") for i in range(self.n_layers)]
         self.self_attns = [
@@ -321,12 +341,14 @@ class EncDecSconformer(nn.Module):
     d_model: int = 768
     n_heads: int = 6
     head_dim: int = 128
-    decoder_layers: int = 3
+    # None couples the decoder depth to n_layers, as both references do
+    # (they pass n_layers=n_layers to CrossAttnDecoder)
+    decoder_layers: Optional[int] = None
     ctc_loss_weight: float = 0.5
     self_conditioning: bool = True
     default_norm: str = "layer_norm"
     conv_kernel_size: int = 9
-    use_rotary: bool = False
+    use_rotary: bool = True  # reference default (enc_dec_sconformer.py:52)
     rotary_base_freq: float = 10000.0
     bias_in_ff: bool = False
     cosine_attention: bool = False
@@ -369,7 +391,8 @@ class EncDecSconformer(nn.Module):
             )
         self.language_model_decoder = CrossAttnDecoder(
             vocab_size=self.vocab_size,
-            n_layers=self.decoder_layers,
+            n_layers=(self.decoder_layers
+                      if self.decoder_layers is not None else self.n_layers),
             d_model=self.d_model,
             n_heads=self.n_heads,
             head_dim=self.head_dim,
@@ -386,6 +409,12 @@ class EncDecSconformer(nn.Module):
             self.rotary_pos_emb = RotaryEmbedding(
                 dim=self.head_dim, base=self.rotary_base_freq, name="rotary_pos_emb"
             )
+        # reference applies a fourier pos enc to the subsampled acoustic
+        # features IN ADDITION to rotary (enc_dec_sconformer.py:86,322)
+        self.encoder_pos_enc = LearnableFourierPosEnc(
+            self.d_model, hidden_dim=64, dtype=self.dtype,
+            name="encoder_pos_enc",
+        )
 
     def encode(self, audio_signal, length=None, train: bool = False):
         x = jnp.swapaxes(audio_signal, 1, 2).astype(self.dtype)
@@ -394,6 +423,7 @@ class EncDecSconformer(nn.Module):
         if not have_lengths:
             length = jnp.full((B,), x.shape[1], jnp.int32)
         x, length = self.subsampling(x, length)
+        x = self.encoder_pos_enc(x)
         lengths_arg = length if have_lengths else None
         pad_mask = (~length_mask(length, x.shape[1])) if have_lengths else None
         rotary = self.rotary_pos_emb(x.shape[1]) if self.use_rotary else None
@@ -467,20 +497,36 @@ def calc_loss(
     text_sequence,
     a_lengths,
     t_lengths,
-    ctc_loss_weight: float = 0.5,
+    ctc_loss_weight: Optional[float] = None,
     bos_id: int = 0,
     eos_id: int = 0,
     train: bool = False,
 ):
     """Joint CTC + CE loss with the reference's normalizations
-    (reference `enc_dec_sconformer.py:177-242`)."""
+    (reference `enc_dec_sconformer.py:177-242`).
+
+    ctc_loss_weight defaults to the MODEL's setting (the reference reads
+    self.ctc_loss_weight) — a fixed local default could silently disagree
+    with the architecture (e.g. half-weighting the LM loss of a CTC-free
+    model).  train=True runs with mutable batch stats (the conv renorm
+    writes its running statistics) and returns them under "batch_stats"."""
     from lcasr_tpu.ops.ctc import ctc_loss as ctc_loss_fn
 
+    if ctc_loss_weight is None:
+        ctc_loss_weight = model.ctc_loss_weight
     B, U = text_sequence.shape
     text_bos = jnp.pad(text_sequence, ((0, 0), (1, 0)), constant_values=bos_id)
     t_lengths_bos = t_lengths + 1
 
-    out = model.apply(variables, audio_signal, text_sequence=text_bos, length=a_lengths, train=train)
+    new_stats = None
+    if train:
+        out, mutated = model.apply(
+            variables, audio_signal, text_sequence=text_bos, length=a_lengths,
+            train=True, mutable=["batch_stats"],
+        )
+        new_stats = mutated["batch_stats"]
+    else:
+        out = model.apply(variables, audio_signal, text_sequence=text_bos, length=a_lengths)
     ctc_out, lm_out, a_len_out = (
         out["final_posteriors_ctc"],
         out["final_posteriors_lm"],
@@ -509,12 +555,15 @@ def calc_loss(
     lm_to_bwd = lm_loss / (lm_out.shape[0] * lm_out.shape[1])
 
     loss = ctc_to_bwd * ctc_loss_weight + lm_to_bwd * (1 - ctc_loss_weight)
-    return {
+    result = {
         "loss": loss,
         "ctc_loss": ctc_to_bwd,
         "lm_loss": lm_to_bwd,
         "length": a_len_out,
     }
+    if new_stats is not None:
+        result["batch_stats"] = new_stats
+    return result
 
 
 def generate_greedy(
@@ -527,6 +576,17 @@ def generate_greedy(
 ):
     """Greedy AED decoding as one jitted while_loop over a static buffer
     (reference `enc_dec_sconformer.py:244-270`)."""
+    run = _greedy_run(model, max_generate, bos_id, eos_id)
+    tokens, t = run(variables, audio_signal)
+    ids = list(map(int, tokens[0, 1 : int(t) + 1]))
+    return [i for i in ids if i != eos_id]
+
+
+@functools.lru_cache(maxsize=None)
+def _greedy_run(model, max_generate: int, bos_id: int, eos_id: int):
+    """Cached jitted greedy loop (a fresh per-call closure would retrace and
+    recompile the whole encoder+decoder for every utterance)."""
+    import jax
 
     @jax.jit
     def run(variables, audio_signal):
@@ -552,9 +612,7 @@ def generate_greedy(
         t, tokens, _ = jax.lax.while_loop(cond, body, (0, tokens0, False))
         return tokens, t
 
-    tokens, t = run(variables, audio_signal)
-    ids = list(map(int, tokens[0, 1 : int(t) + 1]))
-    return [i for i in ids if i != eos_id]
+    return run
 
 
 def generate_greedy_cached(
@@ -569,6 +627,16 @@ def generate_greedy_cached(
     precomputed cross-attention K/V (reference `enc_dec_sconformer_v2.py:
     758-1026`, the cache-index incremental path).  Emits the same ids as
     `generate_greedy` (which re-forwards the whole prefix per token, O(U²))."""
+    run = _greedy_cached_run(model, max_generate, bos_id, eos_id)
+    tokens, t = run(variables, audio_signal)
+    ids = list(map(int, tokens[0, 1 : int(t) + 1]))
+    return [i for i in ids if i != eos_id]
+
+
+@functools.lru_cache(maxsize=None)
+def _greedy_cached_run(model, max_generate: int, bos_id: int, eos_id: int):
+    """Cached jitted KV-cached greedy loop (see _greedy_run)."""
+    import jax
 
     @jax.jit
     def run(variables, audio_signal):
@@ -577,7 +645,9 @@ def generate_greedy_cached(
             variables, a_hidden, length, max_generate, method=model.decoder_precompute
         )
         caches = init_decoder_cache(
-            model.decoder_layers, model.n_heads, model.head_dim,
+            (model.decoder_layers
+             if model.decoder_layers is not None else model.n_layers),
+            model.n_heads, model.head_dim,
             batch=1, max_len=max_generate, dtype=model.dtype,
         )
 
@@ -601,6 +671,4 @@ def generate_greedy_cached(
         t, tokens, _, _ = jax.lax.while_loop(cond, body, (0, tokens0, caches, False))
         return tokens, t
 
-    tokens, t = run(variables, audio_signal)
-    ids = list(map(int, tokens[0, 1 : int(t) + 1]))
-    return [i for i in ids if i != eos_id]
+    return run

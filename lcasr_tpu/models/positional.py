@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -23,6 +24,10 @@ class LearnableFourierPosEnc(nn.Module):
 
     d_model: int
     gamma: Optional[float] = None
+    # reference hidden_dim (positional_encodings.py:52-58): modulate the
+    # fourier features with a Linear-GELU-Linear MLP before adding.  The
+    # main conformer uses None (raw features); the enc-dec decoders pass 64.
+    hidden_dim: Optional[int] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -41,6 +46,12 @@ class LearnableFourierPosEnc(nn.Module):
         proj = pos @ w_r  # (B or 1, T, d_model//2)
         pe = jnp.concatenate([jnp.cos(proj), jnp.sin(proj)], axis=-1)
         pe = pe * (self.d_model ** -0.5)
+        if self.hidden_dim is not None:
+            pe = nn.Dense(self.hidden_dim, dtype=self.dtype, name="mlp_0")(
+                pe.astype(self.dtype)
+            )
+            pe = jax.nn.gelu(pe, approximate=False)
+            pe = nn.Dense(self.d_model, dtype=self.dtype, name="mlp_1")(pe)
         return x + pe.astype(x.dtype)
 
 

@@ -111,3 +111,45 @@ def test_generate_greedy_cached_matches_uncached(model_and_vars):
         model, variables, audio, max_generate=12, bos_id=2, eos_id=0
     )
     assert ids_cached == ids_full
+
+
+def test_calc_loss_train_mode_returns_batch_stats():
+    """calc_loss(train=True) must run with mutable batch stats (the conv
+    renorm writes running statistics) — it used to crash — and default its
+    ctc weight from the MODEL."""
+    model = EncDecSconformer(**TINY)
+    audio = jnp.zeros((2, 80, 128))
+    text = jnp.ones((2, 6), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), audio, text_sequence=text)
+    out = calc_loss(
+        model, variables, audio, text,
+        a_lengths=jnp.array([128, 100]), t_lengths=jnp.array([6, 4]),
+        train=True,
+    )
+    assert np.isfinite(float(out["loss"]))
+    assert "batch_stats" in out
+
+
+def test_pos_bias_consistent_between_full_pass_and_cached_step():
+    """use_dynamic_pos_bias with NON-cosine attention: the full causal pass
+    must apply the bias exactly like the cached incremental step (it used to
+    drop it), so cached and uncached greedy decoding agree."""
+    model = EncDecSconformer(**{**TINY, "use_dynamic_pos_bias": True,
+                                "cosine_attention": False})
+    audio = jax.random.normal(jax.random.PRNGKey(3), (1, 80, 128))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 128)),
+                           jnp.zeros((1, 8), jnp.int32))
+    ids_full = generate_greedy(model, variables, audio, max_generate=12)
+    ids_cached = generate_greedy_cached(model, variables, audio, max_generate=12)
+    assert ids_full == ids_cached
+
+
+def test_decoder_depth_couples_to_encoder_depth_by_default():
+    """References pass n_layers to the decoder; decoder_layers=None mirrors
+    that."""
+    kw = {k: v for k, v in TINY.items() if k != "decoder_layers"}
+    model = EncDecSconformer(**{**kw, "n_layers": 2})
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 128)),
+                           jnp.zeros((1, 4), jnp.int32))
+    dec = variables["params"]["language_model_decoder"]
+    assert "self_norm_1" in dec and "self_norm_2" not in dec
