@@ -80,7 +80,11 @@ def _hann_window(win_length: int = WIN_LENGTH, n_fft: int = N_FFT) -> np.ndarray
 def _frame(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
     """(..., T) → (..., n_frames, frame_length) via gather of static indices."""
     n_frames = 1 + (x.shape[-1] - frame_length) // hop
-    idx = np.arange(frame_length)[None, :] + hop * np.arange(n_frames)[:, None]
+    # int32 index: the int64 default doubles a ~3 GB transient for 2 h audio
+    idx = (
+        np.arange(frame_length, dtype=np.int32)[None, :]
+        + (hop * np.arange(n_frames, dtype=np.int32))[:, None]
+    )
     return x[..., idx]
 
 
@@ -139,12 +143,13 @@ def resample(waveform: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
 def load_audio(path: str) -> Tuple[np.ndarray, int]:
     """Load an audio file to (channels, T) float32. WAV via scipy; other
     formats require an external decoder and raise a clear error."""
-    if path.endswith(".wav"):
+    if path.lower().endswith(".wav"):
         from scipy.io import wavfile
 
         sr, data = wavfile.read(path)
         if data.dtype.kind == "i":
-            data = data.astype(np.float32) / float(np.iinfo(data.dtype).max)
+            # torchaudio divides by 2^(bits-1) (32768 for int16), not max
+            data = data.astype(np.float32) / float(np.iinfo(data.dtype).max + 1)
         elif data.dtype.kind == "u":
             data = (data.astype(np.float32) - 128.0) / 128.0
         else:
@@ -154,7 +159,9 @@ def load_audio(path: str) -> Tuple[np.ndarray, int]:
         else:
             data = data.T
         return data, sr
-    if path.endswith(".npy"):
+    if path.lower().endswith(".npy"):
+        # the preprocessing contract stores 16 kHz waveforms in .npy — there
+        # is no header to consult, so SR is asserted, not detected
         arr = np.load(path)
         return (arr if arr.ndim == 2 else arr[None]).astype(np.float32), SR
     raise ValueError(

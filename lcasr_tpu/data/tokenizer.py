@@ -170,24 +170,19 @@ class PrecompiledCharsmap:
                 out.append(self._replacement(value))
                 i += length
                 continue
-            # no rule: copy one utf-8 character; malformed byte → U+FFFD
+            # no rule: copy one utf-8 character (input comes from a Python
+            # str, so the bytes are always valid utf-8 and codepoint-aligned)
             b0 = data[i]
-            clen = 1 if b0 < 0x80 else 2 if b0 >> 5 == 0b110 else 3 if b0 >> 4 == 0b1110 else 4 if b0 >> 3 == 0b11110 else 0
-            chunk = data[i : i + clen] if clen and i + clen <= n else b""
-            try:
-                chunk.decode("utf-8")
-                ok = bool(chunk)
-            except UnicodeDecodeError:
-                ok = False
-            if ok:
-                out.append(chunk)
-                i += clen
-            else:
-                out.append("�".encode("utf-8"))
-                i += 1
+            clen = 1 if b0 < 0x80 else 2 if b0 >> 5 == 0b110 else 3 if b0 >> 4 == 0b1110 else 4
+            out.append(data[i : i + clen])
+            i += clen
         text = b"".join(out).decode("utf-8")
-        # NormalizerSpec.remove_extra_whitespaces (default True)
-        return " ".join(text.split())
+        # NormalizerSpec.remove_extra_whitespaces collapses ASCII SPACE runs
+        # only — str.split() would also eat e.g. U+0085, which the charsmap
+        # deliberately passes through (sentencepiece encodes it as unk)
+        while "  " in text:
+            text = text.replace("  ", " ")
+        return text.strip(" ")
 
 
 def normalize_nmt_nfkc_cf(text: str) -> str:
@@ -213,9 +208,24 @@ class SentencePieceBPE:
             _, blob = parse_normalizer_spec(model_path)
             if blob:
                 self._charsmap = PrecompiledCharsmap(blob)
-        except Exception:
+        except Exception as e:
+            # the approximate fallback produces DIFFERENT ids for some
+            # inputs (e.g. 'Straße'); never downgrade silently
+            import warnings
+
+            warnings.warn(
+                f"failed to load the model's precompiled charsmap ({e!r}); "
+                f"falling back to APPROXIMATE nmt_nfkc_cf normalization",
+                stacklevel=2,
+            )
             self._charsmap = None
         self.piece_to_id: Dict[str, int] = {p: i for i, (p, _, _) in enumerate(self.pieces)}
+        # matchable surface: sentencepiece never matches CONTROL/UNUSED
+        # pieces from raw text (their ids are only emitted explicitly)
+        self._match_to_id: Dict[str, int] = {
+            p: i for i, (p, _, t) in enumerate(self.pieces)
+            if t not in (_CONTROL, _UNUSED)
+        }
         self.scores = [s for (_, s, _) in self.pieces]
         self.types = [t for (_, _, t) in self.pieces]
         self._unk_id = next(
@@ -233,11 +243,24 @@ class SentencePieceBPE:
                 mod = load_bpe_native()
                 if mod is not None:
                     self._native = mod
+                    # CONTROL/UNUSED pieces must be unreachable from text in
+                    # the native loop too: replace their surface with a
+                    # string no normalized input can contain (ids preserved
+                    # — the native encoder returns indices into this list)
                     self._native_tok = mod.init(
-                        [p for (p, _, _) in self.pieces],
+                        [
+                            p if t not in (_CONTROL, _UNUSED) else f"\x00{i}"
+                            for i, (p, _, t) in enumerate(self.pieces)
+                        ],
                         [float(s) for s in self.scores],
                     )
-            except Exception:
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"native BPE unavailable ({e!r}); using the (identical, "
+                    f"~3x slower) Python merge loop", stacklevel=2,
+                )
                 self._native = None
 
     # -- spm API surface -----------------------------------------------------
@@ -285,7 +308,7 @@ class SentencePieceBPE:
             if i < 0 or j < 0:
                 return
             merged = sym[i] + sym[j]
-            pid = self.piece_to_id.get(merged)
+            pid = self._match_to_id.get(merged)
             if pid is not None:
                 heapq.heappush(heap, (-self.scores[pid], i, j, merged))
 
@@ -308,7 +331,7 @@ class SentencePieceBPE:
         i = 0
         while i != -1:
             if alive[i]:
-                pid = self.piece_to_id.get(sym[i])
+                pid = self._match_to_id.get(sym[i])
                 if pid is not None:
                     out.append(pid)
                 else:  # unknown: emit per-char ids / unk

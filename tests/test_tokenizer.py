@@ -99,3 +99,28 @@ class TestPrecompiledCharsmap:
         assert tok.normalize("Straße") == "straße"
         # round trip unaffected for ordinary text
         assert tok.decode(tok.encode("hello there world")) == "hello there world"
+
+
+def test_charsmap_preserves_non_space_whitespace():
+    """remove_extra_whitespaces collapses ASCII SPACE runs only — U+0085
+    (NEL) has no charsmap rule and must pass through (sentencepiece encodes
+    it as unk), not be eaten by str.split()."""
+    tok = load_tokenizer()
+    if tok._charsmap is None:
+        import pytest
+
+        pytest.skip("charsmap not loaded")
+    out = tok._charsmap.normalize("a\x85b")
+    assert "\x85" in out
+    # while plain space runs DO collapse and outer spaces strip
+    assert tok._charsmap.normalize("  a   b  ") == "a b"
+
+
+def test_control_pieces_unreachable_from_text():
+    """CONTROL/UNUSED pieces must never be emitted by encode() on raw text
+    (sentencepiece's matcher excludes them), on BOTH merge paths."""
+    tok = load_tokenizer()
+    control_ids = tok._control
+    for text in ("[pad] [bos] hello", "<s> test </s>"):
+        ids = tok.encode(text)
+        assert not (set(ids) & control_ids), (text, ids)
