@@ -145,6 +145,7 @@ def beam_stage(
             alpha=alpha,
             beta=beta,
             lm_scores=lm_scores,
+            pad_id=tokenizer.pad_id(),  # id 0 is never proposed (lcasr)
         )
         texts = [bs.run_search(lg) for lg in all_logits]
 

@@ -42,6 +42,7 @@ class Beam:
     p_non_blank: float = LOG0  # log prob of prefix ending in its last token
     lm_score: float = 0.0  # cumulative α·LM + β·len bonus
     frames: Tuple[int, ...] = ()  # first-emission frame per token (timestamps)
+    best_contrib: float = LOG0  # strongest merged-in path mass (for frames)
 
     @property
     def am_score(self) -> float:
@@ -60,10 +61,18 @@ class BeamSearch:
         blank_id: Optional[int] = None,
         alpha: float = 0.45,
         beta: float = 1.53,
-        prune_less_than_val: float = -6.0,  # AM top-candidate threshold
+        # beam-score prune margin (reference prune_less_than_val, a POSITIVE
+        # value like 8.0: beams below best - val are dropped); None = off
+        prune_less_than_val: Optional[float] = None,
         top_am_threshold: float = -6.0,
         lm_scores: Optional[Callable[[List[List[int]]], np.ndarray]] = None,
+        # > 0: truncate the LM context to the last n tokens (reference
+        # trim_cache semantics, within one token for a stateless scorer)
         max_cache_length: int = -1,
+        # lcasr convention: id 0 is pad/unk and never proposed (reference
+        # :224, frame_sync :252).  None = every id is a candidate (generic
+        # vocabularies).
+        pad_id: Optional[int] = None,
     ):
         self.tokenizer = tokenizer
         self.beam_width = beam_width
@@ -72,6 +81,9 @@ class BeamSearch:
         self.beta = beta
         self.top_am_threshold = top_am_threshold
         self.lm_scores = lm_scores
+        self.prune_less_than_val = prune_less_than_val
+        self.max_cache_length = max_cache_length
+        self.pad_id = pad_id
 
     def run_search(self, log_probs: np.ndarray, decode: bool = True):
         """log_probs: (T, C) CTC log posteriors → best transcript (or ids)."""
@@ -80,18 +92,33 @@ class BeamSearch:
 
         beams: Dict[Tuple[int, ...], Beam] = {(): Beam()}
 
+        # per-prefix LM memo: a prefix's next-token distribution is
+        # frame-independent, so only NEWLY-created prefixes ever need a
+        # forward (pruned each frame to the live beam set)
+        lm_memo: Dict[Tuple[int, ...], np.ndarray] = {}
+
         for t in range(T):
             frame = log_probs[t]
-            # top-AM pruning (reference :224-228)
+            # top-AM pruning (reference :224-228); the configured pad id is
+            # never a candidate unless it IS blank
             keep = np.where(frame > frame.max() + self.top_am_threshold)[0]
+            if self.pad_id is not None and blank != self.pad_id:
+                keep = keep[keep != self.pad_id]
 
-            # one batched LM call per frame for all current prefixes that may
-            # extend with a new token (reference :287-317)
+            # one batched LM call per frame for prefixes not already scored
             lm_next: Optional[Dict[Tuple[int, ...], np.ndarray]] = None
             if self.lm_scores is not None and any(k != blank for k in keep):
-                prefixes = list(beams.keys())
-                scores = self.lm_scores([list(p) for p in prefixes])
-                lm_next = {p: scores[i] for i, p in enumerate(prefixes)}
+                missing = [p for p in beams if p not in lm_memo]
+                if missing:
+                    mcl = self.max_cache_length
+                    ctx = [
+                        list(p)[-mcl:] if mcl > 0 else list(p)
+                        for p in missing
+                    ]
+                    scores = self.lm_scores(ctx)
+                    for i, p in enumerate(missing):
+                        lm_memo[p] = scores[i]
+                lm_next = lm_memo
 
             new_beams: Dict[Tuple[int, ...], Beam] = {}
 
@@ -103,6 +130,12 @@ class BeamSearch:
                 b.p_blank = _logsumexp(b.p_blank, p_blank)
                 b.p_non_blank = _logsumexp(b.p_non_blank, p_non_blank)
                 b.lm_score = lm_score  # deterministic per prefix
+                # timestamps follow the STRONGEST merged-in path, not
+                # whichever was iterated first
+                contrib = _logsumexp(p_blank, p_non_blank)
+                if contrib > b.best_contrib:
+                    b.best_contrib = contrib
+                    b.frames = frames
 
             for prefix, beam in beams.items():
                 last = prefix[-1] if prefix else None
@@ -127,7 +160,13 @@ class BeamSearch:
                             beam.frames + (t,), p_non_blank=beam.am_score + p)
 
             ranked = sorted(new_beams.values(), key=lambda b: -b.score)
-            beams = {b.prefix: b for b in ranked[: self.beam_width]}
+            ranked = ranked[: self.beam_width]
+            if self.prune_less_than_val is not None and ranked:
+                cut = ranked[0].score - self.prune_less_than_val
+                ranked = [b for b in ranked if b.score >= cut]
+            beams = {b.prefix: b for b in ranked}
+            if self.lm_scores is not None:
+                lm_memo = {p: v for p, v in lm_memo.items() if p in beams}
 
         best = max(beams.values(), key=lambda b: b.score)
         self._best = best
@@ -151,11 +190,8 @@ class BeamSearch:
         are the first/last piece-emission frames scaled by the subsampling
         factor.
         """
-        T, C = log_probs.shape
-        blank = self.blank_id if self.blank_id is not None else C - 1
-        # rerun tracking the best beam
-        self._keep_best = True
-        beams_best = self._search_best(log_probs, blank)
+        self.run_search(log_probs, decode=False)
+        beams_best = self._best
         ids, frames = list(beams_best.prefix), list(beams_best.frames)
         words, cur, cur_frames = [], [], []
         pieces = [self.tokenizer.id_to_piece(i) for i in ids] if self.tokenizer else []
@@ -179,15 +215,6 @@ class BeamSearch:
             "score": beams_best.score,
         }
 
-    def _search_best(self, log_probs: np.ndarray, blank: int) -> Beam:
-        saved_blank = self.blank_id
-        self.blank_id = blank
-        try:
-            self.run_search(log_probs, decode=False)
-        finally:
-            self.blank_id = saved_blank
-        return self._best
-
     def _lm_add(self, lm_next, prefix, c) -> float:
         if lm_next is None:
             return 0.0
@@ -202,23 +229,35 @@ class FlaxLMScorer:
     the batched `lm_scores` hook (prefixes padded to a shared bucket; one
     forward per frame, mirroring the reference's stacked-KV batching)."""
 
-    def __init__(self, fn: Callable, bos_id: int = 2, pad_id: int = 0, bucket: int = 32):
+    def __init__(self, fn: Callable, bos_id: int = 2, pad_id: int = 0,
+                 bucket: int = 32, fn_last: Optional[Callable] = None,
+                 batch_bucket: int = 8):
         self.fn = fn
+        # fn_last(tokens (B, U), last (B,)) -> (B, V) next-token LOG-PROBS,
+        # gathered + log-softmaxed ON DEVICE (transfers B·V instead of
+        # B·U·V per call)
+        self.fn_last = fn_last
         self.bos_id = bos_id
         self.pad_id = pad_id
         self.bucket = bucket
+        # the batch dim is bucketed too: live-beam counts fluctuate frame to
+        # frame and each distinct (n, U) shape is a separate XLA compile
+        self.batch_bucket = batch_bucket
 
     def __call__(self, prefixes: List[List[int]]) -> np.ndarray:
         n = len(prefixes)
+        nb = -(-n // self.batch_bucket) * self.batch_bucket
         max_len = max(len(p) for p in prefixes) + 1  # + bos
         U = -(-max_len // self.bucket) * self.bucket
-        tokens = np.full((n, U), self.pad_id, np.int32)
-        last = np.zeros((n,), np.int32)
+        tokens = np.full((nb, U), self.pad_id, np.int32)
+        tokens[:, 0] = self.bos_id  # padding rows stay valid inputs
+        last = np.zeros((nb,), np.int32)
         for i, p in enumerate(prefixes):
-            tokens[i, 0] = self.bos_id
             tokens[i, 1 : 1 + len(p)] = p
             last[i] = len(p)
+        if self.fn_last is not None:
+            return np.asarray(self.fn_last(tokens, last))[:n]
         logits = np.asarray(self.fn(tokens))
-        out = logits[np.arange(n), last]
+        out = logits[np.arange(n), last[:n]]
         m = out.max(-1, keepdims=True)  # stable log-softmax
         return out - (m + np.log(np.exp(out - m).sum(-1, keepdims=True)))

@@ -18,7 +18,7 @@ from lcasr_tpu.models.registry import register_model
 from lcasr_tpu.ops.attention import NEG_INF
 from lcasr_tpu.ops.mlp import ConformerFeedForward
 from lcasr_tpu.ops.norms import get_norm
-from lcasr_tpu.ops.rotary import RotaryEmbedding, apply_rotary
+from lcasr_tpu.ops.rotary import RotaryEmbedding, apply_rotary, rotate_half
 
 
 @register_model("TransformerLM")
@@ -73,18 +73,19 @@ class TransformerLM(nn.Module):
             causal = jnp.tril(jnp.ones((U, U), bool))[None, None]
 
         new_cache = [] if cached else None
-        rot_half = lambda a: jnp.concatenate(
-            [-a[..., D // 2:], a[..., : D // 2]], axis=-1
-        )
 
         for i in range(self.n_layers):
             h = Norm(self.d_model, name=f"attn_norm_{i}")(x)
             qkv = nn.Dense(3 * H * D, use_bias=False, dtype=self.dtype, name=f"qkv_{i}")(h)
             q, k, v = (a.reshape(B, U, H, D) for a in jnp.split(qkv, 3, -1))
             if cached:
-                q = q * cos_q + rot_half(q) * sin_q
-                k = k * cos_q + rot_half(k) * sin_q
-                # write the new k/v at each row's own cache position
+                q = q * cos_q + rotate_half(q) * sin_q
+                k = k * cos_q + rotate_half(k) * sin_q
+                # write the new k/v at each row's own cache position.
+                # CONTRACT: cache_lengths must stay < Nmax — at Nmax the
+                # write mask is all-False and the new token's K/V silently
+                # drops (callers must bound steps host-side, as
+                # decoding.frame_sync.CachedTransformerLM does)
                 Nmax = cache.shape[4]
                 at = (
                     jnp.arange(Nmax)[None, :] == cache_lengths[:, None]
@@ -150,4 +151,16 @@ def make_lm_scorer(model, variables, bos_id: int = 2, pad_id: int = 0):
     def fn(variables, tokens):
         return model.apply(variables, tokens)
 
-    return FlaxLMScorer(lambda tokens: fn(variables, tokens), bos_id=bos_id, pad_id=pad_id)
+    @jax.jit
+    def fn_last(variables, tokens, last):
+        logits = model.apply(variables, tokens)
+        row = jnp.take_along_axis(
+            logits, last[:, None, None], axis=1
+        )[:, 0]  # (B, V): only the scored position leaves the device
+        return jax.nn.log_softmax(row.astype(jnp.float32), axis=-1)
+
+    return FlaxLMScorer(
+        lambda tokens: fn(variables, tokens),
+        fn_last=lambda tokens, last: fn_last(variables, tokens, last),
+        bos_id=bos_id, pad_id=pad_id,
+    )

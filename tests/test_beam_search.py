@@ -92,3 +92,51 @@ def test_decode_beams_word_timestamps():
     starts = [w["start"] for w in out["frames"]]
     assert starts == sorted(starts)
     assert all(w["start"] < w["end"] for w in out["frames"])
+
+
+def test_prune_margin_and_pad_exclusion():
+    """prune_less_than_val drops beams below best - val (it used to be
+    silently ignored), and pad_id is excluded from candidates when set."""
+    C, blank = 4, 3
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(6, C))
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+    wide = BeamSearch(beam_width=8, blank_id=blank, top_am_threshold=-20.0)
+    wide.run_search(lp, decode=False)
+    # a huge margin trims nothing: bit-identical to no pruning
+    loose = BeamSearch(beam_width=8, blank_id=blank, top_am_threshold=-20.0,
+                       prune_less_than_val=1000.0)
+    loose.run_search(lp, decode=False)
+    assert wide._best.prefix == loose._best.prefix
+    assert wide._best.score == loose._best.score
+    # a tiny margin collapses the beam set to (near) greedy but still runs
+    tight = BeamSearch(beam_width=8, blank_id=blank, top_am_threshold=-20.0,
+                       prune_less_than_val=1e-6)
+    ids = tight.run_search(lp, decode=False)
+    assert isinstance(ids, list)
+
+    no_pad = BeamSearch(beam_width=8, blank_id=blank, top_am_threshold=-20.0,
+                        pad_id=0)
+    ids = no_pad.run_search(lp, decode=False)
+    assert 0 not in ids
+
+
+def test_lm_memo_scores_each_prefix_once():
+    """The stateless LM hook is called only for NEWLY-created prefixes
+    (per-prefix memoization), not for every live beam on every frame."""
+    C, blank = 4, 3
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(8, C)) * 2
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+    seen = []
+
+    def lm(prefixes):
+        seen.extend(tuple(p) for p in prefixes)
+        return np.zeros((len(prefixes), C - 1))
+
+    bs = BeamSearch(beam_width=4, blank_id=blank, top_am_threshold=-20.0,
+                    lm_scores=lm, alpha=0.3, beta=0.1)
+    bs.run_search(lp, decode=False)
+    assert len(seen) == len(set(seen))  # no prefix scored twice
