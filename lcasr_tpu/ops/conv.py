@@ -269,7 +269,27 @@ class ConformerConvolution(nn.Module):
             seq_axis_name=self.seq_axis_name,
         )
 
-        stat_mask = pad_mask if self.mask_norm_stats else None
+        if self.mask_norm_stats:
+            stat_mask = pad_mask
+        elif pad_mask is not None:
+            # reference parity WITH static batches: the reference's unmasked
+            # batch stats (convolution.py:119) only ever see LIVE rows (its
+            # batches shrink as samples finish; mesh padding rows don't
+            # exist there).  Live rows contribute ALL frames — including
+            # zero-filled time padding, which the reference also counts —
+            # but all-padded (dead) rows contribute nothing.
+            live = ~jnp.all(pad_mask, axis=1, keepdims=True)  # (B, 1)
+            if self.seq_axis_name is not None:
+                # under context parallelism liveness is GLOBAL: a live row
+                # may be all-padding on this seq shard but must still
+                # contribute its local frames, like the unsharded compute
+                live = (
+                    jax.lax.psum(live.astype(jnp.float32), self.seq_axis_name)
+                    > 0
+                )
+            stat_mask = ~jnp.broadcast_to(live, pad_mask.shape)
+        else:
+            stat_mask = None
         if self.norm_type == "batch_renorm":
             x = BatchRenorm(inner, stat_axes=self.stat_axes, name="norm")(
                 x, pad_mask=stat_mask, train=train
