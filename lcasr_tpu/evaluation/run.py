@@ -84,19 +84,25 @@ def evaluate(
     model_cfg = cfg.get("model", Config({})).to_dict()
     subsampling_factor = model_cfg.get("subsampling_factor", 8)
 
+    requested_seq_len, requested_overlap = seq_len, overlap
     if evaluation_mode == "windowed_attention":
         # local attention window = downsampled seq_len / 2; single forward
         # covering the recording (reference eval/run.py:38-43)
         model_cfg["attention_window_size"] = (seq_len // subsampling_factor) // 2
         seq_len = MAX_WINDOWED_SECONDS * 100
         overlap = 0
-        eval_fn = fetch_logits
-    elif evaluation_mode == "buffered":
-        eval_fn = fetch_logits_buffered
-    elif evaluation_mode == "averaged_moving_window":
-        eval_fn = fetch_logits
-    else:
+    elif evaluation_mode not in ("buffered", "averaged_moving_window"):
         raise ValueError(f"unknown evaluation_mode {evaluation_mode!r}")
+    if evaluation_mode != "averaged_moving_window" and (
+        transfer_dtype or pipeline_upload or data_parallel
+    ):
+        import warnings
+
+        warnings.warn(
+            "transfer_dtype/pipeline_upload/data_parallel only apply to "
+            "averaged_moving_window decode and are ignored in "
+            f"{evaluation_mode!r}", stacklevel=2,
+        )
 
     cfg_model = Config({"model": model_cfg})
     model = load_model(cfg_model, tokenizer.vocab_size(), get_model_class(cfg))
@@ -138,7 +144,7 @@ def evaluate(
         spec = np.asarray(spec)
         t0 = time.perf_counter()
         if evaluation_mode == "buffered":
-            logits = eval_fn(
+            logits = fetch_logits_buffered(
                 model_fn,
                 spec,
                 seq_len=seq_len,
@@ -162,6 +168,7 @@ def evaluate(
         hyp = normalize(decoder(logits)).lower()
         ref = normalize(gold).lower()
         wer, words, ins_r, del_r, sub_r = word_error_rate_detail([hyp], [ref])
+        n_err = len(hyp.split()) if words == 0 else round(wer * words)
         audio_s = spec.shape[-1] / 100.0
         total_audio_s += audio_s
         total_wall += wall
@@ -173,6 +180,7 @@ def evaluate(
                 "ins_rate": ins_r,
                 "del_rate": del_r,
                 "sub_rate": sub_r,
+                "errors": n_err,
                 "audio_seconds": audio_s,
                 "wall_seconds": wall,
             }
@@ -182,12 +190,28 @@ def evaluate(
         if verbose:
             print(f"{item['id']}: WER {wer:.4f} ({words} words, {audio_s:.0f}s audio)")
 
-    wer, words, ins_r, del_r, sub_r = word_error_rate_detail(hyps, refs)
+    # aggregate from the per-recording RAW counts instead of re-running
+    # every O(n·m) alignment over the full corpus (the batch call repeated
+    # the dominant CPU cost; empty-reference rows contribute their
+    # hypothesis words as insertions, the batch-call convention)
+    words = sum(r["words"] for r in rows)
+    if words:
+        wer = sum(r["errors"] for r in rows) / words
+        ins_r = sum(
+            (r["ins_rate"] * r["words"]) if r["words"] else r["errors"]
+            for r in rows
+        ) / words
+        del_r = sum((r["del_rate"] * r["words"]) if r["words"] else 0 for r in rows) / words
+        sub_r = sum((r["sub_rate"] * r["words"]) if r["words"] else 0 for r in rows) / words
+    else:
+        wer = ins_r = del_r = sub_r = float("inf")
     summary = {
         "dataset": dataset,
         "split": split,
-        "seq_len": seq_len,
-        "overlap": overlap,
+        # report the REQUESTED window (windowed_attention mutates the
+        # internals; a sweep over seq_len must stay distinguishable)
+        "seq_len": requested_seq_len,
+        "overlap": requested_overlap,
         "evaluation_mode": evaluation_mode,
         "wer": wer,
         "words": words,
