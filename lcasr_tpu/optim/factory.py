@@ -26,32 +26,50 @@ def build_optimizer(
     eps: Optional[float] = None,
     clip_value: float = 0.8,
     weight_decay_mask=None,
+    decouple_decay: bool = False,
 ) -> optax.GradientTransformation:
     name = name.lower()
     if name in ("madgrad",):
         inner = optax.inject_hyperparams(
-            madgrad, static_args=("momentum", "weight_decay", "eps", "weight_decay_mask")
+            madgrad, static_args=("momentum", "weight_decay", "eps",
+                                  "weight_decay_mask", "decouple_decay")
         )(
             learning_rate=lr,
             momentum=momentum,
             weight_decay=weight_decay,
             eps=1e-6 if eps is None else eps,
             weight_decay_mask=weight_decay_mask,
+            decouple_decay=decouple_decay,
         )
     elif name in ("mirror_madgrad", "mirrormadgrad"):
         inner = optax.inject_hyperparams(
             mirror_madgrad,
-            static_args=("momentum", "weight_decay", "eps", "weight_decay_mask"),
+            static_args=("momentum", "weight_decay", "eps",
+                         "weight_decay_mask", "decouple_decay"),
         )(
             learning_rate=lr,
             momentum=momentum,
             weight_decay=weight_decay,
             eps=0.0 if eps is None else eps,
             weight_decay_mask=weight_decay_mask,
+            decouple_decay=decouple_decay,
         )
     elif name in ("adam", "adamw"):
+        # 'adam' = torch-style COUPLED L2 (decay added to the gradient
+        # before the moment updates, like the reference's Adam/FusedAdam);
+        # 'adamw' = decoupled.  Mapping adam onto adamw silently changed
+        # the regularization path.
+        def _coupled_adam(learning_rate, b1, b2, eps, weight_decay, mask):
+            chain = []
+            if weight_decay:
+                chain.append(optax.add_decayed_weights(weight_decay, mask))
+            chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+            chain.append(optax.scale(-learning_rate))
+            return optax.chain(*chain)
+
+        impl = optax.adamw if name == "adamw" else _coupled_adam
         inner = optax.inject_hyperparams(
-            optax.adamw, static_args=("mask", "b1", "b2", "eps", "weight_decay")
+            impl, static_args=("mask", "b1", "b2", "eps", "weight_decay")
         )(
             learning_rate=lr,
             b1=betas[0],
@@ -76,9 +94,13 @@ def set_learning_rate(opt_state, lr: float):
 
     def visit(state):
         if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
-            state.hyperparams["learning_rate"] = jnp.asarray(
+            # copy-on-write: mutating the dict in place would alias the NEW
+            # lr into the caller's saved pre-update state (rollback paths)
+            hp = dict(state.hyperparams)
+            hp["learning_rate"] = jnp.asarray(
                 lr, state.hyperparams["learning_rate"].dtype
             )
+            state = state._replace(hyperparams=hp)
         # wrappers (e.g. optax.masked's MaskedState) carry the real state in
         # inner_state — recurse so the injected LR is still reachable
         if hasattr(state, "inner_state"):
@@ -105,9 +127,17 @@ def load_optimizer(
     scheduler = CosineLRScheduler(
         warmup_steps=sched_cfg.get("warmup_steps", 0),
         peak_value=args.get("lr", 1e-3),
-        final_value=sched_cfg.get("final_value", args.get("lr", 1e-3) * 0.01),
+        # reference hardcodes final_value=0.0 ("decay to 0", general.py:92)
+        final_value=sched_cfg.get("final_value", 0.0),
     )
 
+    known = {"lr", "weight_decay", "momentum", "betas", "eps", "decouple_decay"}
+    extra = set(dict(args)) - known
+    if extra:
+        raise ValueError(
+            f"unknown optimizer args {sorted(extra)} (the reference forwards "
+            f"every optim arg; silently dropping them would change training)"
+        )
     optimizer = build_optimizer(
         name=name,
         lr=args.get("lr", 1e-3),
@@ -117,5 +147,6 @@ def load_optimizer(
         eps=args.get("eps", None),
         clip_value=clip_value,
         weight_decay_mask=weight_decay_mask,
+        decouple_decay=bool(args.get("decouple_decay", False)),
     )
     return optimizer, scheduler

@@ -99,13 +99,24 @@ def madgrad(
             if weight_decay_mask is not None
             else jax.tree.map(lambda _: True, params)
         )
-        flat = jax.tree.map(leaf, grads, params, state.grad_sum_sq, state.s, state.x0, mask)
-        # arity check so optax.masked's empty MaskedNode placeholders (tuple
-        # subclass, len 0) pass through as internal nodes instead of leaves
-        is_t = lambda t: isinstance(t, tuple) and len(t) == 3
-        updates = jax.tree.map(lambda t: t[0], flat, is_leaf=is_t)
-        gss = jax.tree.map(lambda t: t[1], flat, is_leaf=is_t)
-        s = jax.tree.map(lambda t: t[2], flat, is_leaf=is_t)
+        # flatten/unflatten instead of a result-tuple heuristic: a 3-tuple
+        # CONTAINER inside the params pytree must not be mistaken for a
+        # per-leaf (update, gss, s) triple (that silently scrambled state
+        # across sibling leaves)
+        treedef = jax.tree.structure(params)
+        results = [
+            leaf(g, p, gss_l, s_l, x0_l, m_l)
+            for g, p, gss_l, s_l, x0_l, m_l in zip(
+                treedef.flatten_up_to(grads), jax.tree.leaves(params),
+                treedef.flatten_up_to(state.grad_sum_sq),
+                treedef.flatten_up_to(state.s),
+                treedef.flatten_up_to(state.x0),
+                treedef.flatten_up_to(mask),
+            )
+        ]
+        updates = jax.tree.unflatten(treedef, [r[0] for r in results])
+        gss = jax.tree.unflatten(treedef, [r[1] for r in results])
+        s = jax.tree.unflatten(treedef, [r[2] for r in results])
         updates = jax.tree.map(lambda u, p: u.astype(p.dtype), updates, params)
         return updates, MadgradState(count=k + 1, grad_sum_sq=gss, s=s, x0=state.x0)
 
@@ -170,11 +181,20 @@ def mirror_madgrad(
             if weight_decay_mask is not None
             else jax.tree.map(lambda _: True, params)
         )
-        flat = jax.tree.map(leaf, grads, params, state.grad_sum_sq, state.z, mask)
-        is_t = lambda t: isinstance(t, tuple) and len(t) == 3  # skip MaskedNode
-        updates = jax.tree.map(lambda t: t[0], flat, is_leaf=is_t)
-        gss = jax.tree.map(lambda t: t[1], flat, is_leaf=is_t)
-        z = jax.tree.map(lambda t: t[2], flat, is_leaf=is_t)
+        # see madgrad.update_fn: flatten/unflatten, no tuple heuristics
+        treedef = jax.tree.structure(params)
+        results = [
+            leaf(g, p, gss_l, z_l, m_l)
+            for g, p, gss_l, z_l, m_l in zip(
+                treedef.flatten_up_to(grads), jax.tree.leaves(params),
+                treedef.flatten_up_to(state.grad_sum_sq),
+                treedef.flatten_up_to(state.z),
+                treedef.flatten_up_to(mask),
+            )
+        ]
+        updates = jax.tree.unflatten(treedef, [r[0] for r in results])
+        gss = jax.tree.unflatten(treedef, [r[1] for r in results])
+        z = jax.tree.unflatten(treedef, [r[2] for r in results])
         updates = jax.tree.map(lambda u, p: u.astype(p.dtype), updates, params)
         return updates, MirrorMadgradState(count=state.count + 1, grad_sum_sq=gss, z=z)
 

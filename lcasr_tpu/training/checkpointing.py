@@ -41,7 +41,8 @@ def save_checkpoint(
     tree: Dict[str, Any] = {"params": params}
     if opt_state is not None:
         tree["opt_state"] = opt_state
-    if batch_stats is not None:
+    if batch_stats:  # an EMPTY stats dict must not enter the tree: restore
+        # targets gate on truthiness and orbax rejects structure mismatches
         tree["batch_stats"] = batch_stats
 
     ckptr = ocp.StandardCheckpointer()
@@ -67,7 +68,11 @@ def find_latest_checkpoint(directory: str, pattern: str = r"step_(\d+)") -> Opti
     best, best_step = None, -1
     for name in os.listdir(directory):
         m = re.fullmatch(pattern, name)
-        if m and int(m.group(1)) > best_step:
+        # meta.json is written LAST: it is the commit marker.  A crash
+        # mid-save leaves arrays without meta — such a dir must not be
+        # selected or resume bricks on the incomplete checkpoint.
+        if (m and int(m.group(1)) > best_step
+                and os.path.exists(os.path.join(directory, name, "meta.json"))):
             best, best_step = name, int(m.group(1))
     return os.path.join(directory, best) if best else None
 
@@ -102,10 +107,30 @@ def average_checkpoints(paths: List[str]) -> Dict[str, Any]:
     return jax.tree.map(lambda a: (a / n).astype(np.float32), acc)
 
 
-def avg_all_models_in_dir(directory: str) -> Dict[str, Any]:
-    paths = sorted(
-        os.path.join(directory, d)
-        for d in os.listdir(directory)
-        if re.fullmatch(r"step_(\d+)", d)
-    )
+def avg_all_models_in_dir(directory: str, step_name: Optional[str] = None) -> Dict[str, Any]:
+    """Average the SAME-step checkpoint across seed-repeat run folders
+    (reference `avg_all_models_in_dir`, general.py:175-194: path/<repeat>/
+    step_105360.pt).  `step_name` e.g. "step_105360"; None averages each
+    repeat folder's LATEST checkpoint."""
+    paths = []
+    for d in sorted(os.listdir(directory)):
+        sub = os.path.join(directory, d)
+        if not os.path.isdir(sub):
+            continue
+        if step_name is not None:
+            cand = os.path.join(sub, step_name)
+            if os.path.exists(os.path.join(cand, "meta.json")):
+                paths.append(cand)
+        else:
+            latest = find_latest_checkpoint(sub)
+            if latest:
+                paths.append(latest)
+    if not paths and step_name is None:
+        # back-compat: a single run dir of step_N checkpoints
+        paths = sorted(
+            os.path.join(directory, d)
+            for d in os.listdir(directory)
+            if re.fullmatch(r"step_(\d+)", d)
+            and os.path.exists(os.path.join(directory, d, "meta.json"))
+        )
     return average_checkpoints(paths)

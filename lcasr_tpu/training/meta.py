@@ -74,7 +74,8 @@ class MetaTrainer:
         self.scheduler = CosineLRScheduler(
             warmup_steps=sched_cfg.get("warmup_steps", 0),
             peak_value=self.opt_args.get("lr", 1e-3),
-            final_value=sched_cfg.get("final_value", self.opt_args.get("lr", 1e-3) * 0.01),
+            # reference decays the cosine to ZERO (general.py:92)
+            final_value=sched_cfg.get("final_value", 0.0),
         )
         self.metrics = MetricsLogger(
             log_dir=checkpoint_dir or "./checkpoints",

@@ -93,3 +93,52 @@ def test_resume_preserves_mesh_shardings(tmp_path):
     for path, leaf in jax.tree_util.tree_flatten_with_path(state2["opt_state"])[0]:
         if any("qkv_proj" in str(k) for k in path) and tuple(leaf.shape) == tuple(qkv.shape):
             assert leaf.sharding.spec == qkv.sharding.spec, path
+
+
+def test_resume_without_batch_stats(tmp_path):
+    from lcasr_tpu.training.checkpointing import load_checkpoint, save_checkpoint
+    """Models with no batch-norm statistics (empty batch_stats) must
+    save/restore cleanly — an empty dict used to be SAVED but omitted from
+    the restore target, crashing every resume of such runs."""
+    params = {"w": np.ones((2, 2), np.float32)}
+    path = save_checkpoint(str(tmp_path), 5, params, batch_stats={},
+                           config=Config({"model": {}}))
+    tree, meta = load_checkpoint(path, target={"params": params})
+    assert "batch_stats" not in tree
+    np.testing.assert_array_equal(tree["params"]["w"], params["w"])
+
+
+def test_find_latest_skips_uncommitted_checkpoints(tmp_path):
+    import os
+
+    from lcasr_tpu.training.checkpointing import (
+        find_latest_checkpoint,
+        save_checkpoint,
+    )
+    """meta.json is the commit marker: a crash mid-save leaves arrays
+    without meta, and that directory must not be selected for resume."""
+    params = {"w": np.zeros((1,), np.float32)}
+    save_checkpoint(str(tmp_path), 10, params)
+    # simulate a crashed save at a later step: arrays dir, no meta.json
+    os.makedirs(tmp_path / "step_20" / "arrays", exist_ok=True)
+    latest = find_latest_checkpoint(str(tmp_path))
+    assert latest.endswith("step_10")
+
+
+def test_avg_across_seed_repeat_folders(tmp_path):
+    """avg_all_models_in_dir averages the SAME-step checkpoint across
+    seed-repeat run folders (reference general.py:175-194), not every step
+    of one run."""
+    from lcasr_tpu.training.checkpointing import (
+        avg_all_models_in_dir,
+        save_checkpoint,
+    )
+
+    for seed, val in (("rp_1", 1.0), ("rp_2", 3.0)):
+        save_checkpoint(str(tmp_path / seed), 100,
+                        {"w": np.full((2,), val, np.float32)})
+        # an EARLIER checkpoint in each run must not enter the average
+        save_checkpoint(str(tmp_path / seed), 50,
+                        {"w": np.full((2,), 100.0, np.float32)})
+    avg = avg_all_models_in_dir(str(tmp_path), step_name="step_100")
+    np.testing.assert_allclose(np.asarray(avg["w"]), [2.0, 2.0])

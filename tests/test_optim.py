@@ -180,3 +180,57 @@ def test_madgrad_eps_zero_all_zero_grads_no_nan():
     updates, state = opt.update(grads, state, params)
     assert np.isfinite(np.asarray(updates["w"])).all()
     assert float(jnp.abs(updates["w"]).max()) == 0.0
+
+
+def test_madgrad_three_tuple_params_container():
+    """A 3-tuple CONTAINER in the params pytree must not be mistaken for a
+    per-leaf result triple (that silently scrambled updates/state across
+    sibling leaves)."""
+    opt = madgrad(learning_rate=0.1, momentum=0.0)
+    params = (jnp.ones((2,)), jnp.ones((3,)), jnp.ones((4,)))  # 3-tuple!
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = opt.init(params)
+    updates, state = opt.update(grads, state, params)
+    # identical per-leaf inputs → identical per-element updates on EVERY leaf
+    vals = [np.unique(np.asarray(u).round(8)) for u in updates]
+    assert all(len(v) == 1 for v in vals)
+    assert vals[0][0] == vals[1][0] == vals[2][0] != 0.0
+    # and the state trees keep the params' structure
+    assert jax.tree.structure(state.grad_sum_sq) == jax.tree.structure(params)
+
+
+def test_mirror_madgrad_three_tuple_params_container():
+    opt = mirror_madgrad(learning_rate=0.1, momentum=0.0)
+    params = (jnp.ones((2,)), jnp.ones((3,)), jnp.ones((4,)))
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = opt.init(params)
+    updates, _ = opt.update(grads, state, params)
+    vals = [np.unique(np.asarray(u).round(8)) for u in updates]
+    assert all(len(v) == 1 for v in vals)
+    assert vals[0][0] == vals[1][0] == vals[2][0] != 0.0
+
+
+def test_set_learning_rate_copy_on_write():
+    """Mutating the injected LR must not alias into the caller's saved
+    pre-update optimizer state (rollback paths)."""
+    from lcasr_tpu.optim.factory import build_optimizer, set_learning_rate
+
+    opt = build_optimizer("madgrad", lr=1e-3)
+    params = {"w": jnp.ones((2,))}
+    st = opt.init(params)
+
+    def find_lr(state):
+        if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
+            return float(state.hyperparams["learning_rate"])
+        if hasattr(state, "inner_state"):
+            return find_lr(state.inner_state)
+        if isinstance(state, tuple):
+            for s in state:
+                r = find_lr(s)
+                if r is not None:
+                    return r
+        return None
+
+    st2 = set_learning_rate(st, 0.5)
+    assert find_lr(st2) == 0.5
+    assert find_lr(st) != 0.5  # the old state is intact
