@@ -41,6 +41,9 @@ def main():
                     help=">1: rescore N recordings concurrently via "
                          "rescore_many (one wide LM, one device call per "
                          "tick serving all blocked searches)")
+    ap.add_argument("--cache_dtype", default="float32",
+                    help="KV cache dtype (bfloat16 halves the HBM traffic "
+                         "of the wide per-tick cache gather)")
     args = ap.parse_args()
 
     import jax
@@ -63,6 +66,7 @@ def main():
     # fixed cache length: stable compile shape across runs (the per-beam KV
     # buffer is (L, 2, width, H, max_len+1, D))
     max_len = max(2048, int(n_emit * 1.5))
+    cache_dtype = jnp.dtype(args.cache_dtype)
     if args.recordings == 1:
         lm = CachedTransformerLM(
             lm_model, variables, width=args.width, max_len=max_len
@@ -86,7 +90,7 @@ def main():
         recs = [synth_logits(T, C, args.emit_rate, seed=s) for s in range(args.recordings)]
         wide = CachedTransformerLM(
             lm_model, variables, width=args.recordings * args.width,
-            max_len=max_len,
+            max_len=max_len, cache_dtype=cache_dtype,
         )
         # warm the wide step shape
         rescore_many(wide, [r[:256] for r in recs], args.recordings,
@@ -94,7 +98,7 @@ def main():
                      top_am_threshold=-6.0, prune_less_than_val=8.0)
         wide = CachedTransformerLM(
             lm_model, variables, width=args.recordings * args.width,
-            max_len=max_len,
+            max_len=max_len, cache_dtype=cache_dtype,
         )
         t0 = time.perf_counter()
         all_ids = rescore_many(wide, recs, args.recordings,
@@ -114,6 +118,7 @@ def main():
         "frames": T,
         "beam_width": args.width,
         "recordings": args.recordings,
+        "cache_dtype": str(cache_dtype),
         "emit_rate": args.emit_rate,
         "emitting_frames": n_emit,
         "tokens_out": len(ids),
@@ -123,8 +128,15 @@ def main():
     print(json.dumps(result))
     if jax.default_backend() == "tpu":  # CPU smoke runs must not clobber
         out = os.path.join(os.path.dirname(__file__), "RESULTS_lm_rescore.json")
+        merged = {}
+        if os.path.exists(out):
+            with open(out) as f:
+                prev = json.load(f)
+            # migrate the pre-keyed single-result format
+            merged = prev if "rtfx" not in prev else {"r1_float32": prev}
+        merged[f"r{args.recordings}_{cache_dtype}"] = result
         with open(out, "w") as f:
-            json.dump(result, f, indent=1)
+            json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -95,7 +95,8 @@ class CachedTransformerLM:
     KV caches: one jitted single-token forward per frame over all beam rows,
     parent states re-gathered by index on device."""
 
-    def __init__(self, model, variables, width: int, max_len: int, bos_id: int = 2):
+    def __init__(self, model, variables, width: int, max_len: int, bos_id: int = 2,
+                 cache_dtype=None):
         import functools
 
         import jax
@@ -105,6 +106,10 @@ class CachedTransformerLM:
         self.bos_id = bos_id
         self.width = width
         self.max_len = max_len
+        # bf16 halves the KV buffer (the only multi-GB tensor in rescoring);
+        # keys/values round to bf16 at rest while scores stay fp32 — opt-in,
+        # the fp32 default keeps beam-for-beam reference parity exact
+        self.cache_dtype = cache_dtype if cache_dtype is not None else jnp.float32
         # host-side shadow of the device cache_lengths (exact mirror of the
         # gather/increment logic) so overflow is caught WITHOUT a per-step
         # device sync: past max_len the KV write mask is all-False and
@@ -116,16 +121,17 @@ class CachedTransformerLM:
 
         @jax.jit
         def step_fn(variables, cache, lengths, parent_idx, tokens, update):
+            # ONE full-cache producer per step (the parent gather); the
+            # masked advance is a B-row scatter inside the model, so peak
+            # cache memory is 2 buffers, not 4 (a full-tensor select here
+            # OOM'd the 200-row 20-min cache of rescore_many)
             cache = cache[:, :, parent_idx]
             lengths = lengths[parent_idx]
-            logits, new_cache, new_lengths = model.apply(
-                variables, tokens[:, None], cache=cache, cache_lengths=lengths
+            logits, cache, lengths = model.apply(
+                variables, tokens[:, None], cache=cache, cache_lengths=lengths,
+                write_mask=update,
             )
             lps = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), -1)
-            cache = jnp.where(
-                update[None, None, :, None, None, None], new_cache, cache
-            )
-            lengths = jnp.where(update, new_lengths, lengths)
             return cache, lengths, lps
 
         self._step = functools.partial(step_fn, variables)
@@ -133,7 +139,7 @@ class CachedTransformerLM:
     def init(self, width: int):
         jnp = self.jnp
         assert width == self.width
-        cache = jnp.zeros(self.cache_shape, jnp.float32)
+        cache = jnp.zeros(self.cache_shape, self.cache_dtype)
         lengths = jnp.zeros((width,), jnp.int32)
         cache, lengths, lps = self._step(
             cache, lengths,

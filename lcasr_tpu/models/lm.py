@@ -39,6 +39,7 @@ class TransformerLM(nn.Module):
         train: bool = False,
         cache: Optional[jnp.ndarray] = None,  # (L, 2, B, H, Nmax, D)
         cache_lengths: Optional[jnp.ndarray] = None,  # (B,)
+        write_mask: Optional[jnp.ndarray] = None,  # (B,) bool
     ):
         """tokens (B, U) → logits (B, U, vocab).
 
@@ -49,6 +50,14 @@ class TransformerLM(nn.Module):
         fixed-size buffer in the reference's (L, KV, B, H, N, D) layout; rows
         write at their own `cache_lengths` position with per-row rotary
         offsets, so every beam continues at its true absolute position.
+
+        `write_mask` (default all-True) fuses the caller's "advance this row"
+        select into the per-row scatter: masked-off rows keep their cache and
+        length EXACTLY (their logits are junk — callers ignore them).  The
+        update is a B-row scatter, not a full-buffer where, so a wide-beam
+        cache (GBs for rescore_many) is touched once per step instead of
+        three full copies (gather + new_cache + outer select) — the outer
+        select in decoding.frame_sync used to OOM the 200-row 20-min cache.
         """
         Norm = get_norm(self.default_norm)
         B, U = tokens.shape
@@ -72,7 +81,16 @@ class TransformerLM(nn.Module):
             rotary = RotaryEmbedding(dim=D, base=self.rotary_base_freq, name="rotary")(U)
             causal = jnp.tril(jnp.ones((U, U), bool))[None, None]
 
-        new_cache = [] if cached else None
+        if cached:
+            Nmax = cache.shape[4]
+            rows = jnp.arange(B)
+            if write_mask is None:
+                write_mask = jnp.ones((B,), bool)
+            # CONTRACT (unchanged): at cache_lengths == Nmax the write drops
+            # silently — callers must bound steps host-side, as
+            # decoding.frame_sync.CachedTransformerLM does
+            put = write_mask & (cache_lengths < Nmax)
+            pos = jnp.minimum(cache_lengths, Nmax - 1)
 
         for i in range(self.n_layers):
             h = Norm(self.d_model, name=f"attn_norm_{i}")(x)
@@ -81,18 +99,22 @@ class TransformerLM(nn.Module):
             if cached:
                 q = q * cos_q + rotate_half(q) * sin_q
                 k = k * cos_q + rotate_half(k) * sin_q
-                # write the new k/v at each row's own cache position.
-                # CONTRACT: cache_lengths must stay < Nmax — at Nmax the
-                # write mask is all-False and the new token's K/V silently
-                # drops (callers must bound steps host-side, as
-                # decoding.frame_sync.CachedTransformerLM does)
-                Nmax = cache.shape[4]
-                at = (
-                    jnp.arange(Nmax)[None, :] == cache_lengths[:, None]
-                )[:, None, :, None]  # (B, 1, Nmax, 1)
-                k_buf = jnp.where(at, jnp.swapaxes(k, 1, 2), cache[i, 0])
-                v_buf = jnp.where(at, jnp.swapaxes(v, 1, 2), cache[i, 1])
-                new_cache.append(jnp.stack([k_buf, v_buf]))
+                # write the new k/v at each row's own cache position: a
+                # (B, H, D) scatter into the running cache value (writes the
+                # old value back where `put` is off), which XLA updates in
+                # place on the post-gather temp
+                old_k = cache[i, 0, rows, :, pos]  # (B, H, D)
+                old_v = cache[i, 1, rows, :, pos]
+                k_put = jnp.where(put[:, None, None], k[:, 0], old_k)
+                v_put = jnp.where(put[:, None, None], v[:, 0], old_v)
+                cache = cache.at[i, 0, rows, :, pos].set(
+                    k_put.astype(cache.dtype)
+                )
+                cache = cache.at[i, 1, rows, :, pos].set(
+                    v_put.astype(cache.dtype)
+                )
+                k_buf = cache[i, 0]
+                v_buf = cache[i, 1]
                 s = jnp.einsum(
                     "bthd,bhsd->bhts",
                     q.astype(jnp.float32) * D ** -0.5,
@@ -123,7 +145,7 @@ class TransformerLM(nn.Module):
         x = Norm(self.d_model, name="norm_out")(x)
         logits = nn.Dense(self.vocab_size, dtype=self.dtype, name="lm_head")(x)
         if cached:
-            return logits, jnp.stack(new_cache), cache_lengths + 1
+            return logits, cache, cache_lengths + write_mask.astype(cache_lengths.dtype)
         return logits
 
 
