@@ -134,20 +134,23 @@ def dynamic_eval_ctc_loss(
 
             pseudo_text = decoder(clean_lp)
             pseudo_ids = tokenizer.encode(pseudo_text) if pseudo_text else []
-            if len(pseudo_ids) > 0:
-                U = max(8, len(pseudo_ids))
-                pseudo = np.full((num_negatives, U), tokenizer.pad_id(), np.int32)
-                pseudo[:, : len(pseudo_ids)] = pseudo_ids
-                pseudo_len = np.full((num_negatives,), len(pseudo_ids), np.int32)
-                reps = jnp.repeat(audio, num_negatives + 1, axis=0)
-                lengths = jnp.full((num_negatives + 1,), u_len, jnp.int32)
-                key, k2 = jax.random.split(key)
-                aug = augmentation(k2, reps[:num_negatives], lengths[:num_negatives])
-                batch = jnp.concatenate([aug, reps[num_negatives:]], axis=0)
-                params, opt_state, _ = adapt_step(
-                    params, opt_state, batch, lengths,
-                    jnp.asarray(pseudo), jnp.asarray(pseudo_len),
-                )
+            # an empty decode still takes the step (zero-length CTC targets =
+            # pure blank supervision) — the reference always steps
+            # (`dynamic_eval.py:93-111` builds the loss from whatever the
+            # greedy decode produced, including nothing)
+            U = max(8, len(pseudo_ids))
+            pseudo = np.full((num_negatives, U), tokenizer.pad_id(), np.int32)
+            pseudo[:, : len(pseudo_ids)] = pseudo_ids
+            pseudo_len = np.full((num_negatives,), len(pseudo_ids), np.int32)
+            reps = jnp.repeat(audio, num_negatives + 1, axis=0)
+            lengths = jnp.full((num_negatives + 1,), u_len, jnp.int32)
+            key, k2 = jax.random.split(key)
+            aug = augmentation(k2, reps[:num_negatives], lengths[:num_negatives])
+            batch = jnp.concatenate([aug, reps[num_negatives:]], axis=0)
+            params, opt_state, _ = adapt_step(
+                params, opt_state, batch, lengths,
+                jnp.asarray(pseudo), jnp.asarray(pseudo_len),
+            )
 
             probs = np.exp(clean_lp)
             ratio = u_len / n_valid

@@ -26,12 +26,15 @@ class SelfTrainWrapper:
         model,
         variables: Dict,
         tokenizer,
-        n_iterations: int = 2,
-        num_negatives: int = 2,
-        lr: float = 8e-5,
+        n_iterations: int = 10,
+        num_negatives: int = 1,
+        lr: float = 9e-5,
         spec_augment_config: Optional[Dict] = None,
         seed: int = 0,
     ):
+        # defaults mirror the reference wrapper (`su_selftrain_wrapper.py:
+        # 12-21`): 10 iterations, lr 9e-5, ONE augmented copy vs the clean
+        # pass, freq-only SpecAugment (0 time masks, 6 freq masks, param 34)
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
@@ -40,10 +43,9 @@ class SelfTrainWrapper:
         self.blank_id = tokenizer.vocab_size()
         self.augmentation = SpecAugment(
             **(spec_augment_config or {
-                "n_time_masks": 2,
-                "n_freq_masks": 3,
-                "freq_mask_param": 42,
-                "min_p": 0.05,
+                "n_time_masks": 0,
+                "n_freq_masks": 6,
+                "freq_mask_param": 34,
             })
         )
         self.decoder = GreedyCTCDecoder(tokenizer, blank_id=self.blank_id)
@@ -105,10 +107,11 @@ class SelfTrainWrapper:
             clean_lp = np.asarray(out["final_posteriors"][-1], np.float32)
             pseudo_text = self.decoder(clean_lp)
             ids = self.tokenizer.encode(pseudo_text) if pseudo_text else []
-            if not ids:
-                break
+            # an empty decode still adapts (zero-length targets = blank
+            # supervision) — the reference wrapper always steps
+            # (`su_selftrain_wrapper.py:43-56`)
             # bucket U to bound adapt recompiles (pseudo_len masks the pad)
-            U = -(-len(ids) // 16) * 16
+            U = max(16, -(-len(ids) // 16) * 16)
             row = ids + [self.tokenizer.pad_id()] * (U - len(ids))
             pseudo = jnp.asarray([row] * self.num_negatives, jnp.int32)
             pseudo_len = jnp.full((self.num_negatives,), len(ids), jnp.int32)

@@ -189,6 +189,55 @@ def test_dynamic_eval_adapts_and_restores(tiny):
         np.testing.assert_array_equal(a, np.asarray(b))
 
 
+def test_dynamic_eval_empty_pseudo_still_adapts(tiny, monkeypatch):
+    """A chunk whose greedy decode is EMPTY still takes the adaptation step
+    (zero-length CTC targets = blank supervision) — the reference always
+    steps (`dynamic_eval.py:93-111`); skipping made silence chunks inert."""
+    import lcasr_tpu.evaluation.dynamic_eval as de
+
+    model, variables = tiny
+    monkeypatch.setattr(de, "GreedyCTCDecoder",
+                        lambda tokenizer, blank_id: (lambda lp: ""))
+    spec = np.random.default_rng(5).normal(size=(1, 80, 640)).astype(np.float32)
+    base = de.dynamic_eval_ctc_loss(
+        model, variables, spec, seq_len=256, overlap=128,
+        tokenizer=_TinyTok(), num_negatives=1, epochs=1, lr=0.0,
+    )
+    adapted = de.dynamic_eval_ctc_loss(
+        model, variables, spec, seq_len=256, overlap=128,
+        tokenizer=_TinyTok(), num_negatives=1, epochs=2, lr=5e-3,
+    )
+    assert np.abs(adapted - base).max() > 1e-4
+
+
+def test_selftrain_empty_pseudo_still_adapts(tiny, monkeypatch):
+    """Same contract for the self-train wrapper: the reference steps on
+    whatever the decode produced, including nothing
+    (`su_selftrain_wrapper.py:43-56`)."""
+    import lcasr_tpu.evaluation.selftrain as st
+
+    model, variables = tiny
+    monkeypatch.setattr(st, "GreedyCTCDecoder",
+                        lambda tokenizer, blank_id: (lambda lp: ""))
+
+    class _Tok:
+        def vocab_size(self):
+            return 16
+
+        def encode(self, text):
+            return []
+
+        def pad_id(self):
+            return 0
+
+    wrapper = st.SelfTrainWrapper(
+        model, variables, _Tok(), n_iterations=2, num_negatives=1, lr=5e-3)
+    audio = np.random.default_rng(6).normal(size=(1, 80, 128)).astype(np.float32)
+    adapted = np.asarray(wrapper(audio)["final_posteriors"])
+    plain = np.asarray(model.apply(variables, jnp.asarray(audio))["final_posteriors"])
+    assert np.abs(adapted - plain).max() > 1e-4
+
+
 def test_trainer_accepts_data_only_external_mesh(tiny):
     """An externally passed mesh with ONLY a 'data' axis (the documented
     `mesh=` constructor path) must construct — regression for the
