@@ -187,6 +187,7 @@ class ConformerLayer(nn.Module):
     conv_norm: str = "batch_renorm"
     conv_type: str = "standard"  # 'standard' | 'longconv' (arXiv:2302.06646)
     longconv_weight_init: str = "random"  # 'random' | 'double_exp'
+    longconv_position_kernel: bool = True  # reference LongConv default
     longconv_ma_smoothing: bool = False
     longconv_ma_window_len: int = 7
     longconv_smooth_freq: bool = False
@@ -272,6 +273,7 @@ class ConformerLayer(nn.Module):
                     norm_type=self.conv_norm,
                     exp_factor=self.conv_expansion_factor,
                     weight_init=self.longconv_weight_init,
+                    position_kernel=self.longconv_position_kernel,
                     use_ma_smoothing=self.longconv_ma_smoothing,
                     ma_window_len=self.longconv_ma_window_len,
                     smooth_freq=self.longconv_smooth_freq,
@@ -351,6 +353,7 @@ class SCConformerXL(nn.Module):
     conv_norm: str = "batch_renorm"
     conv_type: str = "standard"
     longconv_weight_init: str = "random"
+    longconv_position_kernel: bool = True
     longconv_ma_smoothing: bool = False
     longconv_ma_window_len: int = 7
     longconv_smooth_freq: bool = False
@@ -522,6 +525,7 @@ class SCConformerXL(nn.Module):
                 conv_norm=self.conv_norm,
                 conv_type=self.conv_type,
                 longconv_weight_init=self.longconv_weight_init,
+                longconv_position_kernel=self.longconv_position_kernel,
                 longconv_ma_smoothing=self.longconv_ma_smoothing,
                 longconv_ma_window_len=self.longconv_ma_window_len,
                 longconv_smooth_freq=self.longconv_smooth_freq,
