@@ -42,12 +42,25 @@ def convert_sconformer_state_dict(
     feat_out_freq: int,
     sampling_num: int = 3,
     decoder_norm: bool = False,
+    learned_rotary: bool = False,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
-    """torch state_dict → (params, batch_stats) flax trees."""
-    sd = {k: np.asarray(v, dtype=np.float32) for k, v in state_dict.items()
-          if not k.endswith("num_batches_tracked")}
+    """torch state_dict → (params, batch_stats) flax trees.
+
+    Raises on any leftover tensor it does not map (other than known inert
+    buffers): flax.apply silently ignores extra leaves, so an unmapped
+    weight would mean silently wrong logits."""
+    raw = {k: np.asarray(v, dtype=np.float32) for k, v in state_dict.items()
+           if not k.endswith("num_batches_tracked")}
     sd_int = {k: np.asarray(v) for k, v in state_dict.items()
               if k.endswith("num_batches_tracked")}
+    consumed = set()
+
+    class _Tracking(dict):
+        def __getitem__(self, k):
+            consumed.add(k)
+            return dict.__getitem__(self, k)
+
+    sd = _Tracking(raw)
 
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
@@ -169,10 +182,22 @@ def convert_sconformer_state_dict(
         dec["norm"] = norm_params("decoder.norm")
     params["decoder"] = dec
 
-    # ---- rotary (learned frequencies only; fixed freqs are recomputed) ----
-    if "rotary_pos_emb.inv_freq" in sd:
-        pass  # non-learned: buffer, recomputed exactly from base/dim
+    # ---- rotary ----
+    # non-learned inv_freq is a BUFFER recomputed exactly from base/dim;
+    # learned_freq=True makes it a trained Parameter (reference
+    # rotary_emb.py:27-30) that MUST be carried over
+    if learned_rotary:
+        params["rotary_pos_emb"] = {"inv_freq": sd["rotary_pos_emb.inv_freq"]}
+    else:
+        consumed.add("rotary_pos_emb.inv_freq")  # inert buffer if present
+    consumed.add("rotary_pos_emb.rotary_interpolation_factor")  # buffer
 
+    leftovers = sorted(set(raw) - consumed)
+    if leftovers:
+        raise ValueError(
+            f"unmapped tensors in checkpoint (would be silently ignored by "
+            f"flax.apply): {leftovers[:8]}{'...' if len(leftovers) > 8 else ''}"
+        )
     return params, stats
 
 
@@ -215,6 +240,7 @@ def variables_from_torch(
         feat_out_freq=int(f),
         sampling_num=sampling_num,
         decoder_norm=model_cfg.get("decoder_norm", False),
+        learned_rotary=model_cfg.get("learned_rotary", False),
     )
     out = {"params": params}
     if stats:

@@ -38,6 +38,13 @@ from lcasr_tpu.ops.ssm import causal_conv1d, flip_with_lengths, selective_scan
 from lcasr_tpu.models.registry import register_model
 
 
+def _uniform_init(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 class BiMambaMixer(nn.Module):
     d_model: int
     d_state: int = 16
@@ -48,6 +55,7 @@ class BiMambaMixer(nn.Module):
     dt_max: float = 0.1
     dt_init_floor: float = 1e-4
     conv_bias: bool = True
+    n_layer: int = 1  # for the GPT-2 out_proj depth rescale (_init_weights)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -57,15 +65,24 @@ class BiMambaMixer(nn.Module):
         half = d_inner // 2
         dt_rank = self.dt_rank or math.ceil(self.d_model / 16)
 
-        xz = nn.Dense(d_inner * 2, use_bias=False, dtype=self.dtype, name="in_proj")(x)
+        # reference EFFECTIVE inits: torch Linear/Conv1d defaults
+        # (kaiming-uniform bound 1/sqrt(fan_in)); biasless Linears are
+        # untouched by _init_weights' bias zeroing, and out_proj is
+        # re-initialized then scaled by 1/sqrt(n_layer) (the GPT-2 residual
+        # scheme, reference `models/mamba.py:21-50,118`)
+        xz = nn.Dense(d_inner * 2, use_bias=False,
+                      kernel_init=_uniform_init(self.d_model ** -0.5),
+                      dtype=self.dtype, name="in_proj")(x)
         xs, z = jnp.split(xz, 2, axis=-1)
         x_fwd, x_rvse = jnp.split(xs, 2, axis=-1)
 
         x_rvse = flip_with_lengths(x_rvse, lengths)
 
         def conv_params(name):
-            k = self.param(f"{name}_kernel", nn.initializers.lecun_normal(), (self.d_conv, half), jnp.float32)
-            b = self.param(f"{name}_bias", nn.initializers.zeros, (half,), jnp.float32) if self.conv_bias else None
+            # depthwise torch Conv1d: fan_in = (in/groups)·k = d_conv
+            cb = self.d_conv ** -0.5
+            k = self.param(f"{name}_kernel", _uniform_init(cb), (self.d_conv, half), jnp.float32)
+            b = self.param(f"{name}_bias", _uniform_init(cb), (half,), jnp.float32) if self.conv_bias else None
             return k, b
 
         kf, bf = conv_params("conv1d_fwd")
@@ -76,7 +93,9 @@ class BiMambaMixer(nn.Module):
         # stack directions along batch for one shared scan (reference :193)
         x_all = jnp.concatenate([x_fwd, x_rvse], axis=0)  # (2B, L, half)
 
-        x_dbl = nn.Dense(dt_rank + self.d_state * 2, use_bias=False, dtype=self.dtype, name="x_proj")(x_all)
+        x_dbl = nn.Dense(dt_rank + self.d_state * 2, use_bias=False,
+                         kernel_init=_uniform_init(half ** -0.5),
+                         dtype=self.dtype, name="x_proj")(x_all)
         dt, Bssm, Cssm = jnp.split(x_dbl, [dt_rank, dt_rank + self.d_state], axis=-1)
 
         # dt projection with dt-range bias init (reference :100-118)
@@ -110,21 +129,29 @@ class BiMambaMixer(nn.Module):
         y_fwd, y_rvse = jnp.split(y_all, 2, axis=0)
         y_rvse = flip_with_lengths(y_rvse, lengths)
 
-        y = nn.Dense(d_inner, use_bias=False, dtype=self.dtype, name="y_out")(
+        y = nn.Dense(d_inner, use_bias=False,
+                     kernel_init=_uniform_init(d_inner ** -0.5),
+                     dtype=self.dtype, name="y_out")(
             jnp.concatenate([y_fwd, y_rvse], axis=-1)
         )
         y = y * jax.nn.silu(z)
-        return nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="out_proj")(y)
+        return nn.Dense(
+            self.d_model, use_bias=False,
+            kernel_init=_uniform_init(d_inner ** -0.5 / math.sqrt(self.n_layer)),
+            dtype=self.dtype, name="out_proj",
+        )(y)
 
 
 class MambaBlock(nn.Module):
     d_model: int
+    n_layer: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, lengths=None):
         h = RMSNorm(self.d_model, name="norm")(x)
-        h = BiMambaMixer(self.d_model, dtype=self.dtype, name="mixer")(h, lengths=lengths)
+        h = BiMambaMixer(self.d_model, n_layer=self.n_layer, dtype=self.dtype,
+                         name="mixer")(h, lengths=lengths)
         return h + x
 
 
@@ -199,7 +226,8 @@ class Mamba(nn.Module):
         )
 
         for i in range(self.n_layers):
-            x = MambaBlock(self.d_model, dtype=self.dtype, name=f"layers_{i}")(
+            x = MambaBlock(self.d_model, n_layer=self.n_layers,
+                           dtype=self.dtype, name=f"layers_{i}")(
                 x, lengths=lengths_arg
             )
             if i != self.n_layers - 1 and self.self_conditioning:

@@ -25,6 +25,7 @@ import numpy as np
 import optax
 
 from lcasr_tpu.config import Config
+from lcasr_tpu.models.base import decay_mask
 from lcasr_tpu.models.sconformer_meta import SCConformerMeta, meta_param_mask
 from lcasr_tpu.ops.ctc import ctc_loss
 from lcasr_tpu.optim.factory import build_optimizer, set_learning_rate
@@ -105,6 +106,10 @@ class MetaTrainer:
                     lr=self.opt_args.get("lr", 1e-3),
                     weight_decay=self.opt_args.get("weight_decay", 0.0),
                     clip_value=self.clip_value,
+                    # reference-effective grouping (models/base.decay_mask):
+                    # the meta branch is all Linear params, so with the
+                    # upstream's inverted lists none of them decay
+                    weight_decay_mask=decay_mask(params, model=self.model),
                 ),
                 mask,
             ),

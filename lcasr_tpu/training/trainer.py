@@ -210,6 +210,14 @@ class Trainer:
         opt_cfg = config.get("optimizer", Config({}))
         self.opt_args = opt_cfg.get("args", Config({}))
         self.optimizer_name = opt_cfg.get("name", "madgrad")
+        # reference general.py:72-77: 'default' = model param groups,
+        # 'none' = decay on all params
+        self.weight_decay_groups = opt_cfg.get("weight_decay_groups", "default")
+        if self.weight_decay_groups not in ("default", "none"):
+            raise NotImplementedError(
+                f"Unknown weight_decay_groups {self.weight_decay_groups}, "
+                f"must be one of [default, none]"
+            )
 
         sched_cfg = config.get("scheduler", Config({}))
         self.scheduler = CosineLRScheduler(
@@ -294,7 +302,10 @@ class Trainer:
             weight_decay=self.opt_args.get("weight_decay", 0.0),
             momentum=self.opt_args.get("momentum", 0.9),
             clip_value=self.clip_value,
-            weight_decay_mask=decay_mask(params),
+            weight_decay_mask=(
+                decay_mask(params, model=self.model)
+                if self.weight_decay_groups == "default" else None
+            ),
         )
         if self.mesh is not None:
             from lcasr_tpu.parallel.partition import (

@@ -212,3 +212,43 @@ def test_published_format_pt_checkpoint_end_to_end(reference_model, tmp_path):
     g = GreedyCTCDecoder(blank_id=MODEL_CFG["vocab_size"])
     assert g(got[0], decode=False) == g(ref[0], decode=False)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_learned_rotary_inv_freq_imported(reference_model):
+    """learned_rotary=True makes inv_freq a trained Parameter (reference
+    rotary_emb.py:27-30); the importer must carry it over.  The frequencies
+    are perturbed before export so the test fails if the import falls back
+    to recomputing the default table."""
+    _, torch = reference_model
+    from tests.reference_oracle import load_reference_module
+
+    mod = load_reference_module("lcasr/models/sconformer_xl.py", "ref_sconformer_rot")
+    cfg = dict(MODEL_CFG, use_rotary=True, learned_rotary=True)
+    torch.manual_seed(1)
+    model_t = mod.SCConformerXL(**{k: v for k, v in cfg.items()}, flash_attn=False).eval()
+    with torch.no_grad():
+        model_t.rotary_pos_emb.inv_freq *= 1.0 + 0.3 * torch.rand_like(
+            model_t.rotary_pos_emb.inv_freq
+        )
+    sd = {k: v.detach().numpy() for k, v in model_t.state_dict().items()}
+    variables = variables_from_torch(sd, cfg)
+    assert "rotary_pos_emb" in variables["params"]
+
+    jmodel = SCConformerXL(**cfg, use_pallas=False)
+    rng = np.random.default_rng(3)
+    audio = rng.normal(size=(2, 80, 192)).astype(np.float32)
+    with torch.no_grad():
+        ref = model_t(torch.from_numpy(audio))["final_posteriors"].numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(jmodel.apply(variables, jnp.asarray(audio))["final_posteriors"])
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_importer_refuses_unmapped_tensors(reference_model):
+    """A tensor the importer does not map must raise, not silently vanish
+    (flax.apply ignores unknown leaves)."""
+    model_t, torch = reference_model
+    sd = {k: v.detach().numpy() for k, v in model_t.state_dict().items()}
+    sd["layers.0.mystery.weight"] = np.zeros((4, 4), np.float32)
+    with pytest.raises(ValueError, match="unmapped"):
+        variables_from_torch(sd, MODEL_CFG)
