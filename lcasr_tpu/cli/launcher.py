@@ -126,13 +126,21 @@ def submit(config_paths: List[str], job_template: str = DEFAULT_JOB_TEMPLATE,
     return scripts
 
 
-def restart(config_path: str, dry_run: bool = False) -> str:
-    """Resubmit a crashed run with a fresh data seed (same run identity)."""
-    cfg = Config.load(config_path)
-    new_seed = random.randint(0, 100000)
-    cfg = cfg.apply_overrides([f"training.random_seed={new_seed}"])
-    cfg.save(config_path)
-    print(f"re-randomized data seed -> {new_seed}")
+def restart(config_path: str, dry_run: bool = False,
+            keep_seed: bool = False, seed: str = "random") -> str:
+    """Resubmit a crashed run with a fresh data seed (same run identity).
+
+    Mirrors `run_restarter.py:49-60`: the seed is re-randomized by default
+    to dodge the batch that caused the crash; `keep_seed` preserves it and
+    `seed` pins an explicit integer instead of a random draw."""
+    if not keep_seed:
+        cfg = Config.load(config_path)
+        new_seed = (
+            random.randint(0, 1000000) if seed == "random" else int(seed)
+        )
+        cfg = cfg.apply_overrides([f"training.random_seed={new_seed}"])
+        cfg.save(config_path)
+        print(f"re-randomized data seed -> {new_seed}")
     if not dry_run:
         submit([config_path])
     return config_path
@@ -150,8 +158,13 @@ def main():
     e.add_argument("--submit", action="store_true")
     e.add_argument("--dry_run", action="store_true")
     r = sub.add_parser("restart")
-    r.add_argument("-config", required=True)
+    r.add_argument("-config", required=True, nargs="+",
+                   help="one or more run configs to resubmit")
     r.add_argument("--dry_run", action="store_true")
+    r.add_argument("--keep_seed", action="store_true",
+                   help="do not re-randomize the data seed")
+    r.add_argument("--seed", default="random",
+                   help="'random' or an explicit integer seed")
     args = parser.parse_args()
 
     if args.cmd == "expand":
@@ -161,7 +174,9 @@ def main():
         if args.submit:
             submit(paths, dry_run=args.dry_run)
     elif args.cmd == "restart":
-        restart(args.config, dry_run=args.dry_run)
+        for cfg_path in args.config:
+            restart(cfg_path, dry_run=args.dry_run,
+                    keep_seed=args.keep_seed, seed=args.seed)
 
 
 if __name__ == "__main__":

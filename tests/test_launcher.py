@@ -52,6 +52,18 @@ def test_restart_rerandomizes_seed(tmp_path):
     assert "random_seed" in cfg.training
 
 
+def test_restart_keep_seed_and_explicit_seed(tmp_path):
+    """run_restarter.py:49-53 parity: --keep_seed preserves the config seed;
+    an explicit --seed pins it."""
+    cfg_path = tmp_path / "run.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"training": {"random_seed": 1234}}, f)
+    restart(str(cfg_path), dry_run=True, keep_seed=True)
+    assert Config.load(str(cfg_path)).training.random_seed == 1234
+    restart(str(cfg_path), dry_run=True, seed="777")
+    assert Config.load(str(cfg_path)).training.random_seed == 777
+
+
 def test_maybe_init_distributed_noop_without_config(monkeypatch):
     """Unconfigured (no coordinator) → False and no side effects."""
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
