@@ -133,6 +133,7 @@ class SCConformerMeta(nn.Module):
     bias_in_ff: bool = False
     transformer: bool = False
     legasee_double_norm: bool = True
+    fourier_pos_enc: bool = False  # reference `sconformer_meta.py:121,193,415`
     window: Tuple[int, int] = (-1, -1)
     # meta branch (reference kwargs `:152-153,219,251-296`)
     n_meta_layers: int = 1
@@ -173,6 +174,12 @@ class SCConformerMeta(nn.Module):
                 base=self.rotary_base_freq,
                 interpolation_factor=self.rotary_interpolation_factor,
                 name="rotary_pos_emb",
+            )
+        if self.fourier_pos_enc:
+            from lcasr_tpu.models.positional import LearnableFourierPosEnc
+
+            self.fourier_mod = LearnableFourierPosEnc(
+                self.d_model, dtype=self.dtype, name="fourier_pos_enc"
             )
 
         def make_layer(name):
@@ -228,6 +235,11 @@ class SCConformerMeta(nn.Module):
         rotary = (
             self.rotary_pos_emb(N, dtype=jnp.float32) if self.use_rotary else None
         )
+        if self.fourier_pos_enc:
+            # applied BEFORE the initial-signal capture, exactly as the
+            # reference (`:415` then `:432`) — the meta branch sees the
+            # position-encoded signal
+            x = self.fourier_mod(x)
         initial_signal = x  # reference static_initial_signal `:433`
         for i, layer in enumerate(self.layers):
             x = layer(x, lengths_arg, pad_mask, rotary, train)

@@ -94,11 +94,15 @@ def madgrad(
                 p_new = p_new - lr * weight_decay * p32
             return p_new - p32, gss_new, s_new
 
-        mask = (
-            weight_decay_mask
-            if weight_decay_mask is not None
-            else jax.tree.map(lambda _: True, params)
-        )
+        # callable masks are evaluated on the params ACTUALLY seen here —
+        # required under optax.masked, whose pruned MaskedNode params would
+        # not match a mask pytree built from the full tree
+        if callable(weight_decay_mask):
+            mask = weight_decay_mask(params)
+        elif weight_decay_mask is not None:
+            mask = weight_decay_mask
+        else:
+            mask = jax.tree.map(lambda _: True, params)
         # flatten/unflatten instead of a result-tuple heuristic: a 3-tuple
         # CONTAINER inside the params pytree must not be mistaken for a
         # per-leaf (update, gss, s) triple (that silently scrambled state
@@ -176,11 +180,15 @@ def mirror_madgrad(
             p_new = (1.0 - ck) * p32 + ck * z_new
             return p_new - p32, gss_new, z_new
 
-        mask = (
-            weight_decay_mask
-            if weight_decay_mask is not None
-            else jax.tree.map(lambda _: True, params)
-        )
+        # callable masks are evaluated on the params ACTUALLY seen here —
+        # required under optax.masked, whose pruned MaskedNode params would
+        # not match a mask pytree built from the full tree
+        if callable(weight_decay_mask):
+            mask = weight_decay_mask(params)
+        elif weight_decay_mask is not None:
+            mask = weight_decay_mask
+        else:
+            mask = jax.tree.map(lambda _: True, params)
         # see madgrad.update_fn: flatten/unflatten, no tuple heuristics
         treedef = jax.tree.structure(params)
         results = [

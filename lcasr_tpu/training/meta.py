@@ -107,9 +107,10 @@ class MetaTrainer:
                     weight_decay=self.opt_args.get("weight_decay", 0.0),
                     clip_value=self.clip_value,
                     # reference-effective grouping (models/base.decay_mask):
-                    # the meta branch is all Linear params, so with the
-                    # upstream's inverted lists none of them decay
-                    weight_decay_mask=decay_mask(params, model=self.model),
+                    # of the meta branch only its norm scales decay.  Passed
+                    # as a CALLABLE so it is evaluated on the MaskedNode-
+                    # pruned params optax.masked hands the inner optimizer
+                    weight_decay_mask=lambda p: decay_mask(p, model=self.model),
                 ),
                 mask,
             ),

@@ -148,3 +148,30 @@ def test_refine_at_inference_runs():
         np.exp(np.asarray(out["final_posteriors"][0], np.float64)).sum(-1), 1.0,
         atol=1e-3,
     )
+
+
+def test_meta_fourier_pos_enc_option():
+    """fourier_pos_enc (reference sconformer_meta.py:121,193,415) is applied
+    BEFORE the initial-signal capture, lives on the frozen encoder side, and
+    changes the forward."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    audio = jnp.asarray(rng.normal(size=(1, 80, 256)), jnp.float32)
+    plain = tiny_model()
+    four = tiny_model(fourier_pos_enc=True)
+    v = four.init(jax.random.PRNGKey(0), audio, jnp.array([256]))
+    assert "fourier_pos_enc" in v["params"]
+
+    from lcasr_tpu.models.sconformer_meta import meta_param_mask
+
+    mask = meta_param_mask(v["params"])
+    assert not any(jax.tree.leaves(mask["fourier_pos_enc"]))  # frozen side
+
+    out = four.apply(v, audio, jnp.array([256]))
+    v_plain = plain.init(jax.random.PRNGKey(0), audio, jnp.array([256]))
+    out_plain = plain.apply(v_plain, audio, jnp.array([256]))
+    assert out["grad_pred"].shape == out_plain["grad_pred"].shape
+    assert not np.allclose(
+        np.asarray(out["final_posteriors"]), np.asarray(out_plain["final_posteriors"])
+    )
