@@ -1,8 +1,8 @@
-"""Presegmented-utterance path: chopping long recordings into utterance
-tensors + the utterance dataset/loader.
+"""Presegmented-utterance path: chopping long recordings into fixed chunks
++ the utterance dataset/loader.
 
 Counterparts of reference `exp/save_utterances.py:35-126` (offline chop of
-recordings into fixed files with token/audio lengths) and
+recordings into fixed chunk_size-frame files with token/audio lengths) and
 `lcasr/utils/dataloading.py:160-231` (Utterance_Dataset / Utterance_Dataloader
 with pad-collate) — the data path for the 'sa' utterance-level trainer
 (reference `exp/train_files/train_sa.py`).
@@ -15,52 +15,48 @@ from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
-from lcasr_tpu.data.audio import total_frames
-from lcasr_tpu.data.dataloading import load_json, load_sample
+from lcasr_tpu.data.dataloading import (
+    chunk_spectogram,
+    chunk_text_json,
+    load_json,
+    load_sample,
+)
 
 
 def save_utterances(
     pairs: Dict[str, Dict[str, str]],
     out_dir: str,
     tokenizer,
-    max_utterance_seconds: float = 15.0,
-    max_gap_seconds: float = 0.75,
+    chunk_size: int = 2048,
+    chunk_overlap: int = 0,
 ) -> List[str]:
-    """Chop word-aligned recordings into utterances (split on silence gaps or
-    max duration), saving {id, audio, txt, lengths} npz files."""
+    """Chop word-aligned recordings into fixed chunk_size-frame windows with
+    `chunk_text_json` transcripts — the reference's actual "utterances"
+    (`exp/save_utterances.py:35-96`: the SAME chunking the trainer uses,
+    chunk_size 2048, one file per chunk, text-less chunks skipped)."""
     os.makedirs(out_dir, exist_ok=True)
     saved = []
     for rec_id, entry in pairs.items():
-        audio, txt = load_sample(entry)
+        audio, txt = load_sample(entry)  # (1, 80, T)
         words = txt["results"][-1]["alternatives"][0]["words"]
         if not words:
             continue
-        groups: List[List[dict]] = [[]]
-        for w in words:
-            start = float(w["startTime"][:-1])
-            end = float(w["endTime"][:-1])
-            g = groups[-1]
-            if g:
-                g_start = float(g[0]["startTime"][:-1])
-                g_end = float(g[-1]["endTime"][:-1])
-                if (start - g_end) > max_gap_seconds or (end - g_start) > max_utterance_seconds:
-                    groups.append([])
-            groups[-1].append(w)
-
-        for ui, g in enumerate(groups):
-            if not g:
-                continue
-            s_f = total_frames(float(g[0]["startTime"][:-1]))
-            e_f = total_frames(float(g[-1]["endTime"][:-1]))
-            spec = np.asarray(audio[:, :, s_f:e_f], np.float16)
-            if spec.shape[-1] < 8:
-                continue
-            text = " ".join(w["word"] for w in g)
-            ids = np.asarray(tokenizer.encode(text), np.int32)
+        T = audio.shape[-1]
+        chunks = chunk_spectogram(audio, chunk_size, chunk_overlap)
+        texts = chunk_text_json(words, chunk_size, chunk_overlap, T)
+        for ix, (chunk, text) in enumerate(zip(chunks, texts)):
+            ids = np.asarray(tokenizer.encode(text) if text else [], np.int32)
             if ids.size == 0:
-                continue
-            path = os.path.join(out_dir, f"{rec_id}_utt{ui}.npz")
-            np.savez_compressed(path, id=f"{rec_id}_utt{ui}", audio=spec, txt=ids)
+                continue  # reference `:73-74`: skip chunks with no text
+            path = os.path.join(out_dir, f"{rec_id}_{ix}.npz")
+            np.savez_compressed(
+                path,
+                id=f"{rec_id}_{ix}",
+                audio=np.asarray(chunk, np.float16),
+                txt=ids,
+                txt_lengths=np.asarray([ids.size], np.int64),
+                audio_lengths=np.asarray([chunk.shape[-1]], np.int64),
+            )
             saved.append(path)
     return saved
 

@@ -47,7 +47,7 @@ def test_train_meta_cli_end_to_end(tmp_path):
     tok = load_tokenizer()
     pairs = _make_pairs(tmp_path)
     utt_dir = tmp_path / "utts"
-    save_utterances(pairs, str(utt_dir), tok, max_gap_seconds=1.0)
+    save_utterances(pairs, str(utt_dir), tok, chunk_size=1024)
 
     model_cfg = {"d_model": 64, "n_layers": 1, "n_heads": 2, "head_dim": 32,
                  "subsampling_conv_channels": 16, "use_pallas": False,

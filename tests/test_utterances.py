@@ -39,19 +39,23 @@ def test_save_and_load_utterances(tmp_path):
     tok = load_tokenizer()
     pairs = _make_pairs(tmp_path)
     out_dir = tmp_path / "utts"
-    saved = save_utterances(pairs, str(out_dir), tok, max_gap_seconds=1.0)
-    # 2 recordings × 3 utterance groups (gaps every 10 words)
-    assert len(saved) == 6
+    # reference save_utterances semantics (exp/save_utterances.py:35-96):
+    # fixed chunk_size-frame windows with chunk_text_json transcripts; the
+    # word-less tail chunk is skipped
+    saved = save_utterances(pairs, str(out_dir), tok, chunk_size=1024)
+    # 2 recordings x 2 text-bearing 1024-frame chunks (3rd chunk word-less)
+    assert len(saved) == 4
 
     ds = UtteranceDataset(str(out_dir))
-    assert len(ds) == 6
+    assert len(ds) == 4
     rec_id, audio, txt = ds[0]
     assert audio.ndim == 3 and audio.shape[1] == 80
+    assert audio.shape[-1] <= 1024
     assert txt.dtype == np.int32 and txt.size > 0
 
     dl = UtteranceDataloader(str(out_dir), batch_size=4)
     batches = list(dl)
-    assert len(batches) == 2
+    assert len(batches) == 1
     b = batches[0]
     assert b["audio"].shape[0] == 4 and b["audio"].shape[1] == 80
     assert (b["audio_lengths"] <= b["audio"].shape[-1]).all()
@@ -62,7 +66,7 @@ def test_seen_ids_exclusion(tmp_path):
     tok = load_tokenizer()
     pairs = _make_pairs(tmp_path, n=1)
     out_dir = tmp_path / "utts"
-    save_utterances(pairs, str(out_dir), tok, max_gap_seconds=1.0)
+    save_utterances(pairs, str(out_dir), tok, chunk_size=1024)
     ds_all = UtteranceDataset(str(out_dir))
     first_id = ds_all[0][0]
     ds = UtteranceDataset(str(out_dir), seen_ids=[first_id.replace(".npz", "")])
