@@ -57,3 +57,28 @@ def test_lm_scorer_hook():
     scores = scorer([[1, 2, 3], [4]])
     assert scores.shape == (2, 32)
     np.testing.assert_allclose(np.exp(scores).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_train_lm_cli_end_to_end(tmp_path):
+    """cli/train_lm: text file → trained TransformerLM checkpoint that
+    load_lm_checkpoint (the rescoring loader) accepts; loss decreases."""
+    import json
+
+    from lcasr_tpu.cli.lm_rescore import load_lm_checkpoint
+    from lcasr_tpu.cli.train_lm import train_lm
+
+    text = tmp_path / "corpus.txt"
+    text.write_text("\n".join(
+        ["the cat sat on the mat", "a dog ran in the park",
+         "the cat ran", "a dog sat"] * 4
+    ))
+    save = tmp_path / "lm_ck"
+    ckpt = train_lm(
+        str(text), str(save), d_model=32, n_layers=1, n_heads=2, head_dim=16,
+        batch_size=4, seq_len=16, lr=3e-3, steps=40, save_every=40, log_every=10,
+    )
+    lines = [json.loads(l) for l in open(save / "metrics.jsonl")]
+    assert lines[-1]["loss"] < lines[0]["loss"]
+
+    model, variables = load_lm_checkpoint(ckpt)
+    assert model.d_model == 32 and "params" in variables
