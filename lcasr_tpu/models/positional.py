@@ -23,7 +23,9 @@ class LearnableFourierPosEnc(nn.Module):
     """
 
     d_model: int
-    gamma: Optional[float] = None
+    # reference default gamma=1.0; an EXPLICIT None means d_model // 2
+    # (positional_encodings.py:27-44), the paper's variance heuristic
+    gamma: Optional[float] = 1.0
     # reference hidden_dim (positional_encodings.py:52-58): modulate the
     # fourier features with a Linear-GELU-Linear MLP before adding.  The
     # main conformer uses None (raw features); the enc-dec decoders pass 64.
@@ -33,7 +35,7 @@ class LearnableFourierPosEnc(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, offsets: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         B, T, _ = x.shape
-        gamma = self.gamma if self.gamma is not None else 1.0
+        gamma = self.gamma if self.gamma is not None else self.d_model // 2
         w_r = self.param(
             "w_r",
             nn.initializers.normal(stddev=gamma ** -0.5),
