@@ -191,3 +191,49 @@ def test_train_checkpoint_eval_wer_closed_loop(synth_corpus, tmp_path):
         refs.append(" ".join(words))
     wer_stream, _, _, _, _ = word_error_rate_detail(hyps, refs)
     assert wer_stream <= 0.05, (wer_stream, hyps[0], refs[0])
+
+
+def test_mamba_closed_loop(synth_corpus, tmp_path):
+    """Same golden loop for the Mamba family: production Trainer →
+    checkpoint → production eval → WER 0 (proves the SSM encoder + its
+    selective-scan VJP train models whose checkpoints decode correctly)."""
+    import jax
+
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.data.dataloading import VariableBatchSimpleDataloader, load_json
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.evaluation.run import evaluate
+    from lcasr_tpu.models.registry import load_model
+    from lcasr_tpu.training.checkpointing import find_latest_checkpoint
+    from lcasr_tpu.training.trainer import Trainer
+
+    pairs_path, _ = synth_corpus
+    ckpt_dir = tmp_path / "ckpts_mamba"
+    cfg = Config({
+        "model_class": "Mamba",
+        "model": {"d_model": 96, "n_layers": 2, "subsampling_conv_channels": 32},
+        "audio_chunking": {"size": 512, "overlap": 0},
+        "training": {"batch_size": 2, "backprop_every": 1, "max_epochs": 200,
+                     "clip_value": 1.0, "random_seed": 1234},
+        "optimizer": {"name": "madgrad", "args": {"lr": 3e-3}},
+        "scheduler": {"warmup_steps": 5, "final_value": 3e-3},
+        "checkpointing": {"dir": str(ckpt_dir), "save_every_n_steps": 10**9},
+    })
+    tokenizer = load_tokenizer()
+    model = load_model(cfg, tokenizer.vocab_size())
+    trainer = Trainer(cfg, model, tokenizer)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    dataloader = VariableBatchSimpleDataloader(
+        pairs=load_json(pairs_path), tokenizer=tokenizer,
+        batch_size=2, chunk_size=512, chunk_overlap=0, random_seed=1234,
+    )
+    state = trainer.train(state, dataloader)
+    ckpt = find_latest_checkpoint(str(ckpt_dir))
+    assert ckpt is not None
+    summary = evaluate(
+        checkpoint=ckpt, dataset="spotify",
+        dataset_kwargs={"pairs_path": pairs_path},
+        seq_len=512, overlap=256, verbose=False,
+    )
+    assert summary["words"] > 0
+    assert summary["wer"] <= 0.05, summary["wer"]
