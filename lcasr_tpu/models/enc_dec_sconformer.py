@@ -672,3 +672,71 @@ def _greedy_cached_run(model, max_generate: int, bos_id: int, eos_id: int):
         return tokens, t
 
     return run
+
+
+def ctc_beam_search(
+    model,
+    variables,
+    audio_signal,
+    tokenizer,
+    beam_width: int = 25,
+    alpha: float = 0.45,
+    beta: float = 1.53,
+    prune_less_than_val: Optional[float] = 8.0,
+    top_am_threshold: float = -6.0,
+    bos_id: int = 0,
+):
+    """The reference v2 model's internal-LM beam search
+    (`enc_dec_sconformer_v2.py:281-329`): the model's OWN cross-attention
+    decoder scores the frame-synchronous CTC beam search as the fusion LM
+    over the encoder's CTC posteriors (bos 0, blank = len(tokenizer)).
+
+    The decoder is adapted through `HistoryLM`: each emitting frame issues
+    ONE batched full-prefix decoder pass over the live beams (the reference
+    wraps its decoder the same way via fake_forward; prefix lengths are
+    bucketed to bound recompiles).  Returns the best beam's text."""
+    import numpy as np
+
+    from lcasr_tpu.decoding.frame_sync import FrameSyncBeamSearch, HistoryLM
+
+    out = model.apply(variables, jnp.asarray(audio_signal))
+    if out.get("final_posteriors_ctc") is None:
+        raise ValueError("ctc_beam_search needs use_ctc=True (CTC posteriors)")
+    a_hidden, a_length = out["a_hidden"], out["length"]
+    ctc_lp = np.asarray(out["final_posteriors_ctc"][0], np.float32)
+
+    @jax.jit
+    def score(tokens, lengths):  # (n, U), (n,) → (n, V) next-token log-probs
+        n = tokens.shape[0]
+        ah = jnp.broadcast_to(a_hidden, (n,) + a_hidden.shape[1:])
+        al = jnp.broadcast_to(a_length, (n,))
+        logits = model.apply(
+            variables, tokens, ah, al, method=model.generate_step
+        )
+        row = jnp.take_along_axis(
+            logits, (lengths - 1)[:, None, None], axis=1
+        )[:, 0]
+        return jax.nn.log_softmax(row.astype(jnp.float32), -1)
+
+    def fn(histories):
+        n = len(histories)
+        U = max(16, -(-max(len(h) for h in histories) // 16) * 16)
+        toks = np.zeros((n, U), np.int32)
+        lens = np.zeros((n,), np.int32)
+        for i, h in enumerate(histories):
+            toks[i, : len(h)] = h
+            lens[i] = len(h)
+        return np.asarray(score(jnp.asarray(toks), jnp.asarray(lens)))
+
+    search = FrameSyncBeamSearch(
+        lm=HistoryLM(fn, bos_id=bos_id),
+        tokenizer=tokenizer,
+        beam_width=beam_width,
+        alpha=alpha,
+        beta=beta,
+        blank_id=tokenizer.vocab_size(),
+        prune_less_than_val=prune_less_than_val,
+        top_am_threshold=top_am_threshold,
+        bos_id=bos_id,
+    )
+    return search.run_search(ctc_lp, decode=True)

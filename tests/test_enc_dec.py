@@ -153,3 +153,52 @@ def test_decoder_depth_couples_to_encoder_depth_by_default():
                            jnp.zeros((1, 4), jnp.int32))
     dec = variables["params"]["language_model_decoder"]
     assert "self_norm_1" in dec and "self_norm_2" not in dec
+
+
+def test_ctc_beam_search_internal_lm(model_and_vars):
+    """Reference v2 ctc_beam_search hook (enc_dec_sconformer_v2.py:281-329):
+    the model's own AED decoder drives the frame-synchronous beam search.
+    With alpha=0 the decoder's scores carry zero weight, so the result must
+    equal the search under a zero LM — certifying the adapter end to end
+    (bos, blank placement, prefix batching, vocab layout)."""
+    from lcasr_tpu.decoding.frame_sync import FrameSyncBeamSearch, HistoryLM
+    from lcasr_tpu.models.enc_dec_sconformer import ctc_beam_search
+
+    model, variables = model_and_vars
+
+    class _Tok:
+        def vocab_size(self):
+            return TINY["vocab_size"]
+
+        def decode(self, ids):
+            return " ".join(f"t{i}" for i in ids)
+
+    tok = _Tok()
+    rng = np.random.default_rng(7)
+    audio = rng.normal(size=(1, 80, 128)).astype(np.float32)
+
+    text = ctc_beam_search(
+        model, variables, audio, tok, beam_width=4, alpha=0.0, beta=0.0,
+        top_am_threshold=-6.0, prune_less_than_val=8.0,
+    )
+    assert isinstance(text, str)
+
+    ctc_lp = np.asarray(
+        model.apply(variables, jnp.asarray(audio))["final_posteriors_ctc"][0],
+        np.float32,
+    )
+    zero_lm = HistoryLM(
+        lambda hists: np.zeros((len(hists), TINY["vocab_size"])), bos_id=0
+    )
+    want = FrameSyncBeamSearch(
+        lm=zero_lm, tokenizer=tok, beam_width=4, alpha=0.0, beta=0.0,
+        blank_id=TINY["vocab_size"], top_am_threshold=-6.0,
+        prune_less_than_val=8.0, bos_id=0,
+    ).run_search(ctc_lp, decode=True)
+    assert text == want
+
+    # and with LM weight ON the hook still runs end to end
+    text_lm = ctc_beam_search(
+        model, variables, audio, tok, beam_width=4, alpha=0.45, beta=1.53,
+    )
+    assert isinstance(text_lm, str)
