@@ -49,6 +49,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
     from lcasr_tpu.decoding.frame_sync import CachedTransformerLM, FrameSyncBeamSearch
     from lcasr_tpu.models.lm import TransformerLM
 
@@ -68,21 +70,18 @@ def main():
     max_len = max(2048, int(n_emit * 1.5))
     cache_dtype = jnp.dtype(args.cache_dtype)
     if args.recordings == 1:
+        # ONE instance for warmup + timing: `run_search` re-inits all cache
+        # state, and reusing the instance keeps its jitted step warm (every
+        # bucket size is compiled by warm_buckets outside the timed region)
         lm = CachedTransformerLM(
             lm_model, variables, width=args.width, max_len=max_len
         )
+        lm.warm_buckets()
         searcher = FrameSyncBeamSearch(
             lm, beam_width=args.width, alpha=0.4, beta=0.4,
             top_am_threshold=-6.0, prune_less_than_val=8.0,
         )
-
-        # small warmup to compile the LM step outside the timed region
-        searcher_w = FrameSyncBeamSearch(
-            CachedTransformerLM(lm_model, variables, width=args.width, max_len=max_len),
-            beam_width=args.width, alpha=0.4, beta=0.4,
-            top_am_threshold=-6.0, prune_less_than_val=8.0,
-        )
-        searcher_w.run_search(lp[:256])
+        searcher.run_search(lp[:256])  # warm the host path too
 
     if args.recordings > 1:
         from lcasr_tpu.decoding.frame_sync import rescore_many
@@ -92,14 +91,12 @@ def main():
             lm_model, variables, width=args.recordings * args.width,
             max_len=max_len, cache_dtype=cache_dtype,
         )
-        # warm the wide step shape
+        # warm every bucket size + the host path (rescore_many re-inits all
+        # cache state, so the warmed instance is reused for the timed run)
+        wide.warm_buckets()
         rescore_many(wide, [r[:256] for r in recs], args.recordings,
                      beam_width=args.width, alpha=0.4, beta=0.4,
                      top_am_threshold=-6.0, prune_less_than_val=8.0)
-        wide = CachedTransformerLM(
-            lm_model, variables, width=args.recordings * args.width,
-            max_len=max_len, cache_dtype=cache_dtype,
-        )
         t0 = time.perf_counter()
         all_ids = rescore_many(wide, recs, args.recordings,
                                beam_width=args.width, alpha=0.4, beta=0.4,

@@ -117,6 +117,15 @@ class CachedTransformerLM:
         self._host_lengths = np.zeros((width,), np.int64)
         L, H, D = model.n_layers, model.n_heads, model.head_dim
         self.cache_shape = (L, 2, width, H, max_len + 1, D)
+        # bucketed position capacity: each step's parent gather + attention
+        # read touch the FULL (.., positions, ..) buffer, so sizing it for
+        # the worst case from tick 0 moves GBs per tick on a 20-min search.
+        # The buffer instead starts small and DOUBLES when the longest beam
+        # approaches it; every step's math is exact (padded columns are
+        # NEG_INF-masked and exp(-1e30 - m) underflows to exactly 0.0 in the
+        # fp32 softmax), so bucketing is invisible to beam-for-beam parity.
+        # Average traffic over a run halves; early ticks shrink ~10x.
+        self._buf_len = min(256, max_len + 1)
         variables = jax.device_put(variables)
 
         @jax.jit
@@ -139,7 +148,11 @@ class CachedTransformerLM:
     def init(self, width: int):
         jnp = self.jnp
         assert width == self.width
-        cache = jnp.zeros(self.cache_shape, self.cache_dtype)
+        self._buf_len = min(256, self.max_len + 1)
+        cache = jnp.zeros(
+            self.cache_shape[:4] + (self._buf_len,) + self.cache_shape[5:],
+            self.cache_dtype,
+        )
         lengths = jnp.zeros((width,), jnp.int32)
         cache, lengths, lps = self._step(
             cache, lengths,
@@ -163,6 +176,19 @@ class CachedTransformerLM:
                 f"frame), not a heuristic"
             )
         self._host_lengths = hl
+        # grow the bucket BEFORE the step so this step's write position
+        # (old length <= hl.max() - 0/1) stays strictly inside the buffer
+        # (`put` silently drops writes at position == Nmax)
+        needed = min(int(hl.max(initial=0)) + 1, self.max_len + 1)
+        if needed > self._buf_len:
+            target = self._buf_len
+            while target < needed:
+                target *= 2
+            target = min(target, self.max_len + 1)
+            pad = [(0, 0)] * 6
+            pad[4] = (0, target - self._buf_len)
+            cache = jnp.pad(cache, pad)
+            self._buf_len = target
         cache, lengths, lps = self._step(
             cache, lengths,
             jnp.asarray(parent_idx),
@@ -170,6 +196,31 @@ class CachedTransformerLM:
             jnp.asarray(update_mask),
         )
         return (cache, lengths), np.asarray(lps)
+
+    def warm_buckets(self):
+        """Compile the step at every bucket size this cache can reach, so a
+        timed search never pays a mid-run compile when the buffer doubles
+        (each growth retraces `step_fn` at the new positions shape)."""
+        jnp = self.jnp
+        sizes = []
+        b = min(256, self.max_len + 1)
+        while True:
+            sizes.append(b)
+            if b >= self.max_len + 1:
+                break
+            b = min(b * 2, self.max_len + 1)
+        lengths = jnp.zeros((self.width,), jnp.int32)
+        idx = jnp.arange(self.width)
+        toks = jnp.full((self.width,), self.bos_id, jnp.int32)
+        upd = jnp.ones((self.width,), bool)
+        for s in sizes:
+            cache = jnp.zeros(
+                self.cache_shape[:4] + (s,) + self.cache_shape[5:],
+                self.cache_dtype,
+            )
+            _, _, lps = self._step(cache, lengths, idx, toks, upd)
+            lps.block_until_ready()
+        return sizes
 
 
 class FrameSyncBeamSearch:

@@ -192,6 +192,103 @@ def test_train_checkpoint_eval_wer_closed_loop(synth_corpus, tmp_path):
     wer_stream, _, _, _, _ = word_error_rate_detail(hyps, refs)
     assert wer_stream <= 0.05, (wer_stream, hyps[0], refs[0])
 
+    # LM-rescoring pipeline on the SAME trained artifacts (reference §3.4:
+    # create_logits → tlm_beam): dump moving-window logits with the trained
+    # AM, train a tiny TransformerLM on the corpus transcripts with the
+    # production cli/train_lm, then frame_sync-rescore the dumps two
+    # recordings per device call — LM fusion must keep the converged WER
+    from lcasr_tpu.cli.lm_rescore import beam_stage, create_logits
+    from lcasr_tpu.cli.train_lm import train_lm
+
+    ldir = tmp_path / "logits"
+    create_logits(
+        ckpt, "spotify", "test", str(ldir), seq_len=512, overlap=256,
+        dataset_kwargs={"pairs_path": pairs_path},
+    )
+    texts = []
+    for rec_id, pair in json.load(open(pairs_path)).items():
+        gold = json.load(open(pair["txt"]))
+        texts.append(
+            " ".join(w["word"] for w in gold["results"][0]["alternatives"][0]["words"])
+        )
+    text_path = tmp_path / "all_text.txt"
+    text_path.write_text("\n".join(texts))
+    lm_ckpt = train_lm(
+        str(text_path), str(tmp_path / "lm"), d_model=64, n_layers=1,
+        n_heads=2, head_dim=32, batch_size=2, seq_len=64, steps=20,
+        save_every=10**9, log_every=10**9,
+    )
+    wer_rescored = beam_stage(
+        str(ldir), alpha=0.2, beta=0.4, beam_width=8, lm=lm_ckpt,
+        decoder="frame_sync", parallel_recordings=2,
+    )
+    assert wer_rescored <= summary["wer"] + 1e-9, (wer_rescored, summary["wer"])
+
+
+def test_enc_dec_closed_loop(synth_corpus, tmp_path):
+    """Golden loop for the AED family: production Trainer (loss_mode
+    enc_dec, joint CTC+CE per reference exp/train_enc_dec.py) → checkpoint →
+    KV-cached greedy generation → WER 0 (proves attention-decoder training
+    produces checkpoints whose autoregressive decode is correct)."""
+    import jax
+
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.data.dataloading import VariableBatchSimpleDataloader, load_json
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.evaluation.normalizer import normalize
+    from lcasr_tpu.evaluation.run import load_any_checkpoint
+    from lcasr_tpu.evaluation.wer import word_error_rate_detail
+    from lcasr_tpu.models.enc_dec_sconformer import generate_greedy_cached
+    from lcasr_tpu.models.registry import get_model_class, load_model
+    from lcasr_tpu.training.checkpointing import find_latest_checkpoint
+    from lcasr_tpu.training.trainer import Trainer
+
+    pairs_path, _ = synth_corpus
+    ckpt_dir = tmp_path / "ckpts_aed"
+    cfg = Config({
+        "model_class": "EncDecSconformer",
+        "model": {"d_model": 96, "n_layers": 2, "n_heads": 2, "head_dim": 48,
+                  "decoder_layers": 2, "subsampling_conv_channels": 32,
+                  "use_pallas": False},
+        "audio_chunking": {"size": 512, "overlap": 0},
+        "training": {"batch_size": 2, "backprop_every": 1, "max_epochs": 300,
+                     "clip_value": 1.0, "random_seed": 1234,
+                     "loss_mode": "enc_dec", "ctc_loss_weight": 0.3},
+        "optimizer": {"name": "madgrad", "args": {"lr": 3e-3}},
+        "scheduler": {"warmup_steps": 5, "final_value": 3e-3},
+        "checkpointing": {"dir": str(ckpt_dir), "save_every_n_steps": 10**9},
+    })
+    tokenizer = load_tokenizer()
+    model = load_model(cfg, tokenizer.vocab_size())
+    trainer = Trainer(cfg, model, tokenizer)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    dataloader = VariableBatchSimpleDataloader(
+        pairs=load_json(pairs_path), tokenizer=tokenizer,
+        batch_size=2, chunk_size=512, chunk_overlap=0, random_seed=1234,
+    )
+    state = trainer.train(state, dataloader)
+    ckpt = find_latest_checkpoint(str(ckpt_dir))
+    assert ckpt is not None
+
+    cfg_ck, variables = load_any_checkpoint(ckpt)
+    model = load_model(
+        Config({"model": cfg_ck.get("model", Config({})).to_dict()}),
+        tokenizer.vocab_size(), get_model_class(cfg_ck),
+    )
+    hyps, refs = [], []
+    for rec_id, pair in json.load(open(pairs_path)).items():
+        spec = np.load(pair["audio"]).astype(np.float32)  # (1, 80, T)
+        gold = json.load(open(pair["txt"]))
+        words = [w["word"] for w in gold["results"][0]["alternatives"][0]["words"]]
+        # bos=2 / eos=0: the Trainer's enc_dec target convention
+        ids = generate_greedy_cached(
+            model, variables, spec, max_generate=64, bos_id=2, eos_id=0,
+        )
+        hyps.append(normalize(tokenizer.decode(ids)).lower())
+        refs.append(normalize(" ".join(words)).lower())
+    wer, _, _, _, _ = word_error_rate_detail(hyps, refs)
+    assert wer <= 0.05, (wer, hyps[0], refs[0])
+
 
 def test_mamba_closed_loop(synth_corpus, tmp_path):
     """Same golden loop for the Mamba family: production Trainer →

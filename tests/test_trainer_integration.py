@@ -676,7 +676,7 @@ def test_trainer_utterance_mode_cosine_handoff(tmp_path):
                             "txt": str(tmp_path / f"rec{i}.json"),
                             "duration": T / 100}
     out_dir = tmp_path / "utts"
-    save_utterances(pairs, str(out_dir), tokenizer, max_gap_seconds=1.0)
+    save_utterances(pairs, str(out_dir), tokenizer, chunk_size=512)
 
     cfg = Config({
         "model_class": "SCConformerXL",
