@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--cache_dtype", default="float32",
                     help="KV cache dtype (bfloat16 halves the HBM traffic "
                          "of the wide per-tick cache gather)")
+    ap.add_argument("--device_search", action="store_true",
+                    help="run the whole search on device (one lax.scan per "
+                         "recording, zero host round trips — "
+                         "decoding/frame_sync_device.py)")
     args = ap.parse_args()
 
     import jax
@@ -69,7 +73,24 @@ def main():
     # buffer is (L, 2, width, H, max_len+1, D))
     max_len = max(2048, int(n_emit * 1.5))
     cache_dtype = jnp.dtype(args.cache_dtype)
-    if args.recordings == 1:
+    if args.device_search:
+        from lcasr_tpu.decoding.frame_sync_device import DeviceFrameSyncBeamSearch
+
+        recs = [synth_logits(T, C, args.emit_rate, seed=s)
+                for s in range(args.recordings)]
+        dev = DeviceFrameSyncBeamSearch(
+            lm_model, variables, beam_width=args.width, alpha=0.4, beta=0.4,
+            top_am_threshold=-6.0, prune_less_than_val=8.0,
+            max_tokens=max_len, max_candidates=8, cache_dtype=cache_dtype,
+        )
+        # ONE scan searches all N recordings; full-shape warmup (the scan
+        # length is part of the compiled shape)
+        dev.run_search_many(recs)
+        t0 = time.perf_counter()
+        all_ids = dev.run_search_many(recs)
+        wall = time.perf_counter() - t0
+        ids = all_ids[0]
+    elif args.recordings == 1:
         # ONE instance for warmup + timing: `run_search` re-inits all cache
         # state, and reusing the instance keeps its jitted step warm (every
         # bucket size is compiled by warm_buckets outside the timed region)
@@ -83,7 +104,7 @@ def main():
         )
         searcher.run_search(lp[:256])  # warm the host path too
 
-    if args.recordings > 1:
+    if args.recordings > 1 and not args.device_search:
         from lcasr_tpu.decoding.frame_sync import rescore_many
 
         recs = [synth_logits(T, C, args.emit_rate, seed=s) for s in range(args.recordings)]
@@ -103,7 +124,7 @@ def main():
                                top_am_threshold=-6.0, prune_less_than_val=8.0)
         wall = time.perf_counter() - t0
         ids = all_ids[0]
-    else:
+    elif not args.device_search:
         t0 = time.perf_counter()
         ids = searcher.run_search(lp)
         wall = time.perf_counter() - t0
@@ -115,6 +136,7 @@ def main():
         "frames": T,
         "beam_width": args.width,
         "recordings": args.recordings,
+        "device_search": args.device_search,
         "cache_dtype": str(cache_dtype),
         "emit_rate": args.emit_rate,
         "emitting_frames": n_emit,
@@ -131,7 +153,8 @@ def main():
                 prev = json.load(f)
             # migrate the pre-keyed single-result format
             merged = prev if "rtfx" not in prev else {"r1_float32": prev}
-        merged[f"r{args.recordings}_{cache_dtype}"] = result
+        tag = "device_" if args.device_search else ""
+        merged[f"{tag}r{args.recordings}_{cache_dtype}"] = result
         with open(out, "w") as f:
             json.dump(merged, f, indent=1)
 

@@ -84,10 +84,15 @@ def beam_stage(
     decoder: str = "prefix",
     bos_id: int = 2,
     parallel_recordings: int = 1,
+    device_search: bool = False,
 ):
     """decoder='prefix': prefix beam search (pyctcdecode-style AM merge);
     decoder='frame_sync': the reference tlm_beam algorithm (per-beam KV
     caches, one batched LM call per frame, `ctc_beam_search.py:93-322`).
+    `device_search=True` (frame_sync only) runs each recording's ENTIRE
+    search as one jitted lax.scan on device (`decoding/frame_sync_device`)
+    — zero per-frame host round trips; see that module's docstring for the
+    (tiny) divergences from the host path.
 
     `parallel_recordings=N > 1` (frame_sync only) rescored N recordings
     concurrently off one wide device LM — every device call serves all
@@ -128,15 +133,28 @@ def beam_stage(
         # global max length serves every recording — no per-length recompile
         n_slots = min(max(1, parallel_recordings), max(1, len(all_logits)))
         max_len = max((lg.shape[0] for lg in all_logits), default=1) + 1
-        wide_lm = CachedTransformerLM(
-            lm_model, lm_variables, width=n_slots * beam_width,
-            max_len=max_len, bos_id=bos_id,
-        )
-        texts = rescore_many(
-            wide_lm, all_logits, n_slots, tokenizer=tokenizer, decode=True,
-            beam_width=beam_width, alpha=alpha, beta=beta,
-            blank_id=tokenizer.vocab_size(), bos_id=bos_id,
-        )
+        if device_search:
+            from lcasr_tpu.decoding.frame_sync_device import rescore_device
+
+            texts = rescore_device(
+                lm_model, lm_variables, all_logits, tokenizer=tokenizer,
+                decode=True, beam_width=beam_width, alpha=alpha, beta=beta,
+                blank_id=tokenizer.vocab_size(), bos_id=bos_id,
+                # one recording per scan: batched device searches pay the
+                # union of emit ticks × N-wide cache gathers with no
+                # round-trip savings to show for it (rescore_device doc)
+                max_tokens=max_len, batch_recordings=1,
+            )
+        else:
+            wide_lm = CachedTransformerLM(
+                lm_model, lm_variables, width=n_slots * beam_width,
+                max_len=max_len, bos_id=bos_id,
+            )
+            texts = rescore_many(
+                wide_lm, all_logits, n_slots, tokenizer=tokenizer, decode=True,
+                beam_width=beam_width, alpha=alpha, beta=beta,
+                blank_id=tokenizer.vocab_size(), bos_id=bos_id,
+            )
     else:
         bs = BeamSearch(
             tokenizer=tokenizer,
@@ -197,6 +215,9 @@ def main():
     b.add_argument("-parallel", "--parallel_recordings", type=int, default=1,
                    help="frame_sync only: rescore N recordings concurrently "
                         "off one wide device LM (≈N× throughput)")
+    b.add_argument("-device", "--device_search", action="store_true",
+                   help="frame_sync only: run each search as one on-device "
+                        "lax.scan (zero per-frame host round trips)")
     b.add_argument("-results", "--results_csv", default=None)
     args = parser.parse_args()
     if args.cmd == "create_logits":
@@ -215,7 +236,8 @@ def main():
             wer = beam_stage(args.logits_dir, a, b_, args.beam_width,
                              lm=args.lm, results_csv=args.results_csv,
                              decoder=args.decoder,
-                             parallel_recordings=args.parallel_recordings)
+                             parallel_recordings=args.parallel_recordings,
+                             device_search=args.device_search)
             if best is None or wer < best[0]:
                 best = (wer, a, b_)
         if len(grid) > 1:

@@ -36,6 +36,54 @@ DEFAULT_SPEC_AUGMENT = {
 }
 
 
+@functools.lru_cache(maxsize=None)
+def _tta_programs(model, num_negatives: int, blank_id: int, lr: float):
+    """Cached jitted TTA programs (fresh per-call closures recompiled the
+    flagship fwd+bwd for EVERY recording — ~1 min per recording on a
+    remote-compile tunnel; the cache keys on the hashable flax module so all
+    recordings of an eval run share two compiled programs per chunk shape)."""
+    optimizer = madgrad(learning_rate=lr)
+
+    @jax.jit
+    def forward_clean(params, batch_stats, audio, lengths):
+        # the pseudo-label pass only needs the CLEAN chunk: rows are
+        # independent in eval mode, so forwarding the augmented negatives
+        # here (as a naive port of the reference's single shared forward
+        # would) is num_negatives x pure waste — the adapt step re-forwards
+        # them with fresh augmentation anyway
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, audio, length=lengths
+        )
+        return out["final_posteriors"], out["length"]
+
+    @jax.jit
+    def adapt_step(params, batch_stats, opt_state, audio_batch, lengths,
+                   pseudo, pseudo_len):
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p, "batch_stats": batch_stats}, audio_batch,
+                length=lengths,
+            )
+            lp = out["final_posteriors"][:num_negatives].astype(jnp.float32)
+            N = lp.shape[1]
+            total = N * num_negatives
+            nll = ctc_loss(
+                lp,
+                pseudo,
+                out["length"][:num_negatives],
+                pseudo_len,
+                blank_id=blank_id,
+            )
+            return nll / total
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda a, u: a + u, params, updates)
+        return params, opt_state, loss
+
+    return forward_clean, adapt_step, optimizer
+
+
 def dynamic_eval_ctc_loss(
     model,
     variables: Dict,
@@ -64,44 +112,10 @@ def dynamic_eval_ctc_loss(
 
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    optimizer = madgrad(learning_rate=lr)
+    forward_clean, adapt_step, optimizer = _tta_programs(
+        model, num_negatives, blank_id, float(lr)
+    )
     opt_state = optimizer.init(params)
-
-    @functools.partial(jax.jit, static_argnames=("u_len",))
-    def forward_clean(params, audio, u_len):
-        # the pseudo-label pass only needs the CLEAN chunk: rows are
-        # independent in eval mode, so forwarding the augmented negatives
-        # here (as a naive port of the reference's single shared forward
-        # would) is num_negatives x pure waste — the adapt step re-forwards
-        # them with fresh augmentation anyway
-        lengths = jnp.full((1,), u_len, jnp.int32)
-        out = model.apply(
-            {"params": params, "batch_stats": batch_stats}, audio, length=lengths
-        )
-        return out["final_posteriors"], out["length"]
-
-    @jax.jit
-    def adapt_step(params, opt_state, audio_batch, lengths, pseudo, pseudo_len):
-        def loss_fn(p):
-            out = model.apply(
-                {"params": p, "batch_stats": batch_stats}, audio_batch, length=lengths
-            )
-            lp = out["final_posteriors"][:num_negatives].astype(jnp.float32)
-            N = lp.shape[1]
-            total = N * num_negatives
-            nll = ctc_loss(
-                lp,
-                pseudo,
-                out["length"][:num_negatives],
-                pseudo_len,
-                blank_id=blank_id,
-            )
-            return nll / total
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree.map(lambda a, u: a + u, params, updates)
-        return params, opt_state, loss
 
     # chunk exactly like the moving-window decode
     chunks = {}
@@ -128,7 +142,9 @@ def dynamic_eval_ctc_loss(
         for i in keys_order:
             chunk, u_len = chunks[i]
             audio = jnp.asarray(chunk)
-            lp, out_len = forward_clean(params, audio, u_len)
+            lp, out_len = forward_clean(
+                params, batch_stats, audio, jnp.full((1,), u_len, jnp.int32)
+            )
             n_valid = int(np.asarray(out_len)[0])
             clean_lp = np.asarray(lp[0][:n_valid], dtype=np.float64)
 
@@ -137,8 +153,10 @@ def dynamic_eval_ctc_loss(
             # an empty decode still takes the step (zero-length CTC targets =
             # pure blank supervision) — the reference always steps
             # (`dynamic_eval.py:93-111` builds the loss from whatever the
-            # greedy decode produced, including nothing)
-            U = max(8, len(pseudo_ids))
+            # greedy decode produced, including nothing).  U is bucketed to
+            # 64-token steps so adapt_step compiles a handful of shapes per
+            # chunk size instead of one per distinct pseudo-label length.
+            U = max(64, -(-len(pseudo_ids) // 64) * 64)
             pseudo = np.full((num_negatives, U), tokenizer.pad_id(), np.int32)
             pseudo[:, : len(pseudo_ids)] = pseudo_ids
             pseudo_len = np.full((num_negatives,), len(pseudo_ids), np.int32)
@@ -148,7 +166,7 @@ def dynamic_eval_ctc_loss(
             aug = augmentation(k2, reps[:num_negatives], lengths[:num_negatives])
             batch = jnp.concatenate([aug, reps[num_negatives:]], axis=0)
             params, opt_state, _ = adapt_step(
-                params, opt_state, batch, lengths,
+                params, batch_stats, opt_state, batch, lengths,
                 jnp.asarray(pseudo), jnp.asarray(pseudo_len),
             )
 

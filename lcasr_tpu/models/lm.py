@@ -40,6 +40,8 @@ class TransformerLM(nn.Module):
         cache: Optional[jnp.ndarray] = None,  # (L, 2, B, H, Nmax, D)
         cache_lengths: Optional[jnp.ndarray] = None,  # (B,)
         write_mask: Optional[jnp.ndarray] = None,  # (B,) bool
+        pos_row: Optional[jnp.ndarray] = None,  # (B, Nmax) int32
+        write_rows: Optional[jnp.ndarray] = None,  # (B,) int32
     ):
         """tokens (B, U) → logits (B, U, vocab).
 
@@ -58,6 +60,20 @@ class TransformerLM(nn.Module):
         cache (GBs for rescore_many) is touched once per step instead of
         three full copies (gather + new_cache + outer select) — the outer
         select in decoding.frame_sync used to OOM the 200-row 20-min cache.
+
+        `pos_row` (optional, (B, Nmax) int32): per-position ROW indirection
+        for beam search — attention reads K/V at position n of row b from
+        physical row `pos_row[b, n]` instead of b.  This lets a beam-search
+        driver share a parent's cached prefix across forked children without
+        ever permuting the buffer (the gather-copy a `cache[:, :, parent]`
+        produces cannot alias a scan carry, which made the on-device search
+        copy the whole cache EVERY frame — `decoding/frame_sync_device.py`).
+
+        `write_rows` (optional, (B,) int32): physical row for row b's k/v
+        write (default: b).  The beam-search driver allocates each write an
+        UNREFERENCED cell so shared prefixes are never clobbered.  All
+        writes go through scatter mode="drop" with masked-off rows routed
+        out of bounds — pure in-place updates, no read-modify-write.
         """
         Norm = get_norm(self.default_norm)
         B, U = tokens.shape
@@ -91,6 +107,11 @@ class TransformerLM(nn.Module):
             # decoding.frame_sync.CachedTransformerLM does
             put = write_mask & (cache_lengths < Nmax)
             pos = jnp.minimum(cache_lengths, Nmax - 1)
+            # masked-off rows route out of bounds and the scatter drops them
+            # (pure in-place update — no read-modify-write, and a scan can
+            # carry the buffer without copies)
+            w_rows = rows if write_rows is None else write_rows
+            w_rows = jnp.where(put, w_rows, B)
 
         for i in range(self.n_layers):
             h = Norm(self.d_model, name=f"attn_norm_{i}")(x)
@@ -100,21 +121,21 @@ class TransformerLM(nn.Module):
                 q = q * cos_q + rotate_half(q) * sin_q
                 k = k * cos_q + rotate_half(k) * sin_q
                 # write the new k/v at each row's own cache position: a
-                # (B, H, D) scatter into the running cache value (writes the
-                # old value back where `put` is off), which XLA updates in
-                # place on the post-gather temp
-                old_k = cache[i, 0, rows, :, pos]  # (B, H, D)
-                old_v = cache[i, 1, rows, :, pos]
-                k_put = jnp.where(put[:, None, None], k[:, 0], old_k)
-                v_put = jnp.where(put[:, None, None], v[:, 0], old_v)
-                cache = cache.at[i, 0, rows, :, pos].set(
-                    k_put.astype(cache.dtype)
+                # (B, H, D) scatter, in place (masked rows dropped via the
+                # out-of-bounds w_rows)
+                cache = cache.at[i, 0, w_rows, :, pos].set(
+                    k[:, 0].astype(cache.dtype), mode="drop"
                 )
-                cache = cache.at[i, 1, rows, :, pos].set(
-                    v_put.astype(cache.dtype)
+                cache = cache.at[i, 1, w_rows, :, pos].set(
+                    v[:, 0].astype(cache.dtype), mode="drop"
                 )
-                k_buf = cache[i, 0]
-                v_buf = cache[i, 1]
+                if pos_row is not None:
+                    idx = pos_row[:, None, :, None]
+                    k_buf = jnp.take_along_axis(cache[i, 0], idx, axis=0)
+                    v_buf = jnp.take_along_axis(cache[i, 1], idx, axis=0)
+                else:
+                    k_buf = cache[i, 0]
+                    v_buf = cache[i, 1]
                 s = jnp.einsum(
                     "bthd,bhsd->bhts",
                     q.astype(jnp.float32) * D ** -0.5,
