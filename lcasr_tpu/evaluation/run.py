@@ -70,6 +70,9 @@ def evaluate(
     pipeline_upload: bool = False,  # stripe uploads to overlap with compute
     data_parallel: bool = False,  # shard decode windows over all devices
     context_parallel: bool = False,  # windowed_attention: shard the time axis
+    # W8A8 int8 MXU projections (ops/qdense.py): False | True (all sites) |
+    # 'auto' (measured winners: FF + decoder) | comma-joined site names
+    quant_w8a8: Any = False,
 ) -> Dict[str, Any]:
     import jax
     import jax.numpy as jnp
@@ -104,8 +107,24 @@ def evaluate(
             f"{evaluation_mode!r}", stacklevel=2,
         )
 
+    if quant_w8a8:
+        # any checkpoint serves W8A8 — param trees are unchanged, the flag
+        # only reroutes the projection GEMMs through int8 (ops/qdense.py)
+        if isinstance(quant_w8a8, str) and "," in quant_w8a8:
+            quant_w8a8 = tuple(t for t in quant_w8a8.split(",") if t)
+        if quant_w8a8 == "all":
+            quant_w8a8 = True
+        model_cfg["quant_w8a8"] = quant_w8a8
+
     cfg_model = Config({"model": model_cfg})
     model = load_model(cfg_model, tokenizer.vocab_size(), get_model_class(cfg))
+    if quant_w8a8 and not getattr(model, "quant_w8a8", False):
+        import warnings
+
+        warnings.warn(
+            f"{type(model).__name__} has no quant_w8a8 path — serving "
+            "unquantized", stacklevel=2,
+        )
     cp_model_fn = None
     if evaluation_mode == "buffered":
         model_fn = make_windowed_model_fn(model, variables)
@@ -263,6 +282,16 @@ def main():
         help="windowed_attention mode: shard the single-pass forward's time "
              "axis over all devices (for recordings exceeding one chip's HBM)",
     )
+    parser.add_argument(
+        "--w8a8", nargs="?", const="auto", default=False,
+        help="serve GEMMs int8 on the MXU (W8A8 with dynamic per-token "
+             "activation scales, ops/qdense.py).  NOTE: measured a slight "
+             "net LOSS at the flagship shapes on v5e (RESULTS_w8a8.json) — "
+             "an opt-in for larger models/parts where int8 pays.  Optional "
+             "policy value: 'auto' (default — the least-bad site subset: "
+             "FF + decoder), 'all', or comma-joined site names from "
+             "qdense.ALL_SITES (e.g. 'ff,decoder,conv')",
+    )
     parser.add_argument("--dataset_base_path", default=None)
     parser.add_argument(
         "--dataset_kwargs", nargs="*", default=[],
@@ -287,6 +316,7 @@ def main():
         pipeline_upload=args.pipeline_upload,
         data_parallel=args.data_parallel,
         context_parallel=args.context_parallel,
+        quant_w8a8=args.w8a8,
     )
 
 

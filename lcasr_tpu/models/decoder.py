@@ -20,6 +20,7 @@ class ASRLinearSCDecoder(nn.Module):
     vocab_size: int  # without blank; num_classes = vocab_size + 1
     norm: bool = False
     norm_type: str = "layer_norm"
+    quant_w8a8: bool = False  # int8 MXU inference path (ops/qdense.py)
     dtype: Any = jnp.float32
 
     @property
@@ -27,13 +28,18 @@ class ASRLinearSCDecoder(nn.Module):
         return self.vocab_size + 1
 
     def setup(self):
+        from lcasr_tpu.ops.qdense import quant_dot_general
+
+        dg = quant_dot_general(self.quant_w8a8)
         self.norm_fn = (
             get_norm(self.norm_type)(self.d_model, name="norm")
             if self.norm
             else None
         )
-        self.ff = nn.Dense(self.num_classes, dtype=self.dtype, name="ff")
-        self.reprojection = nn.Dense(self.d_model, dtype=self.dtype, name="reprojection")
+        self.ff = nn.Dense(self.num_classes, dtype=self.dtype,
+                           dot_general=dg, name="ff")
+        self.reprojection = nn.Dense(self.d_model, dtype=self.dtype,
+                                     dot_general=dg, name="reprojection")
 
     def apply_norm(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.norm_fn(x) if self.norm_fn is not None else x

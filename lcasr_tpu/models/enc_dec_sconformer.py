@@ -60,6 +60,7 @@ class DecoderSelfAttention(nn.Module):
     head_dim: int
     bias: bool = False
     cosine: bool = False  # V2: cosine-sim attention with learned temperature
+    quant_w8a8: bool = False  # int8 MXU projections (ops/qdense.py)
     dtype: Any = jnp.float32
 
     def _normalize(self, a):
@@ -77,9 +78,13 @@ class DecoderSelfAttention(nn.Module):
         key/value is written at index t and attention runs over columns <= t.
         Returns (out, (k_cache, v_cache)).
         """
+        from lcasr_tpu.ops.qdense import quant_dot_general
+
+        dg = quant_dot_general(self.quant_w8a8)
         B, T, _ = x.shape
         H, D = self.n_heads, self.head_dim
-        qkv = nn.Dense(3 * H * D, use_bias=False, dtype=self.dtype, name="qkv_proj")(x)
+        qkv = nn.Dense(3 * H * D, use_bias=False, dtype=self.dtype,
+                       dot_general=dg, name="qkv_proj")(x)
         q, k, v = (a.reshape(B, T, H, D) for a in jnp.split(qkv, 3, axis=-1))
         if self.cosine:
             # ONE shared scalar (reference enc_dec_sconformer_v2.py:790), not per-head
@@ -110,7 +115,8 @@ class DecoderSelfAttention(nn.Module):
             probs = jax.nn.softmax(scores, axis=-1)
             out = jnp.einsum("bhts,bshd->bthd", probs, v_cache.astype(jnp.float32)).astype(x.dtype)
             out = out.reshape(B, T, H * D)
-            out = nn.Dense(self.d_model, use_bias=self.bias, dtype=self.dtype, name="out_proj")(out)
+            out = nn.Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
+                           dot_general=dg, name="out_proj")(out)
             return out, (k_cache, v_cache)
 
         if rotary is not None:
@@ -139,7 +145,8 @@ class DecoderSelfAttention(nn.Module):
         else:
             out = _masked_softmax_attention(q, k, v, causal, D ** -0.5)
         out = out.reshape(B, T, H * D)
-        return nn.Dense(self.d_model, use_bias=self.bias, dtype=self.dtype, name="out_proj")(out)
+        return nn.Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
+                        dot_general=dg, name="out_proj")(out)
 
 
 class CrossAttention(nn.Module):
@@ -149,6 +156,7 @@ class CrossAttention(nn.Module):
     n_heads: int
     head_dim: int
     bias: bool = False
+    quant_w8a8: bool = False  # int8 MXU projections (ops/qdense.py)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -157,10 +165,14 @@ class CrossAttention(nn.Module):
         `kv=(k, v)` (incremental decoding: the acoustic K/V are projected once
         per recording, not once per emitted token).  Pass xq=None to return
         the projected (k, v) pair for caching."""
+        from lcasr_tpu.ops.qdense import quant_dot_general
+
+        dg = quant_dot_general(self.quant_w8a8)
         H, D = self.n_heads, self.head_dim
         if kv is None:
             Tk = xkv.shape[1]
-            kv_flat = nn.Dense(2 * H * D, use_bias=False, dtype=self.dtype, name="kv_proj")(xkv)
+            kv_flat = nn.Dense(2 * H * D, use_bias=False, dtype=self.dtype,
+                               dot_general=dg, name="kv_proj")(xkv)
             k, v = (a.reshape(xkv.shape[0], Tk, H, D) for a in jnp.split(kv_flat, 2, axis=-1))
             if xq is None:
                 return k, v
@@ -168,13 +180,15 @@ class CrossAttention(nn.Module):
             k, v = kv
             Tk = k.shape[1]
         B, Tq, _ = xq.shape
-        q = nn.Dense(H * D, use_bias=False, dtype=self.dtype, name="q_proj")(xq).reshape(B, Tq, H, D)
+        q = nn.Dense(H * D, use_bias=False, dtype=self.dtype,
+                     dot_general=dg, name="q_proj")(xq).reshape(B, Tq, H, D)
         mask = None
         if kv_lengths is not None:
             mask = length_mask(kv_lengths, Tk)[:, None, None, :]
         out = _masked_softmax_attention(q, k, v, mask, D ** -0.5)
         out = out.reshape(B, Tq, H * D)
-        return nn.Dense(self.d_model, use_bias=self.bias, dtype=self.dtype, name="out_proj")(out)
+        return nn.Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
+                        dot_general=dg, name="out_proj")(out)
 
 
 class CrossAttnDecoder(nn.Module):
@@ -200,9 +214,14 @@ class CrossAttnDecoder(nn.Module):
     cosine_attention: bool = False  # V2
     use_dynamic_pos_bias: bool = False  # V2
     use_acoustic_norm: bool = False  # reference v2:902 kwarg, default off
+    # W8A8 policy: False | True | 'auto' | site names (ops/qdense.py);
+    # self/cross-attention projections are site 'proj', FFs 'ff', the
+    # vocab head 'lm_head'
+    quant_w8a8: Any = False
     dtype: Any = jnp.float32
 
     def setup(self):
+        from lcasr_tpu.ops.qdense import quant_site
         Norm = get_norm(self.default_norm)
         self.embed = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype, name="embed")
         # reference builds the decoder pos enc with an MLP head (hidden 64,
@@ -228,6 +247,7 @@ class CrossAttnDecoder(nn.Module):
             DecoderSelfAttention(
                 self.d_model, self.n_heads, self.head_dim,
                 bias=self.bias_in_ff, cosine=self.cosine_attention,
+                quant_w8a8=quant_site(self.quant_w8a8, "proj"),
                 dtype=self.dtype, name=f"self_attn_{i}",
             )
             for i in range(self.n_layers)
@@ -236,7 +256,9 @@ class CrossAttnDecoder(nn.Module):
         self.cross_attns = [
             CrossAttention(
                 self.d_model, self.n_heads, self.head_dim,
-                bias=self.bias_in_ff, dtype=self.dtype, name=f"cross_attn_{i}",
+                bias=self.bias_in_ff,
+                quant_w8a8=quant_site(self.quant_w8a8, "proj"),
+                dtype=self.dtype, name=f"cross_attn_{i}",
             )
             for i in range(self.n_layers)
         ]
@@ -244,13 +266,20 @@ class CrossAttnDecoder(nn.Module):
         self.ffs = [
             ConformerFeedForward(
                 self.d_model, bias1=self.bias_in_ff, bias2=self.bias_in_ff,
+                quant_w8a8=quant_site(self.quant_w8a8, "ff"),
                 dtype=self.dtype, name=f"ff_{i}",
             )
             for i in range(self.n_layers)
         ]
         if self.decoder_norm:
             self.out_norm = get_norm(self.default_norm)(self.d_model, name="out_norm")
-        self.out_proj = nn.Dense(self.vocab_size, dtype=self.dtype, name="out_proj")
+        from lcasr_tpu.ops.qdense import quant_dot_general
+
+        self.out_proj = nn.Dense(
+            self.vocab_size, dtype=self.dtype,
+            dot_general=quant_dot_general(quant_site(self.quant_w8a8, "lm_head")),
+            name="out_proj",
+        )
 
     def __call__(self, tokens, a_hidden, a_lengths):
         B, T = tokens.shape
@@ -354,9 +383,12 @@ class EncDecSconformer(nn.Module):
     cosine_attention: bool = False
     use_dynamic_pos_bias: bool = False
     use_pallas: bool = True
+    # W8A8 policy: False | True | 'auto' | site names (ops/qdense.py)
+    quant_w8a8: Any = False
     dtype: Any = jnp.float32
 
     def setup(self):
+        from lcasr_tpu.ops.qdense import quant_site
         self.subsampling = ConvSubsampling(
             subsampling_factor=self.subsampling_factor,
             feat_in=self.feat_in,
@@ -374,6 +406,7 @@ class EncDecSconformer(nn.Module):
                 default_norm=self.default_norm,
                 bias_in_ff=self.bias_in_ff,
                 use_pallas=self.use_pallas,
+                quant_w8a8=self.quant_w8a8,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )
@@ -386,6 +419,7 @@ class EncDecSconformer(nn.Module):
                 vocab_size=self.vocab_size,
                 norm=True,
                 norm_type=self.default_norm,
+                quant_w8a8=quant_site(self.quant_w8a8, "decoder"),
                 dtype=self.dtype,
                 name="decoder",
             )
@@ -402,6 +436,7 @@ class EncDecSconformer(nn.Module):
             rotary_base_freq=self.rotary_base_freq,
             cosine_attention=self.cosine_attention,
             use_dynamic_pos_bias=self.use_dynamic_pos_bias,
+            quant_w8a8=self.quant_w8a8,
             dtype=self.dtype,
             name="language_model_decoder",
         )
@@ -417,6 +452,13 @@ class EncDecSconformer(nn.Module):
         )
 
     def encode(self, audio_signal, length=None, train: bool = False):
+        from lcasr_tpu.ops.qdense import resolve_quant_policy
+
+        if resolve_quant_policy(self.quant_w8a8) and train:
+            raise ValueError(
+                "quant_w8a8 is inference-only (rint blocks gradients); "
+                "build the training model without it"
+            )
         x = jnp.swapaxes(audio_signal, 1, 2).astype(self.dtype)
         B = x.shape[0]
         have_lengths = length is not None

@@ -30,6 +30,14 @@ class TransformerLM(nn.Module):
     head_dim: int = 64
     rotary_base_freq: float = 10000.0
     default_norm: str = "rms_norm"
+    # W8A8 int8 MXU projections (ops/qdense.py) — inference-only policy:
+    # False | True | 'auto' | site names.  Measured a WASH at the rescoring
+    # regime (the cached step is KV-scatter-bound, not GEMM-bound —
+    # RESULTS_w8a8.json); kept as an opt-in for larger LMs where the GEMMs
+    # dominate.  Beam scores shift by the quantization error, so rescoring
+    # WER should be re-certified per model (closed-loop pattern) before
+    # serving with it.
+    quant_w8a8: Any = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -75,6 +83,18 @@ class TransformerLM(nn.Module):
         writes go through scatter mode="drop" with masked-off rows routed
         out of bounds — pure in-place updates, no read-modify-write.
         """
+        from lcasr_tpu.ops.qdense import (
+            quant_dot_general, quant_site, resolve_quant_policy,
+        )
+
+        if resolve_quant_policy(self.quant_w8a8) and train:
+            raise ValueError(
+                "quant_w8a8 is inference-only (rint blocks gradients); "
+                "build the training model without it"
+            )
+        dg_qkv = quant_dot_general(quant_site(self.quant_w8a8, "qkv"))
+        dg_out = quant_dot_general(quant_site(self.quant_w8a8, "attn_out"))
+        dg_head = quant_dot_general(quant_site(self.quant_w8a8, "lm_head"))
         Norm = get_norm(self.default_norm)
         B, U = tokens.shape
         H, D = self.n_heads, self.head_dim
@@ -115,7 +135,8 @@ class TransformerLM(nn.Module):
 
         for i in range(self.n_layers):
             h = Norm(self.d_model, name=f"attn_norm_{i}")(x)
-            qkv = nn.Dense(3 * H * D, use_bias=False, dtype=self.dtype, name=f"qkv_{i}")(h)
+            qkv = nn.Dense(3 * H * D, use_bias=False, dtype=self.dtype,
+                           dot_general=dg_qkv, name=f"qkv_{i}")(h)
             q, k, v = (a.reshape(B, U, H, D) for a in jnp.split(qkv, 3, -1))
             if cached:
                 q = q * cos_q + rotate_half(q) * sin_q
@@ -157,14 +178,21 @@ class TransformerLM(nn.Module):
                 s = jnp.where(causal, s, NEG_INF)
                 p = jax.nn.softmax(s, -1)
                 o = jnp.einsum("bhts,bshd->bthd", p, v.astype(jnp.float32)).astype(x.dtype)
-            x = x + nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name=f"out_{i}")(
+            x = x + nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                             dot_general=dg_out, name=f"out_{i}")(
                 o.reshape(B, U, H * D)
             )
             h = Norm(self.d_model, name=f"ff_norm_{i}")(x)
-            x = x + ConformerFeedForward(self.d_model, dtype=self.dtype, name=f"ff_{i}")(h)
+            x = x + ConformerFeedForward(
+                self.d_model,
+                quant_w8a8=quant_site(self.quant_w8a8, "ff"),
+                dtype=self.dtype,
+                name=f"ff_{i}",
+            )(h)
 
         x = Norm(self.d_model, name="norm_out")(x)
-        logits = nn.Dense(self.vocab_size, dtype=self.dtype, name="lm_head")(x)
+        logits = nn.Dense(self.vocab_size, dtype=self.dtype, dot_general=dg_head,
+                          name="lm_head")(x)
         if cached:
             return logits, cache, cache_lengths + write_mask.astype(cache_lengths.dtype)
         return logits

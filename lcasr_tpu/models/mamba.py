@@ -56,10 +56,14 @@ class BiMambaMixer(nn.Module):
     dt_init_floor: float = 1e-4
     conv_bias: bool = True
     n_layer: int = 1  # for the GPT-2 out_proj depth rescale (_init_weights)
+    quant_w8a8: bool = False  # int8 MXU projections (ops/qdense.py)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from lcasr_tpu.ops.qdense import quant_dot_general
+
+        dg = quant_dot_general(self.quant_w8a8)
         B_, L, _ = x.shape
         d_inner = self.expand * self.d_model
         half = d_inner // 2
@@ -72,7 +76,7 @@ class BiMambaMixer(nn.Module):
         # scheme, reference `models/mamba.py:21-50,118`)
         xz = nn.Dense(d_inner * 2, use_bias=False,
                       kernel_init=_uniform_init(self.d_model ** -0.5),
-                      dtype=self.dtype, name="in_proj")(x)
+                      dtype=self.dtype, dot_general=dg, name="in_proj")(x)
         xs, z = jnp.split(xz, 2, axis=-1)
         x_fwd, x_rvse = jnp.split(xs, 2, axis=-1)
 
@@ -95,7 +99,7 @@ class BiMambaMixer(nn.Module):
 
         x_dbl = nn.Dense(dt_rank + self.d_state * 2, use_bias=False,
                          kernel_init=_uniform_init(half ** -0.5),
-                         dtype=self.dtype, name="x_proj")(x_all)
+                         dtype=self.dtype, dot_general=dg, name="x_proj")(x_all)
         dt, Bssm, Cssm = jnp.split(x_dbl, [dt_rank, dt_rank + self.d_state], axis=-1)
 
         # dt projection with dt-range bias init (reference :100-118)
@@ -131,26 +135,28 @@ class BiMambaMixer(nn.Module):
 
         y = nn.Dense(d_inner, use_bias=False,
                      kernel_init=_uniform_init(d_inner ** -0.5),
-                     dtype=self.dtype, name="y_out")(
+                     dtype=self.dtype, dot_general=dg, name="y_out")(
             jnp.concatenate([y_fwd, y_rvse], axis=-1)
         )
         y = y * jax.nn.silu(z)
         return nn.Dense(
             self.d_model, use_bias=False,
             kernel_init=_uniform_init(d_inner ** -0.5 / math.sqrt(self.n_layer)),
-            dtype=self.dtype, name="out_proj",
+            dtype=self.dtype, dot_general=dg, name="out_proj",
         )(y)
 
 
 class MambaBlock(nn.Module):
     d_model: int
     n_layer: int = 1
+    quant_w8a8: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, lengths=None):
         h = RMSNorm(self.d_model, name="norm")(x)
-        h = BiMambaMixer(self.d_model, n_layer=self.n_layer, dtype=self.dtype,
+        h = BiMambaMixer(self.d_model, n_layer=self.n_layer,
+                         quant_w8a8=self.quant_w8a8, dtype=self.dtype,
                          name="mixer")(h, lengths=lengths)
         return h + x
 
@@ -170,6 +176,9 @@ class Mamba(nn.Module):
     self_conditioning: bool = True
     n_layers: int = 6
     d_model: int = 768
+    # W8A8 policy: False | True | 'auto' | site names (ops/qdense.py);
+    # mixer projections are site 'proj', the CTC head is 'decoder'
+    quant_w8a8: Any = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -180,6 +189,13 @@ class Mamba(nn.Module):
         train: bool = False,
         return_logits: bool = False,
     ):
+        from lcasr_tpu.ops.qdense import quant_site, resolve_quant_policy
+
+        if resolve_quant_policy(self.quant_w8a8) and train:
+            raise ValueError(
+                "quant_w8a8 is inference-only (rint blocks gradients); "
+                "build the training model without it"
+            )
         x = jnp.swapaxes(audio_signal, 1, 2).astype(self.dtype)
         B = x.shape[0]
         have_lengths = length is not None
@@ -221,12 +237,14 @@ class Mamba(nn.Module):
             vocab_size=self.vocab_size,
             norm=True,  # Mamba decoder always norms (reference mamba.py:97-101)
             norm_type="rms_norm",
+            quant_w8a8=quant_site(self.quant_w8a8, "decoder"),
             dtype=self.dtype,
             name="decoder",
         )
 
         for i in range(self.n_layers):
             x = MambaBlock(self.d_model, n_layer=self.n_layers,
+                           quant_w8a8=quant_site(self.quant_w8a8, "proj"),
                            dtype=self.dtype, name=f"layers_{i}")(
                 x, lengths=lengths_arg
             )

@@ -68,6 +68,11 @@ class Attention(nn.Module):
     # cross-step online-softmax merging (exact, KV memory O(T/n) per device —
     # the regime CP exists for, where full K/V exceeds per-shard HBM)
     attention_cp_impl: str = "gather"
+    # int8 MXU projections (ops/qdense.py), split per site: the qkv GEMM's
+    # int32 output cannot fuse into the Pallas flash kernel (extra HBM round
+    # trip), so policy 'auto' leaves both off — see qdense.AUTO_SITES
+    quant_qkv: bool = False
+    quant_out: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -88,7 +93,11 @@ class Attention(nn.Module):
         if lengths is not None:
             x = jnp.where(length_mask(lengths, N, offset=q_off)[..., None], x, 0.0)
 
-        qkv = nn.Dense(3 * H * D, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv_proj")(x)
+        from lcasr_tpu.ops.qdense import quant_dot_general
+
+        qkv = nn.Dense(3 * H * D, use_bias=self.qkv_bias, dtype=self.dtype,
+                       dot_general=quant_dot_general(self.quant_qkv),
+                       name="qkv_proj")(x)
         qkv = qkv.reshape(B, N, 3, H, D)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
@@ -163,7 +172,9 @@ class Attention(nn.Module):
         out = out.reshape(B, N, H * D)
         if lengths is not None:
             out = jnp.where(length_mask(lengths, N, offset=q_off)[..., None], out, 0.0)
-        out = nn.Dense(self.n_feats, use_bias=self.bias, dtype=self.dtype, name="out_proj")(out)
+        out = nn.Dense(self.n_feats, use_bias=self.bias, dtype=self.dtype,
+                       dot_general=quant_dot_general(self.quant_out),
+                       name="out_proj")(out)
         if self.dropout > 0.0 and train:
             # APPROXIMATION vs the reference: dropout_attn is applied to the
             # projected attention OUTPUT here, not to the attention
@@ -204,6 +215,8 @@ class ConformerLayer(nn.Module):
     seq_axis_name: Optional[str] = None  # context parallel (inside shard_map)
     attention_cp_impl: str = "gather"  # 'gather' | 'ring' (see Attention)
     stat_axes: Tuple[str, ...] = ()  # mesh axes for batch-renorm statistics
+    # W8A8 policy: False | True | 'auto' | site names (ops/qdense.py)
+    quant_w8a8: Any = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -215,6 +228,9 @@ class ConformerLayer(nn.Module):
         rotary: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         train: bool = False,
     ) -> jnp.ndarray:
+        from lcasr_tpu.ops.qdense import quant_site
+
+        qsite = lambda s: quant_site(self.quant_w8a8, s)  # noqa: E731
         Norm = get_norm(self.default_norm)
         if self.seq_axis_name is not None and self.conv_type == "longconv":
             raise NotImplementedError(
@@ -237,6 +253,7 @@ class ConformerLayer(nn.Module):
                 hidden_dim=self.d_model * 4,
                 bias1=self.bias_in_ff,
                 bias2=self.bias_in_ff,
+                quant_w8a8=qsite("ff"),
                 dtype=self.dtype,
                 name="ff1",
             )(h)
@@ -255,6 +272,8 @@ class ConformerLayer(nn.Module):
             return_attention_weights=self.return_attention_weights,
             seq_axis_name=self.seq_axis_name,
             attention_cp_impl=self.attention_cp_impl,
+            quant_qkv=qsite("qkv"),
+            quant_out=qsite("attn_out"),
             dtype=self.dtype,
             name="attend",
         )(h, lengths=lengths, rotary=rotary, train=train)
@@ -288,6 +307,7 @@ class ConformerLayer(nn.Module):
                     exp_factor=self.conv_expansion_factor,
                     seq_axis_name=self.seq_axis_name,
                     stat_axes=self.stat_axes,
+                    quant_w8a8=qsite("conv"),
                     dtype=self.dtype,
                     name="conv",
                 )(h, pad_mask=pad_mask, train=train)
@@ -299,6 +319,7 @@ class ConformerLayer(nn.Module):
             hidden_dim=self.d_model * 4,  # see ff1 note
             bias1=self.bias_in_ff,
             bias2=self.bias_in_ff,
+            quant_w8a8=qsite("ff"),
             dtype=self.dtype,
             name="ff2",
         )(h)
@@ -383,6 +404,17 @@ class SCConformerXL(nn.Module):
     seq_axis_name: Optional[str] = None
     attention_cp_impl: str = "gather"  # 'gather' | 'ring' CP attention
     stat_axes: Tuple[str, ...] = ()  # mesh axes for batch-renorm statistics
+    # W8A8 inference: projection/FF GEMMs run int8 on the MXU with dynamic
+    # per-token activation scales (ops/qdense.py).  A POLICY, not a bool:
+    # False | True (every site) | 'auto' (the sites measured to win on v5e —
+    # FF + decoder; attention excluded because its int32 GEMM output can't
+    # fuse into the Pallas flash kernel) | iterable of qdense.ALL_SITES
+    # names.  Inference-only — rint's zero gradient silently kills backprop,
+    # so train=True with any site enabled raises.  Param trees are
+    # unchanged: any checkpoint serves quantized by constructing with
+    # quant_w8a8='auto' (eval: `evaluate(..., quant_w8a8=True)` / CLI
+    # `--w8a8[=policy]`).
+    quant_w8a8: Any = False
     dtype: Any = jnp.float32
 
     @property
@@ -408,6 +440,13 @@ class SCConformerXL(nn.Module):
         train: bool = False,
         return_logits: bool = False,
     ):
+        from lcasr_tpu.ops.qdense import quant_site, resolve_quant_policy
+
+        if resolve_quant_policy(self.quant_w8a8) and train:
+            raise ValueError(
+                "quant_w8a8 is inference-only (rint blocks gradients); "
+                "build the training model without it"
+            )
         x = jnp.swapaxes(audio_signal, 1, 2)  # (B, T, feat)
         x = x.astype(self.dtype)
         B = x.shape[0]
@@ -497,6 +536,7 @@ class SCConformerXL(nn.Module):
             vocab_size=self.vocab_size,
             norm=self.decoder_norm,
             norm_type=self.default_norm,
+            quant_w8a8=quant_site(self.quant_w8a8, "decoder"),
             dtype=self.dtype,
             name="decoder",
         )
@@ -542,6 +582,7 @@ class SCConformerXL(nn.Module):
                 seq_axis_name=self.seq_axis_name,
                 attention_cp_impl=self.attention_cp_impl,
                 stat_axes=self.stat_axes,
+                quant_w8a8=self.quant_w8a8,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )

@@ -239,6 +239,7 @@ class ConformerConvolution(nn.Module):
     # upstream), so padded frames (zeroed above) COUNT toward batch stats.
     # True excludes them — cleaner, but a training-trajectory divergence.
     mask_norm_stats: bool = False
+    quant_w8a8: bool = False  # int8 MXU pointwise convs (ops/qdense.py)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -248,9 +249,13 @@ class ConformerConvolution(nn.Module):
         pad_mask: Optional[jnp.ndarray] = None,
         train: bool = False,
     ) -> jnp.ndarray:
+        from lcasr_tpu.ops.qdense import quant_dot_general
+
         assert (self.kernel_size - 1) % 2 == 0
         inner = int(self.d_model * self.exp_factor)
-        x = nn.Dense(inner * 2, dtype=self.dtype, name="pointwise_conv1")(x)
+        dg = quant_dot_general(self.quant_w8a8)
+        x = nn.Dense(inner * 2, dtype=self.dtype, dot_general=dg,
+                     name="pointwise_conv1")(x)
         a, b = jnp.split(x, 2, axis=-1)
         x = a * jax.nn.sigmoid(b)  # GLU over the channel dim
 
@@ -309,7 +314,8 @@ class ConformerConvolution(nn.Module):
             raise ValueError(f"conv_norm_type={self.norm_type} is not valid")
 
         x = jax.nn.silu(x)
-        x = nn.Dense(self.d_model, dtype=self.dtype, name="pointwise_conv2")(x)
+        x = nn.Dense(self.d_model, dtype=self.dtype, dot_general=dg,
+                     name="pointwise_conv2")(x)
         return x
 
 

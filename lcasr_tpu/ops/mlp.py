@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from lcasr_tpu.ops.qdense import quant_dot_general
+
 
 class ConformerFeedForward(nn.Module):
     d_model: int
@@ -24,13 +26,16 @@ class ConformerFeedForward(nn.Module):
     bias1: bool = False
     bias2: bool = False
     activation: str = "gelu_approx"
+    quant_w8a8: bool = False  # int8 MXU inference path (ops/qdense.py)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hidden = self.hidden_dim or self.d_model * 4
         out = self.out_dim or self.d_model
-        x = nn.Dense(hidden, use_bias=self.bias1, dtype=self.dtype, name="fc1")(x)
+        dg = quant_dot_general(self.quant_w8a8)
+        x = nn.Dense(hidden, use_bias=self.bias1, dtype=self.dtype,
+                     dot_general=dg, name="fc1")(x)
         if self.activation == "gelu_approx":
             x = jax.nn.gelu(x, approximate=True)
         elif self.activation == "relu":
@@ -39,7 +44,8 @@ class ConformerFeedForward(nn.Module):
             x = jnp.square(jax.nn.relu(x))
         else:
             raise ValueError(f"unknown activation {self.activation}")
-        x = nn.Dense(out, use_bias=self.bias2, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dense(out, use_bias=self.bias2, dtype=self.dtype,
+                     dot_general=dg, name="fc2")(x)
         return x
 
 

@@ -147,6 +147,13 @@ def test_train_checkpoint_eval_wer_closed_loop(synth_corpus, tmp_path):
         summary_opt["wer"], summary["wer"],
     )
 
+    # W8A8 quantized serving (int8 MXU projections, ops/qdense.py) must hold
+    # the converged WER — the certification that makes the opt-in shippable
+    summary_q = evaluate(**common, quant_w8a8=True)
+    assert summary_q["wer"] == summary["wer"], (
+        summary_q["wer"], summary["wer"],
+    )
+
     # data-parallel decode (window batch sharded over the mesh data axis)
     # must be WER-neutral too — certified at the same trained-model level
     import jax
