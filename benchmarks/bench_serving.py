@@ -1,4 +1,6 @@
-"""Serving latency: the online transcriber driven like a live session.
+"""Serving latency + multi-stream throughput.
+
+Single-stream: the online transcriber driven like a live session.
 
 Feeds the flagship model 1-second mel chunks (the cadence a real-time
 client produces) through `serving.OnlineTranscriber` and measures what a
@@ -35,6 +37,13 @@ def main():
                     help="frames per feed (100 = 1 s of audio)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model (CPU smoke test of the harness)")
+    ap.add_argument("--transfer_dtype", default="float32",
+                    choices=["float32", "bfloat16", "int8"],
+                    help="server wave upload format (int8 quarters the "
+                         "link traffic; WER-certified in the closed loop)")
+    ap.add_argument("--streams", type=int, default=8,
+                    help="concurrent sessions for the batched-server leg "
+                         "(0 skips it)")
     args = ap.parse_args()
 
     import jax
@@ -45,7 +54,7 @@ def main():
     from __graft_entry__ import FLAGSHIP
     from lcasr_tpu.data.tokenizer import load_tokenizer
     from lcasr_tpu.models.sconformer_xl import SCConformerXL
-    from lcasr_tpu.serving import OnlineTranscriber
+    from lcasr_tpu.serving import OnlineTranscriber, TranscriptionServer
 
     cfg = dict(FLAGSHIP)
     if args.tiny:
@@ -104,6 +113,54 @@ def main():
         "sustained_rtf": round(wall / audio_s, 4),
         "rtfx": round(audio_s / wall, 1),
     }
+    # ---- batched server: N concurrent live sessions, lockstep 1 s feeds.
+    # The aggregate must approach N x the single-stream RTFx when steps are
+    # dispatch-bound (N due steps ride ONE (N, 80, ctx) forward) ----
+    if args.streams:
+        S = args.streams
+        server = TranscriptionServer(
+            model, variables, tokenizer, max_streams=S,
+            context_frames=args.context_frames,
+            stride_frames=args.stride_frames,
+            right_delay_frames=args.right_delay_frames,
+            transfer_dtype=args.transfer_dtype,
+        )
+        mels = [
+            np.asarray(rng.normal(size=(80, total_frames)), np.float32)
+            for _ in range(S)
+        ]
+        # warmup: compile the (S, 80, ctx) shape
+        w = [server.open(norm="none") for _ in range(S)]
+        for sid, m in zip(w, mels):
+            server.feed_frames(sid, m[:, : args.context_frames * 2])
+        for sid in w:
+            server.finish(sid)
+
+        sids = [server.open(norm="none") for _ in range(S)]
+        step_lat = []
+        t_start = time.perf_counter()
+        for t0 in range(0, total_frames, args.chunk_frames):
+            t1 = time.perf_counter()
+            # event-loop pattern: ingest the tick's arrivals, pump ONCE so
+            # all concurrent due steps share one batched wave
+            for sid, m in zip(sids, mels):
+                server.feed_frames(sid, m[:, t0 : t0 + args.chunk_frames],
+                                   pump=False)
+            server.pump()
+            step_lat.append(time.perf_counter() - t1)
+        for sid in sids:
+            server.finish(sid)
+        wall = time.perf_counter() - t_start
+        lat = np.asarray(step_lat)
+        result.update({
+            "server_streams": S,
+            "server_transfer_dtype": args.transfer_dtype,
+            "server_round_ms_p50": round(float(np.percentile(lat, 50)) * 1e3, 1),
+            "server_round_ms_p95": round(float(np.percentile(lat, 95)) * 1e3, 1),
+            "server_aggregate_rtfx": round(S * audio_s / wall, 1),
+            "server_rtfx_per_stream": round(audio_s / wall, 1),
+        })
+
     print(json.dumps(result))
     if jax.default_backend() == "tpu":
         out = os.path.join(os.path.dirname(__file__), "RESULTS_serving.json")

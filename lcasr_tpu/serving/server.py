@@ -1,0 +1,224 @@
+"""Batched multi-stream transcription serving.
+
+The reference is an offline research framework (one recording at a time
+through `eval/utils.py` / `buffered_transcription.py`); `OnlineTranscriber`
+made it streaming.  This module makes it a SERVER: up to `max_streams`
+concurrent online sessions share ONE fixed-shape compiled forward of batch
+`max_streams` — the production TPU serving pattern.  Why batch:
+
+  * the MXU is utilization-starved at batch 1 × ctx 2048 body shapes, so S
+    sessions cost far less than S× one session's device time;
+  * on dispatch-latency-dominated links (this tunnel: ~30-60 ms round trip
+    per call) S due steps ride ONE dispatch instead of S.
+
+Scheduling: `_pump()` repeatedly collects every session with a due step
+(`OnlineTranscriber._ready`), builds the (S, 80, ctx) batch host-side
+(`_prepare`), runs the one compiled forward, and feeds each row back
+(`_apply`).  Sessions with no due step cost nothing; idle batch rows carry
+zeros and their outputs are discarded.  Per-row results are exactly the
+single-stream path's — the model is batch-independent at inference
+(BatchRenorm uses running stats; attention/norms are per-sample) — which
+`tests/test_serving.py::test_server_matches_single_stream` pins.
+
+Sessions may use different normalization modes and may be fed raw samples
+or precomputed mel frames; context/stride/delay are shared (they define the
+single compiled shape).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from lcasr_tpu.serving.transcriber import OnlineTranscriber
+
+
+class TranscriptionServer:
+    """Up to `max_streams` concurrent `OnlineTranscriber` sessions batched
+    onto one compiled forward.
+
+    open(**session_kw) -> sid
+    feed(sid, samples) / feed_frames(sid, mel) -> newly finalized text
+    finish(sid) -> remaining text (closes the session, frees the slot)
+    poll(sid) -> finalized text buffered by OTHER sessions' pumps
+    text(sid) -> full transcript so far
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        tokenizer,
+        max_streams: int = 8,
+        context_frames: int = 2048,
+        stride_frames: int = 512,
+        right_delay_frames: int = 512,
+        transfer_dtype: str = "float32",
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        assert max_streams >= 1
+        self.jax = jax
+        self.model = model
+        self.variables = jax.device_put(variables)
+        self.tokenizer = tokenizer
+        self.S = max_streams
+        self.ctx = context_frames
+        self.stride = stride_frames
+        self.delay = right_delay_frames
+        # wave upload format: 'float32' (exact, default), 'bfloat16' (halves
+        # link traffic), 'int8' (quarter: symmetric per-wave scale quantized
+        # on host, ONE device-side dequant — the decode path's
+        # transfer_dtype machinery, WER-certified in the closed loop).  On
+        # link-bound hosts the (S, 80, ctx) f32 upload is the wave's main
+        # cost once argmax-fetch shrank the download.
+        assert transfer_dtype in ("float32", "bfloat16", "int8")
+        self.transfer_dtype = transfer_dtype
+        self._host_dtype = (
+            np.int8 if transfer_dtype == "int8"
+            else np.dtype(jnp.bfloat16) if transfer_dtype == "bfloat16"
+            else np.float32
+        )
+
+        # ONE compiled program for every session: fixed (S, 80, ctx) input.
+        # Argmax on device — the fetch is (S, rows) int32, not
+        # (S, rows, vocab) log-probs (which would be ~33 MB per wave at the
+        # flagship shape: the whole wave's cost on a ~40 MB/s tunnel link)
+        @jax.jit
+        def forward(variables, windows, scale, lengths):
+            w = windows.astype(jnp.float32) * scale  # scale=1 unless int8
+            out = model.apply(variables, w, length=lengths)
+            ids = jnp.argmax(out["final_posteriors"], axis=-1)
+            return ids.astype(jnp.int32), out["length"]
+
+        self._forward = forward
+        self._sessions: Dict[int, OnlineTranscriber] = {}
+        self._out: Dict[int, List[str]] = {}
+        self._next_sid = 0
+
+    # ---------------- session lifecycle ----------------
+    def open(
+        self,
+        norm: Union[str, Tuple[np.ndarray, np.ndarray]] = "running",
+        eps: float = 1e-8,
+    ) -> int:
+        """Start a session; returns its id.  Raises when at capacity."""
+        if len(self._sessions) >= self.S:
+            raise RuntimeError(
+                f"server at capacity ({self.S} streams); finish() one first"
+            )
+        session = OnlineTranscriber(
+            self.model,
+            self.variables,  # already on device; device_put is a no-op
+            self.tokenizer,
+            context_frames=self.ctx,
+            stride_frames=self.stride,
+            right_delay_frames=self.delay,
+            norm=norm,
+            eps=eps,
+        )
+        sid = self._next_sid
+        self._next_sid += 1
+        self._sessions[sid] = session
+        self._out[sid] = []
+        return sid
+
+    def _session(self, sid: int) -> OnlineTranscriber:
+        if sid not in self._sessions:
+            raise KeyError(f"no open session {sid}")
+        return self._sessions[sid]
+
+    # ---------------- batched pump ----------------
+    def pump(self) -> None:
+        """Run due steps for ALL sessions, one batched forward per wave,
+        until no session has a due step; then buffer each session's newly
+        finalized text.  Called automatically by feed/feed_frames/finish
+        unless they're invoked with pump=False — an event loop ingesting a
+        whole arrival tick should feed every session with pump=False and
+        pump() ONCE, so concurrent due steps share a wave instead of each
+        feed dispatching its own."""
+        jnp = self.jax.numpy
+        while True:
+            due = []
+            for sid, s in self._sessions.items():
+                step = s._ready()
+                if step is not None:
+                    due.append((sid, s, step))
+            if not due:
+                break
+            windows = np.zeros((self.S, 80, self.ctx), np.float32)
+            lengths = np.full((self.S,), self.ctx, np.int32)  # idle rows
+            metas = []
+            for i, (sid, s, (end, final)) in enumerate(due):
+                window, width, win_start = s._prepare(end)
+                windows[i] = window
+                lengths[i] = width
+                metas.append((s, end, final, win_start))
+            if self.transfer_dtype == "int8":
+                scale = float(np.abs(windows).max()) / 127.0 or 1.0
+                host = np.clip(
+                    np.rint(windows / scale), -127, 127).astype(np.int8)
+            else:
+                scale = 1.0
+                host = windows.astype(self._host_dtype)  # host-side cast
+            ids, out_lens = self._forward(
+                self.variables, jnp.asarray(host), jnp.float32(scale),
+                jnp.asarray(lengths)
+            )
+            ids = np.asarray(ids)
+            out_lens = np.asarray(out_lens)
+            for i, (s, end, final, win_start) in enumerate(metas):
+                s._apply(end, final, win_start, ids[i], int(out_lens[i]))
+        for sid, s in self._sessions.items():
+            s._trim()
+            delta = s._delta()
+            if delta:
+                self._out[sid].append(delta)
+
+    def _take(self, sid: int) -> str:
+        parts = self._out[sid]
+        self._out[sid] = []
+        return "".join(parts)
+
+    # ---------------- public API ----------------
+    def feed(self, sid: int, samples: np.ndarray, pump: bool = True) -> str:
+        """Append raw 16 kHz samples to session `sid`; returns ITS newly
+        finalized text (text finalized for other sessions by this pump is
+        buffered for their next feed/poll).  pump=False only ingests —
+        batch a tick's arrivals, then pump() once."""
+        self._session(sid)._feed_ingest(samples)
+        if pump:
+            self.pump()
+        return self._take(sid)
+
+    def feed_frames(self, sid: int, mel: np.ndarray, pump: bool = True) -> str:
+        """Append precomputed (80, T) mel frames to session `sid`."""
+        self._session(sid)._feed_frames_ingest(mel)
+        if pump:
+            self.pump()
+        return self._take(sid)
+
+    def poll(self, sid: int) -> str:
+        """Collect text finalized for `sid` since its last feed/poll."""
+        self._session(sid)
+        return self._take(sid)
+
+    def finish(self, sid: int) -> str:
+        """End session `sid`: flush its tail, free the slot, return the
+        remaining finalized text."""
+        session = self._session(sid)
+        session._finish_ingest()
+        self.pump()
+        remaining = self._take(sid)
+        del self._sessions[sid]
+        del self._out[sid]
+        return remaining
+
+    def text(self, sid: int) -> str:
+        """Full transcript of an OPEN session so far (buffered included)."""
+        return self._session(sid).text
+
+    @property
+    def n_open(self) -> int:
+        return len(self._sessions)

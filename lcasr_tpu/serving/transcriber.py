@@ -109,11 +109,16 @@ class OnlineTranscriber:
         self._text = ""
         self._finished = False
 
-        # ONE compiled program for the whole stream: fixed (1, 80, ctx) input
+        # ONE compiled program for the whole stream: fixed (1, 80, ctx)
+        # input.  Greedy serving only consumes the per-frame argmax, so the
+        # argmax runs ON DEVICE and the fetch is (rows,) int32 instead of
+        # (rows, vocab) log-probs — on link-bound hosts (this tunnel:
+        # ~40 MB/s) that fetch, not compute, dominates the step otherwise.
         @jax.jit
         def forward(variables, window, length):
             out = model.apply(variables, window, length=length)
-            return out["final_posteriors"], out["length"]
+            ids = jnp.argmax(out["final_posteriors"], axis=-1)
+            return ids.astype(jnp.int32), out["length"]
 
         self._forward = forward
 
@@ -196,17 +201,56 @@ class OnlineTranscriber:
             self._mel_base = keep_mel
 
     # ---------------- decode steps ----------------
-    def _emit(self, g0: int, g1: int, win_start: int, log_probs, out_len: int,
+    # The step machinery is split so `server.TranscriptionServer` can batch
+    # many sessions onto one forward: _ready (is a step due?), _prepare
+    # (host-side window build), _apply (emit + frontier advance) — _step
+    # just strings them through this session's own compiled forward.
+
+    def _ready(self):
+        """(end, final) for the next due step, or None."""
+        n = self._n_mel
+        if n - self._frontier >= self.stride + self.delay:
+            # interior step: finalize a stride-sized block with full lookahead
+            return (self._frontier + self.stride + self.delay, False)
+        if self._finished and self._frontier < n:
+            # end of stream: no future context exists, flush the tail
+            return (n, True)
+        return None
+
+    def _prepare(self, end: int):
+        """Build the fixed-shape (80, ctx) window ending at `end`.
+        Returns (window, width, win_start)."""
+        win_start = max(0, end - self.ctx)
+        # align UP so win_start stays a multiple of sf (row mapping) AND
+        # width <= ctx (the single compiled shape is preserved)
+        win_start += (-win_start) % self.sf
+        width = end - win_start
+        window = self._normalized(win_start, end)
+        if width < self.ctx:
+            window = np.pad(window, ((0, 0), (0, self.ctx - width)))
+        return window, width, win_start
+
+    def _apply(self, end: int, final: bool, win_start: int, frame_ids,
+               out_len: int) -> None:
+        """Consume a forward's output for the step (end, final):
+        `frame_ids` is this session's (rows,) device-argmaxed id vector."""
+        fin_end = end if final else end - self.delay
+        self._emit(self._frontier, fin_end, win_start, frame_ids, out_len,
+                   tail=final)
+        self._frontier = fin_end
+
+    def _emit(self, g0: int, g1: int, win_start: int, frame_ids, out_len: int,
               tail: bool) -> None:
         """Finalize global frames [g0, g1) from a window forward whose input
         started at `win_start` (multiple of sf, so subsampled rows align).
+        `frame_ids` is the device-argmaxed (rows,) id vector for this stream.
         `tail`: take every remaining output row (g1 may not be sf-aligned at
         end of stream — the last subsampled row covers a partial group)."""
         r0 = (g0 - win_start) // self.sf
         r1 = out_len if tail else min((g1 - win_start) // self.sf, out_len)
         if r1 <= r0:
             return
-        ids = np.asarray(log_probs[0, r0:r1].argmax(-1))
+        ids = np.asarray(frame_ids[r0:r1])
         for i in ids.tolist():
             if i != self.blank_id and i != self._prev_id:
                 self._ids.append(int(i))
@@ -216,33 +260,17 @@ class OnlineTranscriber:
     def _step(self, end: int, final: bool) -> None:
         """One fixed-shape forward over mel [end-ctx, end), finalizing frames
         [frontier, end - delay) — or everything through `end` when final."""
-        win_start = max(0, end - self.ctx)
-        # align UP so win_start stays a multiple of sf (row mapping) AND
-        # width <= ctx (the single compiled shape is preserved)
-        win_start += (-win_start) % self.sf
-        width = end - win_start
-        window = self._normalized(win_start, end)
-        if width < self.ctx:
-            window = np.pad(window, ((0, 0), (0, self.ctx - width)))
-        log_probs, out_len = self._forward(
+        window, width, win_start = self._prepare(end)
+        ids, out_len = self._forward(
             self.variables,
             self.jnp.asarray(window[None]),
             self.jnp.asarray([width], np.int32),
         )
-        fin_end = end if final else end - self.delay
-        self._emit(self._frontier, fin_end, win_start, log_probs,
-                   int(out_len[0]), tail=final)
-        self._frontier = fin_end
+        self._apply(end, final, win_start, np.asarray(ids)[0],
+                    int(out_len[0]))
 
-    def _drain(self) -> str:
-        n = self._n_mel
-        # interior steps: finalize stride-sized blocks with full lookahead
-        while n - self._frontier >= self.stride + self.delay:
-            self._step(self._frontier + self.stride + self.delay, final=False)
-        if self._finished and self._frontier < n:
-            # end of stream: no future context exists, flush the tail
-            self._step(n, final=True)
-        self._trim()
+    def _delta(self) -> str:
+        """Newly finalized text since the last call."""
         if not self._dirty:
             return ""
         self._dirty = False
@@ -257,9 +285,17 @@ class OnlineTranscriber:
             k += 1
         return self._text[k:]
 
+    def _drain(self) -> str:
+        while True:
+            step = self._ready()
+            if step is None:
+                break
+            self._step(*step)
+        self._trim()
+        return self._delta()
+
     # ---------------- public API ----------------
-    def feed(self, samples: np.ndarray) -> str:
-        """Append raw 16 kHz samples; returns newly finalized text."""
+    def _feed_ingest(self, samples: np.ndarray) -> None:
         assert not self._finished, "stream already finished"
         assert self._n_mel == 0 or self._n_samples > 0, (
             "stream already fed via feed_frames(); don't mix inputs"
@@ -268,13 +304,8 @@ class OnlineTranscriber:
         self._samples = np.concatenate([self._samples, samples])
         self._n_samples += len(samples)
         self._ingest(end_of_stream=False)
-        return self._drain()
 
-    def feed_frames(self, mel: np.ndarray) -> str:
-        """Append precomputed (80, T) mel frames — for pipelines whose
-        frontend already ran (e.g. `.spec` files, an upstream VAD stage).
-        Mutually exclusive with feed(); frames are used as-is apart from the
-        configured normalization."""
+    def _feed_frames_ingest(self, mel: np.ndarray) -> None:
         assert not self._finished, "stream already finished"
         assert self._n_samples == 0, (
             "stream already fed raw samples; don't mix inputs"
@@ -286,15 +317,30 @@ class OnlineTranscriber:
         self._n_mel += mel.shape[1]
         self._mel_sum += mel.astype(np.float64).sum(-1)
         self._mel_sumsq += (mel.astype(np.float64) ** 2).sum(-1)
+
+    def _finish_ingest(self) -> None:
+        assert not self._finished, "stream already finished"
+        self._finished = True
+        if self._n_samples > 0:  # raw-sample mode; frame mode has no tail
+            self._ingest(end_of_stream=True)
+
+    def feed(self, samples: np.ndarray) -> str:
+        """Append raw 16 kHz samples; returns newly finalized text."""
+        self._feed_ingest(samples)
+        return self._drain()
+
+    def feed_frames(self, mel: np.ndarray) -> str:
+        """Append precomputed (80, T) mel frames — for pipelines whose
+        frontend already ran (e.g. `.spec` files, an upstream VAD stage).
+        Mutually exclusive with feed(); frames are used as-is apart from the
+        configured normalization."""
+        self._feed_frames_ingest(mel)
         return self._drain()
 
     def finish(self) -> str:
         """End of stream: compute the reflect-end-padded tail frames and
         finalize everything remaining (no lookahead left to wait for)."""
-        assert not self._finished, "stream already finished"
-        self._finished = True
-        if self._n_samples > 0:  # raw-sample mode; frame mode has no tail
-            self._ingest(end_of_stream=True)
+        self._finish_ingest()
         return self._drain()
 
     @property

@@ -194,3 +194,134 @@ def test_buffers_stay_bounded(model_and_vars):
         # samples kept: one frame's lookback + one feed chunk + STFT pad
         assert len(tr._samples) <= 8000 + 2 * 256 + 160
     tr.finish()
+
+
+# ---------------- batched multi-stream server ----------------
+
+def test_server_matches_single_stream(model_and_vars):
+    """N interleaved server sessions produce exactly the transcripts the
+    single-stream OnlineTranscriber produces for the same audio."""
+    from lcasr_tpu.serving import TranscriptionServer
+
+    model, variables = model_and_vars
+    tok = _IdTokenizer()
+    rng = np.random.default_rng(7)
+    kw = dict(context_frames=128, stride_frames=32, right_delay_frames=32)
+
+    streams = [
+        rng.normal(size=(16000 * s,)).astype(np.float32) * 0.1
+        for s in (2, 3, 1)
+    ]
+    singles = []
+    for audio in streams:
+        t = OnlineTranscriber(model, variables, tok, norm="running", **kw)
+        t.feed(audio)
+        t.finish()
+        singles.append(t.text)
+
+    server = TranscriptionServer(model, variables, tok, max_streams=4, **kw)
+    sids = [server.open() for _ in streams]
+    # interleave ragged chunks; collect deltas per session
+    got = {sid: "" for sid in sids}
+    chunk = 4000
+    pos = [0] * len(streams)
+    tick = 0
+    while any(p < len(a) for p, a in zip(pos, streams)):
+        # alternate eager pumping with the event-loop pattern (ingest all,
+        # pump once) — transcripts must be identical either way
+        eager = tick % 2 == 0
+        for i, sid in enumerate(sids):
+            if pos[i] < len(streams[i]):
+                got[sid] += server.feed(
+                    sid, streams[i][pos[i] : pos[i] + chunk], pump=eager)
+                pos[i] += chunk
+        if not eager:
+            server.pump()
+            for sid in sids:
+                got[sid] += server.poll(sid)
+        tick += 1
+    # finish in a different order than opened
+    for i in (1, 2, 0):
+        got[sids[i]] += server.poll(sids[i])
+        got[sids[i]] += server.finish(sids[i])
+    assert server.n_open == 0
+    for i, sid in enumerate(sids):
+        assert got[sid] == singles[i], (i, got[sid], singles[i])
+
+
+def test_server_capacity_and_slot_reuse(model_and_vars):
+    from lcasr_tpu.serving import TranscriptionServer
+
+    model, variables = model_and_vars
+    server = TranscriptionServer(
+        model, variables, _IdTokenizer(), max_streams=2,
+        context_frames=128, stride_frames=32, right_delay_frames=32,
+    )
+    a, b = server.open(), server.open()
+    with pytest.raises(RuntimeError, match="capacity"):
+        server.open()
+    server.finish(a)
+    c = server.open()  # slot freed
+    assert server.n_open == 2
+    for sid in (b, c):
+        server.finish(sid)
+    with pytest.raises(KeyError):
+        server.feed(a, np.zeros(100, np.float32))
+
+
+def test_server_one_compiled_shape(model_and_vars, monkeypatch):
+    """The server compiles exactly ONE program regardless of how many
+    sessions run or how ragged their feeds are."""
+    from lcasr_tpu.serving import TranscriptionServer
+
+    model, variables = model_and_vars
+    server = TranscriptionServer(
+        model, variables, _IdTokenizer(), max_streams=3,
+        context_frames=128, stride_frames=32, right_delay_frames=32,
+    )
+    calls = []
+    inner = server._forward
+
+    def spy(variables, windows, scale, lengths):
+        calls.append((windows.shape, lengths.shape))
+        return inner(variables, windows, scale, lengths)
+
+    server._forward = spy
+    rng = np.random.default_rng(0)
+    sids = [server.open() for _ in range(3)]
+    for sid in sids:
+        server.feed(sid, rng.normal(size=(16000,)).astype(np.float32))
+    for sid in sids:
+        server.finish(sid)
+    assert calls and all(s == calls[0] for s in calls)
+    assert calls[0][0] == (3, 80, 128)
+
+
+@pytest.mark.parametrize("transfer_dtype", ["bfloat16", "int8"])
+def test_server_compressed_transfer_matches_float32(model_and_vars,
+                                                    transfer_dtype):
+    """bf16/int8 wave uploads keep the greedy transcripts at the tiny-model
+    scale (the decode path's transfer_dtype machinery; WER-certified on a
+    trained model in the closed loop)."""
+    from lcasr_tpu.serving import TranscriptionServer
+
+    model, variables = model_and_vars
+    tok = _IdTokenizer()
+    kw = dict(max_streams=2, context_frames=128, stride_frames=32,
+              right_delay_frames=32)
+    rng = np.random.default_rng(3)
+    streams = [rng.normal(size=(16000 * 2,)).astype(np.float32) * 0.1
+               for _ in range(2)]
+
+    def run(dtype):
+        srv = TranscriptionServer(model, variables, tok,
+                                  transfer_dtype=dtype, **kw)
+        sids = [srv.open() for _ in streams]
+        out = {}
+        for sid, a in zip(sids, streams):
+            srv.feed(sid, a)
+        for sid in sids:
+            out[sid - sids[0]] = srv.text(sid) + srv.finish(sid)
+        return out
+
+    assert run(transfer_dtype) == run("float32")
