@@ -190,24 +190,16 @@ class BeamSearch:
         are the first/last piece-emission frames scaled by the subsampling
         factor.
         """
+        from lcasr_tpu.decoding.timestamps import words_from_ids
+
         self.run_search(log_probs, decode=False)
         beams_best = self._best
         ids, frames = list(beams_best.prefix), list(beams_best.frames)
-        words, cur, cur_frames = [], [], []
-        pieces = [self.tokenizer.id_to_piece(i) for i in ids] if self.tokenizer else []
-        for piece, i, f in zip(pieces, ids, frames):
-            if piece.startswith("▁") and cur:
-                words.append(("".join(cur).replace("▁", " ").strip(), cur_frames))
-                cur, cur_frames = [], []
-            cur.append(piece)
-            cur_frames.append(f)
-        if cur:
-            words.append(("".join(cur).replace("▁", " ").strip(), cur_frames))
-        to_sec = lambda fr: fr * ds_factor / frames_per_second
-        out_words = [
-            {"word": w, "start": to_sec(fs[0]), "end": to_sec(fs[-1] + 1)}
-            for w, fs in words if w
-        ]
+        out_words = (
+            words_from_ids(self.tokenizer, ids, frames, ds_factor,
+                           frames_per_second)
+            if self.tokenizer else []
+        )
         return {
             "text": self.tokenizer.decode(ids) if self.tokenizer else ids,
             "frames": out_words,

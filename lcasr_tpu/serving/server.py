@@ -219,6 +219,11 @@ class TranscriptionServer:
         """Full transcript of an OPEN session so far (buffered included)."""
         return self._session(sid).text
 
+    def words(self, sid: int):
+        """Word-level timestamps of an OPEN session's finalized transcript
+        ([{'word', 'start', 'end'} in stream seconds])."""
+        return self._session(sid).words
+
     @property
     def n_open(self) -> int:
         return len(self._sessions)

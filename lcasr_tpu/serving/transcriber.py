@@ -105,6 +105,9 @@ class OnlineTranscriber:
         # re-decoding on change is O(total) per EMITTING drain, which is
         # negligible; the buffers that must stay bounded are samples/mel
         self._ids: list[int] = []
+        # per-token first-emission SUBSAMPLED frame (global), for the
+        # `words` word-timestamp view
+        self._id_frames: list[int] = []
         self._dirty = False
         self._text = ""
         self._finished = False
@@ -251,9 +254,11 @@ class OnlineTranscriber:
         if r1 <= r0:
             return
         ids = np.asarray(frame_ids[r0:r1])
-        for i in ids.tolist():
+        row0 = win_start // self.sf  # global subsampled row of output row 0
+        for j, i in enumerate(ids.tolist()):
             if i != self.blank_id and i != self._prev_id:
                 self._ids.append(int(i))
+                self._id_frames.append(row0 + r0 + j)
                 self._dirty = True
             self._prev_id = i
 
@@ -346,3 +351,15 @@ class OnlineTranscriber:
     @property
     def text(self) -> str:
         return self._text
+
+    @property
+    def words(self):
+        """Word-level timestamps for the finalized transcript so far:
+        [{'word', 'start', 'end'} in stream seconds] — the serving
+        counterpart of `decoding.beam_search.decode_with_timestamps`.
+        Requires a tokenizer with `id_to_piece` (the SP-model tokenizer)."""
+        from lcasr_tpu.decoding.timestamps import words_from_ids
+
+        return words_from_ids(
+            self.tokenizer, self._ids, self._id_frames, ds_factor=self.sf
+        )

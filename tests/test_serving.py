@@ -325,3 +325,29 @@ def test_server_compressed_transfer_matches_float32(model_and_vars,
         return out
 
     assert run(transfer_dtype) == run("float32")
+
+
+def test_word_timestamps(model_and_vars):
+    """`words` yields {'word','start','end'} entries whose words join back
+    to the transcript, with monotonically non-decreasing, in-stream times."""
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+
+    tok = load_tokenizer()
+    model = SCConformerXL(**{**TINY, "vocab_size": tok.vocab_size()})
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 80, 256)))
+    tr = OnlineTranscriber(model, variables, tok, context_frames=512,
+                           stride_frames=128, right_delay_frames=128,
+                           norm="running")
+    wave = _random_wave(6.0, 9)
+    tr.feed(wave)
+    tr.finish()
+    words = tr.words
+    assert words, "random-weight decode should emit something"
+    joined = " ".join(w["word"] for w in words)
+    assert joined == tr.text.strip(), (joined, tr.text)
+    audio_s = len(wave) / 16000
+    prev_start = 0.0
+    for w in words:
+        assert 0.0 <= w["start"] < w["end"] <= audio_s + 1.0, w
+        assert w["start"] >= prev_start
+        prev_start = w["start"]
