@@ -84,21 +84,53 @@ class BeamSearch:
         self.prune_less_than_val = prune_less_than_val
         self.max_cache_length = max_cache_length
         self.pad_id = pad_id
+        self.reset()
 
-    def run_search(self, log_probs: np.ndarray, decode: bool = True):
-        """log_probs: (T, C) CTC log posteriors → best transcript (or ids)."""
-        T, C = log_probs.shape
-        blank = self.blank_id if self.blank_id is not None else C - 1
-
-        beams: Dict[Tuple[int, ...], Beam] = {(): Beam()}
-
+    def reset(self) -> None:
+        """Clear search state; advance() continues from a fresh empty beam.
+        (run_search = reset + advance + best; advance() alone supports
+        streaming callers — `serving` feeds finalized logit blocks as they
+        exist, reference semantics unchanged.)"""
+        self._beams: Dict[Tuple[int, ...], Beam] = {(): Beam()}
         # per-prefix LM memo: a prefix's next-token distribution is
         # frame-independent, so only NEWLY-created prefixes ever need a
         # forward (pruned each frame to the live beam set)
-        lm_memo: Dict[Tuple[int, ...], np.ndarray] = {}
+        self._lm_memo: Dict[Tuple[int, ...], np.ndarray] = {}
 
-        for t in range(T):
-            frame = log_probs[t]
+    def run_search(self, log_probs: np.ndarray, decode: bool = True):
+        """log_probs: (T, C) CTC log posteriors → best transcript (or ids)."""
+        self.reset()
+        self.advance(log_probs)
+        best = self.best()
+        ids = list(best.prefix)
+        if decode and self.tokenizer is not None:
+            return self.tokenizer.decode(ids)
+        return ids
+
+    def best(self) -> Beam:
+        """Highest-scoring live beam (also cached as self._best)."""
+        best = max(self._beams.values(), key=lambda b: b.score)
+        self._best = best
+        return best
+
+    def live_prefixes(self) -> List[Tuple[int, ...]]:
+        """Live beam prefixes, best first (for streaming common-prefix
+        emission)."""
+        ranked = sorted(self._beams.values(), key=lambda b: -b.score)
+        return [b.prefix for b in ranked]
+
+    def advance(self, log_probs: np.ndarray, t0: int = 0) -> None:
+        """Advance the search over a block of frames.  `t0` is the GLOBAL
+        index of the block's first frame, so timestamps stay global across
+        streamed blocks."""
+        T, C = log_probs.shape
+        blank = self.blank_id if self.blank_id is not None else C - 1
+        beams = self._beams
+        lm_memo = self._lm_memo
+
+        for t_local in range(T):
+            t = t0 + t_local
+            frame = log_probs[t_local]
             # top-AM pruning (reference :224-228); the configured pad id is
             # never a candidate unless it IS blank
             keep = np.where(frame > frame.max() + self.top_am_threshold)[0]
@@ -168,12 +200,8 @@ class BeamSearch:
             if self.lm_scores is not None:
                 lm_memo = {p: v for p, v in lm_memo.items() if p in beams}
 
-        best = max(beams.values(), key=lambda b: b.score)
-        self._best = best
-        ids = list(best.prefix)
-        if decode and self.tokenizer is not None:
-            return self.tokenizer.decode(ids)
-        return ids
+        self._beams = beams
+        self._lm_memo = lm_memo
 
     def decode_beams(
         self,

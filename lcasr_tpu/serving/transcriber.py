@@ -64,6 +64,8 @@ class OnlineTranscriber:
         right_delay_frames: int = 512,
         norm: Union[str, Tuple[np.ndarray, np.ndarray]] = "running",
         eps: float = 1e-8,
+        decoder: str = "greedy",
+        beam_opts: Optional[dict] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -112,16 +114,50 @@ class OnlineTranscriber:
         self._text = ""
         self._finished = False
 
+        # decoder='beam': an incremental LM-fusable prefix beam search runs
+        # over the finalized logit rows (exact by the finalization
+        # contract), so the ONLINE transcript carries beam/LM quality.
+        # Mid-stream the emitted text is the LIVE BEAMS' COMMON PREFIX
+        # (never waits, may later be refined — the delta protocol emits the
+        # corrected suffix from the divergence point); finish() settles on
+        # the best beam, which equals the OFFLINE prefix beam over the same
+        # logits (tests/test_serving.py::test_beam_serving_matches_offline).
+        # beam_opts passes through to decoding.beam_search.BeamSearch
+        # (beam_width, alpha/beta + lm_scores for LM fusion, pruning...).
+        assert decoder in ("greedy", "beam")
+        self.decoder = decoder
+        if decoder == "beam":
+            from lcasr_tpu.decoding.beam_search import BeamSearch
+
+            opts = dict(beam_opts or {})
+            opts.setdefault("pad_id", 0)
+            self._beam = BeamSearch(
+                tokenizer=tokenizer, blank_id=self.blank_id, **opts
+            )
+
         # ONE compiled program for the whole stream: fixed (1, 80, ctx)
         # input.  Greedy serving only consumes the per-frame argmax, so the
         # argmax runs ON DEVICE and the fetch is (rows,) int32 instead of
         # (rows, vocab) log-probs — on link-bound hosts (this tunnel:
         # ~40 MB/s) that fetch, not compute, dominates the step otherwise.
-        @jax.jit
-        def forward(variables, window, length):
-            out = model.apply(variables, window, length=length)
-            ids = jnp.argmax(out["final_posteriors"], axis=-1)
-            return ids.astype(jnp.int32), out["length"]
+        # Beam serving needs the distribution, so it fetches fp32 log-probs
+        # (~4 MB/step at the flagship shape — the beam trades step latency
+        # for transcript quality on link-bound hosts).
+        if decoder == "beam":
+
+            @jax.jit
+            def forward(variables, window, length):
+                out = model.apply(variables, window, length=length)
+                lp = out["final_posteriors"].astype(jnp.float32)
+                return lp, out["length"]
+
+        else:
+
+            @jax.jit
+            def forward(variables, window, length):
+                out = model.apply(variables, window, length=length)
+                ids = jnp.argmax(out["final_posteriors"], axis=-1)
+                return ids.astype(jnp.int32), out["length"]
 
         self._forward = forward
 
@@ -233,13 +269,52 @@ class OnlineTranscriber:
             window = np.pad(window, ((0, 0), (0, self.ctx - width)))
         return window, width, win_start
 
-    def _apply(self, end: int, final: bool, win_start: int, frame_ids,
+    def _emit_beam(self, g0: int, g1: int, win_start: int, log_probs,
+                   out_len: int, tail: bool) -> None:
+        """Beam-mode finalization: advance the incremental prefix beam over
+        the finalized (rows, C) log-prob block; publish the live beams'
+        common prefix mid-stream, the best beam at end of stream."""
+        r0 = (g0 - win_start) // self.sf
+        r1 = out_len if tail else min((g1 - win_start) // self.sf, out_len)
+        if r1 > r0:
+            row0 = win_start // self.sf
+            self._beam.advance(
+                np.asarray(log_probs[r0:r1], np.float32), t0=row0 + r0
+            )
+        if tail:
+            best = self._beam.best()
+            ids, frames = list(best.prefix), list(best.frames)
+        else:
+            prefixes = self._beam.live_prefixes()
+            lcp = prefixes[0]
+            for p in prefixes[1:]:
+                n = 0
+                for a, b in zip(lcp, p):
+                    if a != b:
+                        break
+                    n += 1
+                lcp = lcp[:n]
+            # the best beam starts with the LCP by construction, so its
+            # timestamps align with the emitted ids
+            best = self._beam.best()
+            ids = list(lcp)
+            frames = list(best.frames[: len(lcp)])
+        if ids != self._ids:
+            self._ids, self._id_frames = ids, frames
+            self._dirty = True
+
+    def _apply(self, end: int, final: bool, win_start: int, payload,
                out_len: int) -> None:
-        """Consume a forward's output for the step (end, final):
-        `frame_ids` is this session's (rows,) device-argmaxed id vector."""
+        """Consume a forward's output for the step (end, final): `payload`
+        is this session's (rows,) device-argmaxed id vector (greedy) or its
+        (rows, C) fp32 log-probs (beam)."""
         fin_end = end if final else end - self.delay
-        self._emit(self._frontier, fin_end, win_start, frame_ids, out_len,
-                   tail=final)
+        if self.decoder == "beam":
+            self._emit_beam(self._frontier, fin_end, win_start, payload,
+                            out_len, tail=final)
+        else:
+            self._emit(self._frontier, fin_end, win_start, payload, out_len,
+                       tail=final)
         self._frontier = fin_end
 
     def _emit(self, g0: int, g1: int, win_start: int, frame_ids, out_len: int,

@@ -351,3 +351,71 @@ def test_word_timestamps(model_and_vars):
         assert 0.0 <= w["start"] < w["end"] <= audio_s + 1.0, w
         assert w["start"] >= prev_start
         prev_start = w["start"]
+
+
+def test_beam_serving_matches_offline(model_and_vars):
+    """decoder='beam': the final streamed transcript equals the offline
+    prefix beam search over the full-recording logits (the finalized rows
+    are exact by the finalization contract), and mid-stream deltas
+    concatenate to it."""
+    from lcasr_tpu.decoding.beam_search import BeamSearch
+
+    model, variables = model_and_vars
+    tok = _IdTokenizer()
+    wave = _random_wave(4.0, 11)
+    opts = dict(beam_width=4, alpha=0.0, beta=0.0)
+
+    tr = OnlineTranscriber(model, variables, tok, context_frames=512,
+                           stride_frames=128, right_delay_frames=128,
+                           norm="running", decoder="beam", beam_opts=opts)
+    pieces = [tr.feed(c) for c in np.array_split(wave, 7)]
+    pieces.append(tr.finish())
+
+    # offline: full forward over the identically-normalized full mel
+    spec = mel_spectrogram(wave[None])
+    mean = np.asarray(spec).mean(axis=(0, 2), keepdims=True)
+    std = np.asarray(spec).std(axis=(0, 2), ddof=1, keepdims=True) + 1e-8
+    out = model.apply(variables, (np.asarray(spec) - mean) / std)
+    lp = np.asarray(out["final_posteriors"][0], np.float32)
+    bs = BeamSearch(tokenizer=tok, blank_id=tok.vocab_size(), pad_id=0,
+                    **opts)
+    offline = bs.run_search(lp)
+
+    assert tr.text == offline, (tr.text, offline)
+    # deltas append corrected suffixes from any divergence point; the final
+    # transcript must end with the last emitted delta
+    assert pieces[-1] == "" or tr.text.endswith(pieces[-1])
+
+
+def test_beam_serving_lm_fusion_matches_offline(model_and_vars):
+    """LM-fused beam serving (alpha>0 with a deterministic toy LM): the
+    incremental search's lm memoization across streamed blocks must land on
+    the offline result."""
+    from lcasr_tpu.decoding.beam_search import BeamSearch
+
+    model, variables = model_and_vars
+    tok = _IdTokenizer()
+    V = tok.vocab_size()
+    rng_lm = np.random.default_rng(99)
+    table = rng_lm.normal(size=(V, V)).astype(np.float32)  # last-token cond.
+
+    def lm_scores(prefixes):
+        rows = [table[p[-1] if p else 0] for p in prefixes]
+        return np.stack(rows)
+
+    opts = dict(beam_width=4, alpha=0.3, beta=0.1, lm_scores=lm_scores)
+    wave = _random_wave(3.0, 13)
+    tr = OnlineTranscriber(model, variables, tok, context_frames=512,
+                           stride_frames=128, right_delay_frames=128,
+                           norm="running", decoder="beam", beam_opts=opts)
+    for c in np.array_split(wave, 5):
+        tr.feed(c)
+    tr.finish()
+
+    spec = mel_spectrogram(wave[None])
+    mean = np.asarray(spec).mean(axis=(0, 2), keepdims=True)
+    std = np.asarray(spec).std(axis=(0, 2), ddof=1, keepdims=True) + 1e-8
+    out = model.apply(variables, (np.asarray(spec) - mean) / std)
+    lp = np.asarray(out["final_posteriors"][0], np.float32)
+    bs = BeamSearch(tokenizer=tok, blank_id=V, pad_id=0, **opts)
+    assert tr.text == bs.run_search(lp)
