@@ -44,6 +44,13 @@ def main():
     ap.add_argument("--streams", type=int, default=8,
                     help="concurrent sessions for the batched-server leg "
                          "(0 skips it)")
+    ap.add_argument("--decoder", default="greedy",
+                    choices=["greedy", "beam"],
+                    help="beam = incremental prefix beam over finalized "
+                         "logits (sparse top-K fetch)")
+    ap.add_argument("--beam_width", type=int, default=25)
+    ap.add_argument("--beam_topk", type=int, default=32,
+                    help="sparse fetch width; 0 = dense fp32 fetch")
     args = ap.parse_args()
 
     import jax
@@ -70,6 +77,24 @@ def main():
     rng = np.random.default_rng(0)
     mel = rng.normal(size=(80, total_frames)).astype(np.float32)
 
+    dec_kw = {}
+    refetch_counts = []
+    if args.decoder == "beam":
+        # a random-init head yields near-flat posteriors over 4096 classes
+        # (above-threshold counts far beyond any trained model's 1-5);
+        # sharpen the CTC head so the benchmark exercises the sparse path
+        # at a trained model's peakiness.  The measured dense-refetch rate
+        # is reported for honesty.
+        params = dict(variables["params"])
+        params["decoder"] = jax.tree.map(lambda x: x * 6.0,
+                                         params["decoder"])
+        variables = {**variables, "params": params}
+        dec_kw = dict(
+            decoder="beam",
+            beam_opts=dict(beam_width=args.beam_width, alpha=0.0, beta=0.0),
+            beam_topk=args.beam_topk or None,
+        )
+
     def session(frames):
         tr = OnlineTranscriber(
             model, variables, tokenizer,
@@ -77,6 +102,7 @@ def main():
             stride_frames=args.stride_frames,
             right_delay_frames=args.right_delay_frames,
             norm="none",
+            **dec_kw,
         )
         lat, stepped = [], []
         t_start = time.perf_counter()
@@ -88,6 +114,8 @@ def main():
             stepped.append(tr._frontier > f0)  # this feed ran >=1 forward
         tr.finish()
         wall = time.perf_counter() - t_start
+        if args.decoder == "beam":
+            refetch_counts.append(tr.sparse_refetches)
         return np.asarray(lat), np.asarray(stepped), wall
 
     # warmup session compiles the fixed window shape
@@ -113,6 +141,13 @@ def main():
         "sustained_rtf": round(wall / audio_s, 4),
         "rtfx": round(audio_s / wall, 1),
     }
+    if args.decoder == "beam":
+        result.update({
+            "decoder": "beam",
+            "beam_width": args.beam_width,
+            "beam_topk": args.beam_topk or "dense",
+            "sparse_refetches": int(refetch_counts[-1]),
+        })
     # ---- batched server: N concurrent live sessions, lockstep 1 s feeds.
     # The aggregate must approach N x the single-stream RTFx when steps are
     # dispatch-bound (N due steps ride ONE (N, 80, ctx) forward) ----
@@ -124,6 +159,7 @@ def main():
             stride_frames=args.stride_frames,
             right_delay_frames=args.right_delay_frames,
             transfer_dtype=args.transfer_dtype,
+            **dec_kw,
         )
         mels = [
             np.asarray(rng.normal(size=(80, total_frames)), np.float32)
@@ -148,6 +184,9 @@ def main():
                                    pump=False)
             server.pump()
             step_lat.append(time.perf_counter() - t1)
+        if args.decoder == "beam":
+            result["server_sparse_refetches"] = int(sum(
+                s.sparse_refetches for s in server._sessions.values()))
         for sid in sids:
             server.finish(sid)
         wall = time.perf_counter() - t_start
@@ -163,7 +202,9 @@ def main():
 
     print(json.dumps(result))
     if jax.default_backend() == "tpu":
-        out = os.path.join(os.path.dirname(__file__), "RESULTS_serving.json")
+        name = ("RESULTS_serving_beam.json" if args.decoder == "beam"
+                else "RESULTS_serving.json")
+        out = os.path.join(os.path.dirname(__file__), name)
         with open(out, "w") as f:
             json.dump(result, f, indent=1)
 

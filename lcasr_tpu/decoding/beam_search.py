@@ -24,6 +24,9 @@ from typing import Callable, Dict, List, Optional, Tuple
 import numpy as np
 
 LOG0 = -1e30
+# reference default (`ctc_beam_search.py` top_am_threshold); shared with the
+# serving layer's device-side above-threshold count
+DEFAULT_TOP_AM_THRESHOLD = -6.0
 
 
 def _logsumexp(a: float, b: float) -> float:
@@ -64,7 +67,7 @@ class BeamSearch:
         # beam-score prune margin (reference prune_less_than_val, a POSITIVE
         # value like 8.0: beams below best - val are dropped); None = off
         prune_less_than_val: Optional[float] = None,
-        top_am_threshold: float = -6.0,
+        top_am_threshold: float = DEFAULT_TOP_AM_THRESHOLD,
         lm_scores: Optional[Callable[[List[List[int]]], np.ndarray]] = None,
         # > 0: truncate the LM context to the last n tokens (reference
         # trim_cache semantics, within one token for a stateless scorer)

@@ -32,6 +32,14 @@ def main() -> None:
     parser.add_argument("--transfer_dtype", default="float32",
                         choices=["float32", "bfloat16", "int8"],
                         help="server-mode wave upload format")
+    parser.add_argument("--decoder", default="greedy",
+                        choices=["greedy", "beam"],
+                        help="beam = incremental prefix beam search over the"
+                             " finalized logits (sparse top-K fetch)")
+    parser.add_argument("--beam_width", type=int, default=25)
+    parser.add_argument("--beam_topk", type=int, default=32,
+                        help="device-side sparse fetch width (beam mode); "
+                             "0 = dense fp32 log-prob fetch")
     args = parser.parse_args()
 
     from lcasr_tpu.config import Config
@@ -62,12 +70,19 @@ def main() -> None:
     )
     chunk = max(1, int(args.chunk_seconds * 16000))
     audio_s = sum(len(w) for w in waves) / 16000
+    dec_kw = dict(
+        decoder=args.decoder,
+        beam_opts=(dict(beam_width=args.beam_width, alpha=0.0, beta=0.0)
+                   if args.decoder == "beam" else None),
+        beam_topk=args.beam_topk or None,
+    )
 
     if len(waves) == 1:
         wave = waves[0]
         tr = OnlineTranscriber(
             model, variables, tokenizer, context_frames=args.context,
             stride_frames=args.stride, right_delay_frames=args.delay,
+            **dec_kw,
         )
         t0 = time.perf_counter()
         fed = 0
@@ -85,6 +100,7 @@ def main() -> None:
             context_frames=args.context, stride_frames=args.stride,
             right_delay_frames=args.delay,
             transfer_dtype=args.transfer_dtype,
+            **dec_kw,
         )
         sids = [server.open() for _ in waves]
         t0 = time.perf_counter()

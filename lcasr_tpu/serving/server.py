@@ -54,6 +54,9 @@ class TranscriptionServer:
         stride_frames: int = 512,
         right_delay_frames: int = 512,
         transfer_dtype: str = "float32",
+        decoder: str = "greedy",
+        beam_opts: Optional[dict] = None,
+        beam_topk: Optional[int] = 32,
     ):
         import jax
         import jax.numpy as jnp
@@ -82,15 +85,57 @@ class TranscriptionServer:
         )
 
         # ONE compiled program for every session: fixed (S, 80, ctx) input.
-        # Argmax on device — the fetch is (S, rows) int32, not
+        # Greedy: argmax on device — the fetch is (S, rows) int32, not
         # (S, rows, vocab) log-probs (which would be ~33 MB per wave at the
-        # flagship shape: the whole wave's cost on a ~40 MB/s tunnel link)
-        @jax.jit
-        def forward(variables, windows, scale, lengths):
-            w = windows.astype(jnp.float32) * scale  # scale=1 unless int8
-            out = model.apply(variables, w, length=lengths)
-            ids = jnp.argmax(out["final_posteriors"], axis=-1)
-            return ids.astype(jnp.int32), out["length"]
+        # flagship shape: the whole wave's cost on a ~40 MB/s tunnel link).
+        # Beam: the sparse top-K fetch ((S, rows, K)×8 B + counts — see
+        # transcriber.py; exact by the count check, dense refetch per
+        # overflowing session), so beam serving stays link-cheap too.
+        assert decoder in ("greedy", "beam")
+        self.decoder = decoder
+        self.beam_opts = beam_opts
+        self.beam_topk = None
+        if decoder == "beam" and beam_topk is not None:
+            self.beam_topk = int(min(beam_topk, tokenizer.vocab_size() + 1))
+
+        if decoder == "beam" and self.beam_topk is not None:
+            from lcasr_tpu.decoding.beam_search import (
+                DEFAULT_TOP_AM_THRESHOLD,
+            )
+
+            K = self.beam_topk
+            thr = float((beam_opts or {}).get(
+                "top_am_threshold", DEFAULT_TOP_AM_THRESHOLD)) - 1e-3
+
+            @jax.jit
+            def forward(variables, windows, scale, lengths):
+                w = windows.astype(jnp.float32) * scale
+                out = model.apply(variables, w, length=lengths)
+                lp = out["final_posteriors"].astype(jnp.float32)
+                vals, idx = jax.lax.top_k(lp, K)
+                count = jnp.sum(
+                    lp >= lp.max(axis=-1, keepdims=True) + thr, axis=-1
+                )
+                return (vals, idx.astype(jnp.int32),
+                        count.astype(jnp.int32), out["length"])
+
+        elif decoder == "beam":
+
+            @jax.jit
+            def forward(variables, windows, scale, lengths):
+                w = windows.astype(jnp.float32) * scale
+                out = model.apply(variables, w, length=lengths)
+                lp = out["final_posteriors"].astype(jnp.float32)
+                return lp, out["length"]
+
+        else:
+
+            @jax.jit
+            def forward(variables, windows, scale, lengths):
+                w = windows.astype(jnp.float32) * scale  # scale=1 unless int8
+                out = model.apply(variables, w, length=lengths)
+                ids = jnp.argmax(out["final_posteriors"], axis=-1)
+                return ids.astype(jnp.int32), out["length"]
 
         self._forward = forward
         self._sessions: Dict[int, OnlineTranscriber] = {}
@@ -117,6 +162,9 @@ class TranscriptionServer:
             right_delay_frames=self.delay,
             norm=norm,
             eps=eps,
+            decoder=self.decoder,
+            beam_opts=self.beam_opts,
+            beam_topk=self.beam_topk,
         )
         sid = self._next_sid
         self._next_sid += 1
@@ -162,14 +210,21 @@ class TranscriptionServer:
             else:
                 scale = 1.0
                 host = windows.astype(self._host_dtype)  # host-side cast
-            ids, out_lens = self._forward(
+            outs = self._forward(
                 self.variables, jnp.asarray(host), jnp.float32(scale),
                 jnp.asarray(lengths)
             )
-            ids = np.asarray(ids)
+            if self.decoder == "beam" and self.beam_topk is not None:
+                vals, idx, count, out_lens = (np.asarray(x) for x in outs)
+                payloads = [(vals[i], idx[i], count[i])
+                            for i in range(len(metas))]
+            else:
+                payload_rows, out_lens = (np.asarray(x) for x in outs)
+                payloads = [payload_rows[i] for i in range(len(metas))]
             out_lens = np.asarray(out_lens)
             for i, (s, end, final, win_start) in enumerate(metas):
-                s._apply(end, final, win_start, ids[i], int(out_lens[i]))
+                s._apply(end, final, win_start, payloads[i],
+                         int(out_lens[i]))
         for sid, s in self._sessions.items():
             s._trim()
             delta = s._delta()

@@ -66,6 +66,7 @@ class OnlineTranscriber:
         eps: float = 1e-8,
         decoder: str = "greedy",
         beam_opts: Optional[dict] = None,
+        beam_topk: Optional[int] = 32,
     ):
         import jax
         import jax.numpy as jnp
@@ -126,6 +127,7 @@ class OnlineTranscriber:
         # (beam_width, alpha/beta + lm_scores for LM fusion, pruning...).
         assert decoder in ("greedy", "beam")
         self.decoder = decoder
+        self.beam_topk: Optional[int] = None
         if decoder == "beam":
             from lcasr_tpu.decoding.beam_search import BeamSearch
 
@@ -134,16 +136,45 @@ class OnlineTranscriber:
             self._beam = BeamSearch(
                 tokenizer=tokenizer, blank_id=self.blank_id, **opts
             )
+            self.sparse_refetches = 0  # dense-refetch count (observability)
+            if beam_topk is not None:
+                # the search only ever READS a frame's above-threshold
+                # entries (beam_search.advance builds `keep` and touches
+                # frame[c] for c in keep only), so a top-K fetch is EXACT
+                # whenever the above-threshold count fits in K — verified
+                # per block via a device-computed count, with a dense
+                # refetch on the (rare) overflow
+                self.beam_topk = int(min(beam_topk, self.blank_id + 1))
 
         # ONE compiled program for the whole stream: fixed (1, 80, ctx)
         # input.  Greedy serving only consumes the per-frame argmax, so the
         # argmax runs ON DEVICE and the fetch is (rows,) int32 instead of
         # (rows, vocab) log-probs — on link-bound hosts (this tunnel:
         # ~40 MB/s) that fetch, not compute, dominates the step otherwise.
-        # Beam serving needs the distribution, so it fetches fp32 log-probs
-        # (~4 MB/step at the flagship shape — the beam trades step latency
-        # for transcript quality on link-bound hosts).
-        if decoder == "beam":
+        # Beam serving needs the distribution, but only its above-threshold
+        # entries: the default fetch is device-side top-K values + indices
+        # + an above-threshold count (rows × K × 8 B ≈ 130× less than the
+        # (rows, vocab) fp32 block at the flagship shape), exact by the
+        # count check; `beam_topk=None` falls back to the dense fp32 fetch.
+        if decoder == "beam" and self.beam_topk is not None:
+            K = self.beam_topk
+            # count with a slightly LOOSER threshold than the host predicate
+            # so fp32-vs-float64 rounding at the exact boundary can only
+            # trigger a spurious (safe) dense refetch, never a miss
+            thr = float(self._beam.top_am_threshold) - 1e-3
+
+            @jax.jit
+            def forward(variables, window, length):
+                out = model.apply(variables, window, length=length)
+                lp = out["final_posteriors"].astype(jnp.float32)
+                vals, idx = jax.lax.top_k(lp, K)
+                count = jnp.sum(
+                    lp >= lp.max(axis=-1, keepdims=True) + thr, axis=-1
+                )
+                return (vals, idx.astype(jnp.int32),
+                        count.astype(jnp.int32), out["length"])
+
+        elif decoder == "beam":
 
             @jax.jit
             def forward(variables, window, length):
@@ -303,13 +334,51 @@ class OnlineTranscriber:
             self._ids, self._id_frames = ids, frames
             self._dirty = True
 
+    def _densify_beam(self, payload, end: int, final: bool, win_start: int,
+                      out_len: int, fin_end: int) -> np.ndarray:
+        """Turn a sparse (vals, idx, count) beam payload into the (rows, C)
+        dense block `_emit_beam` consumes.  Rows outside the finalized range
+        stay at LOG0 (never read).  If any finalized row's above-threshold
+        count exceeds K, the sparse fetch is not provably exact — refetch
+        the window densely (rare; one extra cached compile)."""
+        vals, idx, count = (np.asarray(x) for x in payload)
+        C = self.blank_id + 1
+        r0 = (self._frontier - win_start) // self.sf
+        r1 = out_len if final else min((fin_end - win_start) // self.sf,
+                                       out_len)
+        if r1 > r0 and int(count[r0:r1].max()) > self.beam_topk:
+            self.sparse_refetches += 1
+            if not hasattr(self, "_forward_dense"):
+                jnp, model = self.jnp, self.model
+
+                @self.jax.jit
+                def forward_dense(variables, window, length):
+                    out = model.apply(variables, window, length=length)
+                    return out["final_posteriors"].astype(jnp.float32)
+
+                self._forward_dense = forward_dense
+            window, width, _ = self._prepare(end)
+            lp = self._forward_dense(
+                self.variables, self.jnp.asarray(window[None]),
+                self.jnp.asarray([width], np.int32))
+            return np.asarray(lp[0], np.float32)
+        dense = np.full((vals.shape[0], C), -1e30, np.float32)
+        if r1 > r0:
+            rows = np.arange(r0, r1)
+            dense[rows[:, None], idx[r0:r1]] = vals[r0:r1]
+        return dense
+
     def _apply(self, end: int, final: bool, win_start: int, payload,
                out_len: int) -> None:
         """Consume a forward's output for the step (end, final): `payload`
-        is this session's (rows,) device-argmaxed id vector (greedy) or its
-        (rows, C) fp32 log-probs (beam)."""
+        is this session's (rows,) device-argmaxed id vector (greedy), its
+        (rows, C) fp32 log-probs (dense beam), or its (vals, idx, count)
+        top-K triple (sparse beam)."""
         fin_end = end if final else end - self.delay
         if self.decoder == "beam":
+            if isinstance(payload, tuple):
+                payload = self._densify_beam(payload, end, final, win_start,
+                                             out_len, fin_end)
             self._emit_beam(self._frontier, fin_end, win_start, payload,
                             out_len, tail=final)
         else:
@@ -341,13 +410,18 @@ class OnlineTranscriber:
         """One fixed-shape forward over mel [end-ctx, end), finalizing frames
         [frontier, end - delay) — or everything through `end` when final."""
         window, width, win_start = self._prepare(end)
-        ids, out_len = self._forward(
+        outs = self._forward(
             self.variables,
             self.jnp.asarray(window[None]),
             self.jnp.asarray([width], np.int32),
         )
-        self._apply(end, final, win_start, np.asarray(ids)[0],
-                    int(out_len[0]))
+        if self.decoder == "beam" and self.beam_topk is not None:
+            vals, idx, count, out_len = outs
+            payload = (vals[0], idx[0], count[0])
+        else:
+            payload, out_len = outs
+            payload = np.asarray(payload)[0]
+        self._apply(end, final, win_start, payload, int(out_len[0]))
 
     def _delta(self) -> str:
         """Newly finalized text since the last call."""

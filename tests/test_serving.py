@@ -419,3 +419,103 @@ def test_beam_serving_lm_fusion_matches_offline(model_and_vars):
     lp = np.asarray(out["final_posteriors"][0], np.float32)
     bs = BeamSearch(tokenizer=tok, blank_id=V, pad_id=0, **opts)
     assert tr.text == bs.run_search(lp)
+
+
+def _offline_beam(model, variables, tok, wave, opts):
+    spec = mel_spectrogram(wave[None])
+    mean = np.asarray(spec).mean(axis=(0, 2), keepdims=True)
+    std = np.asarray(spec).std(axis=(0, 2), ddof=1, keepdims=True) + 1e-8
+    out = model.apply(variables, (np.asarray(spec) - mean) / std)
+    lp = np.asarray(out["final_posteriors"][0], np.float32)
+    from lcasr_tpu.decoding.beam_search import BeamSearch
+
+    bs = BeamSearch(tokenizer=tok, blank_id=tok.vocab_size(), pad_id=0,
+                    **opts)
+    return bs.run_search(lp)
+
+
+def _stream_beam(model, variables, tok, wave, opts, topk, n_chunks=6):
+    tr = OnlineTranscriber(model, variables, tok, context_frames=512,
+                           stride_frames=128, right_delay_frames=128,
+                           norm="running", decoder="beam", beam_opts=opts,
+                           beam_topk=topk)
+    for c in np.array_split(wave, n_chunks):
+        tr.feed(c)
+    tr.finish()
+    return tr
+
+
+def test_beam_serving_sparse_topk_matches_dense(model_and_vars):
+    """The sparse top-K beam fetch is exact: with K >= vocab the scatter
+    densification reproduces the dense path bit-for-bit, and with a tight
+    AM threshold a small K matches too (count check guards exactness)."""
+    model, variables = model_and_vars
+    tok = _IdTokenizer()
+    wave = _random_wave(4.0, 21)
+
+    # K clamps to the full vocab: sparse machinery, zero information loss
+    full = dict(beam_width=4, alpha=0.0, beta=0.0)
+    tr = _stream_beam(model, variables, tok, wave, full, 64)
+    assert not hasattr(tr, "_forward_dense")  # count <= K=C always
+    assert tr.text == _offline_beam(model, variables, tok, wave, full)
+
+    # small K with a tight threshold: equality regardless of which blocks
+    # rode the sparse path vs the overflow fallback
+    tight = dict(beam_width=4, alpha=0.0, beta=0.0, top_am_threshold=-0.5)
+    tr = _stream_beam(model, variables, tok, wave, tight, 4)
+    assert tr.text == _offline_beam(model, variables, tok, wave, tight)
+
+
+def test_beam_serving_sparse_overflow_fallback(model_and_vars):
+    """A threshold that keeps the whole vocab with K=2 overflows every
+    block: the dense-refetch fallback engages and the result still equals
+    the offline search."""
+    model, variables = model_and_vars
+    tok = _IdTokenizer()
+    wave = _random_wave(3.0, 23)
+    loose = dict(beam_width=4, alpha=0.0, beta=0.0, top_am_threshold=-50.0)
+    tr = _stream_beam(model, variables, tok, wave, loose, 2)
+    assert hasattr(tr, "_forward_dense")  # fallback engaged
+    assert tr.text == _offline_beam(model, variables, tok, wave, loose)
+
+
+def test_server_beam_matches_single_stream(model_and_vars):
+    """Beam-mode server sessions (sparse fetch) produce exactly the
+    single-stream beam transcriber's transcripts."""
+    from lcasr_tpu.serving import TranscriptionServer
+
+    model, variables = model_and_vars
+    tok = _IdTokenizer()
+    opts = dict(beam_width=4, alpha=0.0, beta=0.0)
+    kw = dict(context_frames=128, stride_frames=32, right_delay_frames=32)
+    rng = np.random.default_rng(31)
+    streams = [rng.normal(size=(16000 * s,)).astype(np.float32) * 0.1
+               for s in (2, 1)]
+
+    singles = []
+    for audio in streams:
+        t = OnlineTranscriber(model, variables, tok, norm="running",
+                              decoder="beam", beam_opts=opts, beam_topk=8,
+                              **kw)
+        t.feed(audio)
+        t.finish()
+        singles.append(t.text)
+
+    srv = TranscriptionServer(model, variables, tok, max_streams=2,
+                              decoder="beam", beam_opts=opts, beam_topk=8,
+                              **kw)
+    sids = [srv.open() for _ in streams]
+    got = ["" for _ in streams]
+    chunk = 6000
+    pos = 0
+    while any(pos < len(a) for a in streams):
+        for i, sid in enumerate(sids):
+            if pos < len(streams[i]):
+                srv.feed(sid, streams[i][pos : pos + chunk], pump=False)
+        srv.pump()
+        for i, sid in enumerate(sids):
+            got[i] += srv.poll(sid)
+        pos += chunk
+    for i, sid in enumerate(sids):
+        got[i] += srv.finish(sid)
+    assert got == singles
