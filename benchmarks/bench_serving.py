@@ -51,6 +51,11 @@ def main():
     ap.add_argument("--beam_width", type=int, default=25)
     ap.add_argument("--beam_topk", type=int, default=32,
                     help="sparse fetch width; 0 = dense fp32 fetch")
+    ap.add_argument("--sharpen", type=float, default=24.0,
+                    help="CTC-head scale for beam mode (random-init heads "
+                         "are near-flat; 24 reproduces a trained model's "
+                         "1-5 above-threshold candidates/frame — the "
+                         "measured peakiness is reported in the JSON)")
     args = ap.parse_args()
 
     import jax
@@ -79,14 +84,16 @@ def main():
 
     dec_kw = {}
     refetch_counts = []
+    count_stats = {}
     if args.decoder == "beam":
         # a random-init head yields near-flat posteriors over 4096 classes
         # (above-threshold counts far beyond any trained model's 1-5);
-        # sharpen the CTC head so the benchmark exercises the sparse path
-        # at a trained model's peakiness.  The measured dense-refetch rate
-        # is reported for honesty.
+        # sharpen the CTC head so the benchmark exercises the search at a
+        # trained model's peakiness — the search cost scales with the
+        # candidate count, so this is the variable that must be controlled.
+        # The MEASURED peakiness + dense-refetch rate are reported.
         params = dict(variables["params"])
-        params["decoder"] = jax.tree.map(lambda x: x * 6.0,
+        params["decoder"] = jax.tree.map(lambda x: x * args.sharpen,
                                          params["decoder"])
         variables = {**variables, "params": params}
         dec_kw = dict(
@@ -94,6 +101,16 @@ def main():
             beam_opts=dict(beam_width=args.beam_width, alpha=0.0, beta=0.0),
             beam_topk=args.beam_topk or None,
         )
+        # probe the resulting above-threshold counts on one context window
+        probe = model.apply(
+            variables, jnp.asarray(mel[None, :, : args.context_frames]))
+        lp = np.asarray(probe["final_posteriors"][0], np.float32)
+        c = (lp >= lp.max(axis=-1, keepdims=True) - 6.0).sum(-1)
+        count_stats = {
+            "sharpen": args.sharpen,
+            "above_thr_count_p50": int(np.percentile(c, 50)),
+            "above_thr_count_p95": int(np.percentile(c, 95)),
+        }
 
     def session(frames):
         tr = OnlineTranscriber(
@@ -147,6 +164,7 @@ def main():
             "beam_width": args.beam_width,
             "beam_topk": args.beam_topk or "dense",
             "sparse_refetches": int(refetch_counts[-1]),
+            **count_stats,
         })
     # ---- batched server: N concurrent live sessions, lockstep 1 s feeds.
     # The aggregate must approach N x the single-stream RTFx when steps are

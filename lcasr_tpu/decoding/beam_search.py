@@ -125,9 +125,44 @@ class BeamSearch:
     def advance(self, log_probs: np.ndarray, t0: int = 0) -> None:
         """Advance the search over a block of frames.  `t0` is the GLOBAL
         index of the block's first frame, so timestamps stay global across
-        streamed blocks."""
+        streamed blocks.
+
+        No-LM searches route through the C++ block advance when available
+        (native/beam_native.cpp — exact same semantics, ~10x the Python
+        loop at trained-model peakiness, more when flat); the Python path
+        below is the parity oracle and the LM-fused path."""
         T, C = log_probs.shape
         blank = self.blank_id if self.blank_id is not None else C - 1
+        # gated on float32 input: the candidate threshold compares in the
+        # input dtype (NEP-50 weak promotion), so a float64 caller must take
+        # the python path for bit-identical pruning
+        if self.lm_scores is None and T > 0 and (
+            log_probs.dtype == np.float32
+        ) and not getattr(self, "_force_python", False):
+            from lcasr_tpu.native import load_beam_native
+
+            mod = load_beam_native()
+            if mod is not None:
+                res = mod.advance(
+                    [(b.prefix, b.p_blank, b.p_non_blank, b.frames)
+                     for b in self._beams.values()],
+                    np.ascontiguousarray(log_probs, np.float32),
+                    T,
+                    C,
+                    t0,
+                    blank,
+                    -1 if (self.pad_id is None or self.pad_id == blank)
+                    else self.pad_id,
+                    float(self.top_am_threshold),
+                    self.beam_width,
+                    float("nan") if self.prune_less_than_val is None
+                    else float(self.prune_less_than_val),
+                )
+                self._beams = {
+                    p: Beam(p, pb, pnb, 0.0, fr)
+                    for p, pb, pnb, fr in res
+                }
+                return
         beams = self._beams
         lm_memo = self._lm_memo
 

@@ -74,3 +74,8 @@ def load_bpe_native():
 def load_npy_native():
     """Parallel .npy batch reader (C++ thread pool, GIL released)."""
     return _load("npy_native")
+
+
+def load_beam_native():
+    """No-LM CTC prefix-beam block advance (exact Python-path semantics)."""
+    return _load("beam_native")

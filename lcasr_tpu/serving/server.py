@@ -210,18 +210,17 @@ class TranscriptionServer:
             else:
                 scale = 1.0
                 host = windows.astype(self._host_dtype)  # host-side cast
-            outs = self._forward(
+            outs = self.jax.device_get(self._forward(
                 self.variables, jnp.asarray(host), jnp.float32(scale),
                 jnp.asarray(lengths)
-            )
+            ))  # ONE host round trip for the whole wave's payload tuple
             if self.decoder == "beam" and self.beam_topk is not None:
-                vals, idx, count, out_lens = (np.asarray(x) for x in outs)
+                vals, idx, count, out_lens = outs
                 payloads = [(vals[i], idx[i], count[i])
                             for i in range(len(metas))]
             else:
-                payload_rows, out_lens = (np.asarray(x) for x in outs)
+                payload_rows, out_lens = outs
                 payloads = [payload_rows[i] for i in range(len(metas))]
-            out_lens = np.asarray(out_lens)
             for i, (s, end, final, win_start) in enumerate(metas):
                 s._apply(end, final, win_start, payloads[i],
                          int(out_lens[i]))

@@ -410,17 +410,17 @@ class OnlineTranscriber:
         """One fixed-shape forward over mel [end-ctx, end), finalizing frames
         [frontier, end - delay) — or everything through `end` when final."""
         window, width, win_start = self._prepare(end)
-        outs = self._forward(
+        outs = self.jax.device_get(self._forward(
             self.variables,
             self.jnp.asarray(window[None]),
             self.jnp.asarray([width], np.int32),
-        )
+        ))  # ONE host round trip for the whole payload tuple
         if self.decoder == "beam" and self.beam_topk is not None:
             vals, idx, count, out_len = outs
             payload = (vals[0], idx[0], count[0])
         else:
             payload, out_len = outs
-            payload = np.asarray(payload)[0]
+            payload = payload[0]
         self._apply(end, final, win_start, payload, int(out_len[0]))
 
     def _delta(self) -> str:
