@@ -48,7 +48,13 @@ class ASRLinearSCDecoder(nn.Module):
         x = self.apply_norm(x)
         x = self.ff(x)
         if not logits:
-            x = jax.nn.log_softmax(x.astype(jnp.float32), axis=-1).astype(x.dtype)
+            # fp32 log-probs even under bf16 compute: torch autocast pins
+            # log_softmax/CTCLoss to fp32 (reference exp/train.py runs the
+            # loss outside bf16), and bf16's ~2^-8 resolution on competing
+            # log-probs measurably stalls CTC convergence.  Consumers that
+            # want compute-dtype posteriors (self-conditioning) use
+            # logits=True and cast themselves.
+            x = jax.nn.log_softmax(x.astype(jnp.float32), axis=-1)
         return x
 
     def project_back(self, posteriors: jnp.ndarray) -> jnp.ndarray:

@@ -9,6 +9,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, Type
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from lcasr_tpu.config import Config
@@ -62,10 +63,26 @@ def model_kwargs_from_config(model_cls: Type[nn.Module], cfg: Dict[str, Any]) ->
     return {k: v for k, v in cfg.items() if k in fields}
 
 
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+           "float16": jnp.float16}
+
+
 def load_model(config: Config, vocab_size: int, model_class=None) -> nn.Module:
-    """Build the model from config.model (+ vocab size from the tokenizer)."""
+    """Build the model from config.model (+ vocab size from the tokenizer).
+
+    `training.dtype` (the reference's autocast dtype, `exp/train.py`'s
+    bf16 context) sets the model COMPUTE dtype when `model.dtype` doesn't —
+    params stay fp32 (flax param_dtype default), matching torch-autocast
+    semantics of an fp32 master with bf16 compute."""
     model_cls = model_class or get_model_class(config)
     model_cfg = config["model"].to_dict() if hasattr(config["model"], "to_dict") else dict(config["model"])
     model_cfg["vocab_size"] = vocab_size
+    if "dtype" not in model_cfg:
+        training = config.get("training", {}) if hasattr(config, "get") else {}
+        td = training.get("dtype", None) if hasattr(training, "get") else None
+        if td is not None:
+            model_cfg["dtype"] = _DTYPES.get(td, td) if isinstance(td, str) else td
+    elif isinstance(model_cfg["dtype"], str):
+        model_cfg["dtype"] = _DTYPES.get(model_cfg["dtype"], model_cfg["dtype"])
     kwargs = model_kwargs_from_config(model_cls, model_cfg)
     return model_cls(**kwargs)

@@ -81,11 +81,27 @@ def main():
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--no_pallas", action="store_true",
+                    help="XLA attention instead of the Pallas kernel "
+                         "(diagnostic A/B)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="the CPU closed-loop test's exact model/config "
+                         "(2L-96D, batch 2, 4 recordings) — diagnostic")
+    ap.add_argument("--matmul_precision", default=None,
+                    choices=[None, "default", "high", "highest"],
+                    help="jax.default_matmul_precision for the whole run "
+                         "(TPU default computes fp32 matmuls on the bf16 "
+                         "MXU)")
     args = ap.parse_args()
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    if args.matmul_precision:
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
 
     from lcasr_tpu.config import Config
     from lcasr_tpu.data.dataloading import (
@@ -99,20 +115,28 @@ def main():
     from lcasr_tpu.training.trainer import Trainer
 
     tmp = tempfile.mkdtemp(prefix="closed_loop_chip_")
-    pairs_path = build_corpus(tmp)
+    pairs_path = build_corpus(tmp, n_recordings=4 if args.tiny else 8)
     ckpt_dir = os.path.join(tmp, "ckpts")
+
+    if args.tiny:
+        model_cfg = {"d_model": 96, "n_layers": 2, "n_heads": 2,
+                     "head_dim": 48, "subsampling_conv_channels": 32}
+        args.batch_size = 2
+    else:
+        model_cfg = {"d_model": 256, "n_layers": 6, "n_heads": 8,
+                     "head_dim": 32, "subsampling_conv_channels": 256}
 
     cfg = Config({
         "model_class": "SCConformerXL",
         # README 6L-256D-8H row (~10M params); layer_norm conv norm for the
         # same short-run renorm-momentum reason as the CPU closed loop
-        "model": {"d_model": 256, "n_layers": 6, "n_heads": 8,
-                  "head_dim": 32, "subsampling_conv_channels": 256,
-                  "conv_norm": "layer_norm"},
+        "model": {**model_cfg,
+                  "conv_norm": "layer_norm",
+                  "use_pallas": not args.no_pallas},
         "audio_chunking": {"size": 512, "overlap": 0},
         "training": {"batch_size": args.batch_size, "backprop_every": 1,
                      "max_epochs": args.epochs, "clip_value": 1.0,
-                     "random_seed": 1234, "dtype": "bfloat16"},
+                     "random_seed": 1234, "dtype": args.dtype},
         "optimizer": {"name": "madgrad", "args": {"lr": args.lr}},
         "scheduler": {"warmup_steps": 10, "final_value": args.lr},
         "checkpointing": {"dir": ckpt_dir, "save_every_n_steps": 10**9},
@@ -138,18 +162,27 @@ def main():
     steps = len(losses)
 
     t1 = time.perf_counter()
+    # overlap=0: eval windows align with the 512-frame training chunks.  A
+    # pure-memorization model has never seen 256-frame-shifted contexts, so
+    # overlapped windows measure shift generalization, not the closed loop
+    # (measured: loss 0.0 → WER 0.0 at overlap 0, 0.49 at overlap 256 on
+    # the CPU arm).  Real models train on shuffled chunk boundaries and are
+    # decoded WITH overlap; here the loop under test is train→ckpt→eval.
     summary = evaluate(
         checkpoint=ckpt, dataset="spotify",
         dataset_kwargs={"pairs_path": pairs_path},
-        seq_len=512, overlap=256, verbose=False,
+        seq_len=512, overlap=0, verbose=False,
     )
     eval_wall = time.perf_counter() - t1
 
     result = {
         "backend": jax.default_backend(),
-        "model": "6L-256D-8H (~10M, README row)",
-        "dtype": "bfloat16 (production path, Pallas attention on)",
-        "corpus": f"{len(LEXICON)}-word synthetic, 8x 2048-frame recordings",
+        "model": ("2L-96D (CPU-test config)" if args.tiny
+                  else "6L-256D-8H (~10M, README row)"),
+        "matmul_precision": args.matmul_precision or "default",
+        "dtype": f"{args.dtype} (pallas={'off' if args.no_pallas else 'on'})",
+        "corpus": (f"{len(LEXICON)}-word synthetic, "
+                   f"{4 if args.tiny else 8}x 2048-frame recordings"),
         "optimizer_steps": steps,
         "epochs": args.epochs,
         "loss_first": round(float(losses[0]), 3),

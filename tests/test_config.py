@@ -65,3 +65,31 @@ def test_shipped_configs_parse_and_build_models():
             assert n <= 8, (path, n)
         checked += 1
     assert checked >= 3  # flagship, smoke, cp_1hour, 315M-TP
+
+
+def test_training_dtype_reaches_model():
+    """`training.dtype: bfloat16` (the reference's autocast dtype,
+    `exp/train.py`) must set the model COMPUTE dtype — it was silently
+    ignored before, so CLI-launched "bf16" training actually ran fp32."""
+    import jax.numpy as jnp
+
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.models.registry import load_model
+
+    base = {"model_class": "SCConformerXL",
+            "model": {"d_model": 64, "n_layers": 1}}
+
+    m = load_model(Config(dict(base)), 64)
+    assert m.dtype == jnp.float32  # default unchanged
+
+    m = load_model(
+        Config({**base, "training": {"dtype": "bfloat16"}}), 64)
+    assert m.dtype == jnp.bfloat16
+
+    # explicit model.dtype wins over training.dtype; strings normalize
+    m = load_model(
+        Config({"model_class": "SCConformerXL",
+                "model": {"d_model": 64, "n_layers": 1,
+                          "dtype": "float32"},
+                "training": {"dtype": "bfloat16"}}), 64)
+    assert m.dtype == jnp.float32
