@@ -50,7 +50,12 @@ def batches_from_text(
         order = rng.permutation(len(rows))
         for i in range(0, len(order) - batch_size + 1, batch_size):
             batch = [rows[j] for j in order[i : i + batch_size]]
+            # bucket the padded width (multiple of 32, capped at the row
+            # ceiling) so the jitted step compiles once per bucket, not
+            # once per distinct max-row-length; padded positions are
+            # masked out of lm_loss by `lengths`
             U = max(len(r) for r in batch)
+            U = min(-(-U // 32) * 32, seq_len + 1)
             out = np.full((batch_size, U), pad_id, np.int32)
             lengths = np.zeros((batch_size,), np.int32)
             for k, r in enumerate(batch):

@@ -174,6 +174,13 @@ class BeamSearch:
             keep = np.where(frame > frame.max() + self.top_am_threshold)[0]
             if self.pad_id is not None and blank != self.pad_id:
                 keep = keep[keep != self.pad_id]
+            if keep.size == 0:
+                # no candidate survived (pad was the sole above-threshold
+                # class, or a non-negative threshold excluded even the
+                # argmax): carry the beams unchanged rather than emptying
+                # the beam set for all remaining frames (frame_sync.py has
+                # the same guard; beam_native.cpp mirrors this)
+                continue
 
             # one batched LM call per frame for prefixes not already scored
             lm_next: Optional[Dict[Tuple[int, ...], np.ndarray]] = None

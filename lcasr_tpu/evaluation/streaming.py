@@ -441,17 +441,18 @@ class StreamingDecoder:
                     f"raise window_batch_size to re-enable",
                     stacklevel=3,
                 )
+            else:
                 # striped upload/compute pipelining (see _run_pipelined).
-            # OPT-IN: on a direct-attached host the async stripe transfers
-            # hide behind compute; on the tunnel-attached dev chip the link
-            # serializes transfers with dispatches, so striping only adds
-            # padded upload bytes (measured 1.43 s vs 0.98 s at 20 min) —
-            # hence default off
-            sums, counts = self._run_pipelined(
-                spec, positions, out_offsets, seq_len, overlap, W, total,
-                i8_scale,
-            )
-            return sums, counts, n_out
+                # OPT-IN: on a direct-attached host the async stripe transfers
+                # hide behind compute; on the tunnel-attached dev chip the link
+                # serializes transfers with dispatches, so striping only adds
+                # padded upload bytes (measured 1.43 s vs 0.98 s at 20 min) —
+                # hence default off
+                sums, counts = self._run_pipelined(
+                    spec, positions, out_offsets, seq_len, overlap, W, total,
+                    i8_scale,
+                )
+                return sums, counts, n_out
 
         # bucket the uploaded width: every in-program index is clipped and
         # every window column past its u_len is zero-masked, so tail padding

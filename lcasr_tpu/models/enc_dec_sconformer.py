@@ -746,19 +746,7 @@ def ctc_beam_search(
         raise ValueError("ctc_beam_search needs use_ctc=True (CTC posteriors)")
     a_hidden, a_length = out["a_hidden"], out["length"]
     ctc_lp = np.asarray(out["final_posteriors_ctc"][0], np.float32)
-
-    @jax.jit
-    def score(tokens, lengths):  # (n, U), (n,) → (n, V) next-token log-probs
-        n = tokens.shape[0]
-        ah = jnp.broadcast_to(a_hidden, (n,) + a_hidden.shape[1:])
-        al = jnp.broadcast_to(a_length, (n,))
-        logits = model.apply(
-            variables, tokens, ah, al, method=model.generate_step
-        )
-        row = jnp.take_along_axis(
-            logits, (lengths - 1)[:, None, None], axis=1
-        )[:, 0]
-        return jax.nn.log_softmax(row.astype(jnp.float32), -1)
+    score = _internal_lm_score(model)
 
     def fn(histories):
         n = len(histories)
@@ -768,7 +756,10 @@ def ctc_beam_search(
         for i, h in enumerate(histories):
             toks[i, : len(h)] = h
             lens[i] = len(h)
-        return np.asarray(score(jnp.asarray(toks), jnp.asarray(lens)))
+        return np.asarray(score(
+            variables, a_hidden, a_length, jnp.asarray(toks),
+            jnp.asarray(lens),
+        ))
 
     search = FrameSyncBeamSearch(
         lm=HistoryLM(fn, bos_id=bos_id),
@@ -782,3 +773,30 @@ def ctc_beam_search(
         bos_id=bos_id,
     )
     return search.run_search(ctc_lp, decode=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _internal_lm_score(model):
+    """Cached jitted internal-LM scorer for ctc_beam_search: a fresh
+    per-recording closure (with a_hidden baked in as a constant) would
+    retrace and recompile the cross-attention decoder for EVERY recording
+    — the same defect _greedy_run's lru_cache exists to avoid.  Takes the
+    encoder output as arguments so one compile per (n, U, T) bucket serves
+    all recordings."""
+    import jax
+
+    @jax.jit
+    def score(variables, a_hidden, a_length, tokens, lengths):
+        # (n, U), (n,) → (n, V) next-token log-probs
+        n = tokens.shape[0]
+        ah = jnp.broadcast_to(a_hidden, (n,) + a_hidden.shape[1:])
+        al = jnp.broadcast_to(a_length, (n,))
+        logits = model.apply(
+            variables, tokens, ah, al, method=model.generate_step
+        )
+        row = jnp.take_along_axis(
+            logits, (lengths - 1)[:, None, None], axis=1
+        )[:, 0]
+        return jax.nn.log_softmax(row.astype(jnp.float32), -1)
+
+    return score

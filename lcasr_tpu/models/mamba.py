@@ -32,17 +32,12 @@ from flax import linen as nn
 
 from lcasr_tpu.models.decoder import ASRLinearSCDecoder
 from lcasr_tpu.ops.attention import length_mask
-from lcasr_tpu.ops.conv import ConvSubsampling, StackingSubsampling
+from lcasr_tpu.ops.conv import (ConvSubsampling, StackingSubsampling,
+                                uniform_init as _uniform_init)
 from lcasr_tpu.ops.norms import RMSNorm
 from lcasr_tpu.ops.ssm import causal_conv1d, flip_with_lengths, selective_scan
 from lcasr_tpu.models.registry import register_model
 
-
-def _uniform_init(bound: float):
-    def init(key, shape, dtype=jnp.float32):
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-    return init
 
 
 class BiMambaMixer(nn.Module):

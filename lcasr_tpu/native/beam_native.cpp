@@ -236,6 +236,9 @@ PyObject* advance(PyObject*, PyObject* args) {
       for (Py_ssize_t c = 0; c < C; c++)
         if (frame[c] > thr && static_cast<int>(c) != pad)
           keep.push_back(static_cast<int>(c));
+      // no candidate survived: carry the beams unchanged (mirrors the
+      // Python path's guard) instead of emptying the beam set forever
+      if (keep.empty()) continue;
 
       nb.clear();
       slot.clear();
@@ -270,14 +273,6 @@ PyObject* advance(PyObject*, PyObject* args) {
       if (has_prune && n_keep > 0) {
         const NewBeam& top = nb[order[0]];
         double cut = lse(top.p_b, top.p_nb) - prune_val;
-        size_t j = 0;
-        while (j < n_keep) {
-          const NewBeam& b = nb[order[j]];
-          if (lse(b.p_b, b.p_nb) >= cut)
-            j++;
-          else
-            break;
-        }
         // python filters the whole truncated list; scores are sorted desc,
         // but equal-score boundary cases make a filter (not a cut) exact
         std::vector<int> kept;

@@ -344,7 +344,9 @@ def calc_length(
     return lengths.astype(jnp.int32)
 
 
-def _uniform_init(bound: float):
+def uniform_init(bound: float):
+    """torch-default bounded-uniform initializer U(-bound, bound) — the
+    single shared copy (long_conv.py and mamba.py import it)."""
     def init(key, shape, dtype=jnp.float32):
         return jax.random.uniform(key, shape, dtype, -bound, bound)
 
@@ -364,8 +366,8 @@ class _ConvParams(nn.Module):
 
     @nn.compact
     def __call__(self):
-        k = self.param("kernel", _uniform_init(self.bound), self.kshape)
-        b = self.param("bias", _uniform_init(self.bound), (self.kshape[-1],))
+        k = self.param("kernel", uniform_init(self.bound), self.kshape)
+        b = self.param("bias", uniform_init(self.bound), (self.kshape[-1],))
         return k, b
 
 
@@ -539,8 +541,8 @@ class ConvSubsampling(nn.Module):
                 st_scale = scale if i == 0 else (9 * C) ** -0.5
                 h = nn.Conv(
                     C, (3, 3), strides=(2, 2), padding=pad2d,
-                    kernel_init=_uniform_init(st_scale),
-                    bias_init=_uniform_init(st_scale),
+                    kernel_init=uniform_init(st_scale),
+                    bias_init=uniform_init(st_scale),
                     dtype=self.dtype, name=f"conv_{i}",
                 )(h)
                 h = act(h)
@@ -574,8 +576,8 @@ class ConvSubsampling(nn.Module):
         h = nn.Dense(
             self.feat_out,
             use_bias=self.norm_out,
-            kernel_init=_uniform_init(fc_scale),
-            bias_init=_uniform_init(fc_scale),
+            kernel_init=uniform_init(fc_scale),
+            bias_init=uniform_init(fc_scale),
             dtype=self.dtype,
             name="out",
         )(h)
@@ -678,8 +680,8 @@ class TimeReductionModule(nn.Module):
         pad = max(0, K - S)
         dw_max = K ** -0.5
         pw_max = self.d_model ** -0.5
-        kernel = self.param("dw_kernel", _uniform_init(dw_max), (K, self.d_model), jnp.float32)
-        bias = self.param("dw_bias", _uniform_init(dw_max), (self.d_model,), jnp.float32)
+        kernel = self.param("dw_kernel", uniform_init(dw_max), (K, self.d_model), jnp.float32)
+        bias = self.param("dw_bias", uniform_init(dw_max), (self.d_model,), jnp.float32)
         if lengths is not None:
             x = jnp.where(
                 (jnp.arange(x.shape[1])[None, :] < lengths[:, None])[..., None], x, 0.0
@@ -694,8 +696,8 @@ class TimeReductionModule(nn.Module):
             feature_group_count=self.d_model,
         ) + bias.astype(x.dtype)
         h = nn.Dense(
-            self.out_dim, kernel_init=_uniform_init(pw_max),
-            bias_init=_uniform_init(pw_max), dtype=self.dtype, name="pw",
+            self.out_dim, kernel_init=uniform_init(pw_max),
+            bias_init=uniform_init(pw_max), dtype=self.dtype, name="pw",
         )(h)
         if lengths is not None:
             L = -(-x.shape[1] // S)  # ceil, ≙ pad_mask[::stride] columns

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from lcasr_tpu.ops.conv import uniform_init as _uniform_init
+
 
 def squash_kernel(kernel: jnp.ndarray, lam: float) -> jnp.ndarray:
     """Soft-threshold regularization: sign(k)·relu(|k| − lam)."""
@@ -98,13 +100,6 @@ def fft_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     y_f = x_f * jnp.swapaxes(k_f, 0, 1)[None]
     y = jnp.fft.irfft(y_f, n=n, axis=1)[:, :L]
     return y.astype(x.dtype)
-
-
-def _uniform_init(bound: float):
-    def init(key, shape, dtype=jnp.float32):
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-    return init
 
 
 class PositionKernel(nn.Module):

@@ -239,18 +239,24 @@ class TranscriptionServer:
     def feed(self, sid: int, samples: np.ndarray, pump: bool = True) -> str:
         """Append raw 16 kHz samples to session `sid`; returns ITS newly
         finalized text (text finalized for other sessions by this pump is
-        buffered for their next feed/poll).  pump=False only ingests —
-        batch a tick's arrivals, then pump() once."""
+        buffered for their next feed/poll).  pump=False only ingests and
+        returns "" — it must NOT drain the buffer, or text finalized for
+        this session by another session's pump/finish between this
+        session's polls would be silently dropped by callers that ignore
+        the ingest-only return; batch a tick's arrivals, then pump() once
+        and poll()."""
         self._session(sid)._feed_ingest(samples)
-        if pump:
-            self.pump()
+        if not pump:
+            return ""
+        self.pump()
         return self._take(sid)
 
     def feed_frames(self, sid: int, mel: np.ndarray, pump: bool = True) -> str:
         """Append precomputed (80, T) mel frames to session `sid`."""
         self._session(sid)._feed_frames_ingest(mel)
-        if pump:
-            self.pump()
+        if not pump:
+            return ""
+        self.pump()
         return self._take(sid)
 
     def poll(self, sid: int) -> str:

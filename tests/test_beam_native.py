@@ -31,9 +31,10 @@ def _random_blocks(rng, T, C, sharp=True, n=1):
         if sharp:
             lp = np.full((T, C), -30.0, np.float32)
             for t in range(T):
-                # never draw id 0: with pad_id=0 a frame whose only
-                # candidate is pad legitimately kills every beam (both
-                # paths agree) and the rest of the test can't proceed
+                # never draw id 0: a pad-only frame is a carry-unchanged
+                # no-op on both paths (covered by
+                # test_native_pad_only_frame_carries_beams), so drawing it
+                # here would just waste frames
                 k = rng.choice(C - 1, size=rng.integers(1, 6),
                                replace=False) + 1
                 v = rng.normal(size=len(k)).astype(np.float32) * 3
@@ -92,6 +93,32 @@ def test_native_pad_equals_blank_no_filter():
     blk = _random_blocks(rng, 25, C, sharp=False)[0]
     nat.advance(blk)
     pyt.advance(blk)
+    _beams_equal(nat, pyt)
+
+
+def test_native_pad_only_frame_carries_beams():
+    """A frame whose only above-threshold candidate is pad must carry the
+    beams unchanged — NOT empty the beam set for all remaining frames
+    (regression: both paths used to permanently kill the search, then
+    crash best()/live_prefixes on the next emit)."""
+    rng = np.random.default_rng(3)
+    C = 16
+    kw = dict(tokenizer=_Tok(C), blank_id=C - 1, pad_id=0,
+              alpha=0.0, beta=0.0, beam_width=6, top_am_threshold=-6.0)
+    blk = _random_blocks(rng, 10, C, sharp=True)[0]
+    # mid-block frame where pad dominates everything by > |threshold|
+    blk[4, :] = -30.0
+    blk[4, 0] = 0.0
+    nat, pyt = BeamSearch(**kw), BeamSearch(**kw)
+    pyt._force_python = True
+    for search in (pyt, nat):
+        search.advance(blk[:4])
+        prefixes_before = search.live_prefixes()
+        search.advance(blk[4:5], t0=4)
+        assert search.live_prefixes() == prefixes_before  # carried, not []
+        search.advance(blk[5:], t0=5)
+        assert search.live_prefixes()  # still alive; best() must not raise
+        search.best()
     _beams_equal(nat, pyt)
 
 

@@ -249,6 +249,56 @@ def test_server_matches_single_stream(model_and_vars):
         assert got[sid] == singles[i], (i, got[sid], singles[i])
 
 
+def test_server_ingest_only_feed_never_drains(model_and_vars):
+    """feed(pump=False) is a pure ingest: it must return "" and must NOT
+    drain the session's delta buffer (regression: it used to _take() the
+    buffer, so text finalized for this session by ANOTHER session's
+    finish() between polls was returned to a caller that discards the
+    ingest-only return — the CLI loop — and silently dropped)."""
+    from lcasr_tpu.serving import TranscriptionServer
+
+    model, variables = model_and_vars
+    tok = _IdTokenizer()
+    rng = np.random.default_rng(13)
+    kw = dict(context_frames=128, stride_frames=32, right_delay_frames=32)
+
+    # unequal lengths: the short stream's finish() pumps mid-tick and can
+    # finalize text for the long stream between the long stream's polls
+    streams = [rng.normal(size=(16000 * s,)).astype(np.float32) * 0.1
+               for s in (3, 1)]
+    chunk = 4000
+    # singles fed at the SAME chunk granularity: running normalization is
+    # cumulative over frames ingested so far, so feed granularity is part
+    # of the (documented) semantics
+    singles = []
+    for audio in streams:
+        t = OnlineTranscriber(model, variables, tok, norm="running", **kw)
+        for p in range(0, len(audio), chunk):
+            t.feed(audio[p : p + chunk])
+        t.finish()
+        singles.append(t.text)
+
+    server = TranscriptionServer(model, variables, tok, max_streams=2, **kw)
+    sids = [server.open() for _ in streams]
+    got = {sid: "" for sid in sids}
+    pos, open_ = 0, set(range(len(streams)))
+    while open_:  # exactly the CLI loop: discard the pump=False return
+        for i in sorted(open_):
+            if pos < len(streams[i]):
+                ret = server.feed(sids[i], streams[i][pos : pos + chunk],
+                                  pump=False)
+                assert ret == ""  # ingest-only: nothing may come back here
+        server.pump()
+        pos += chunk
+        for i in sorted(open_):
+            got[sids[i]] += server.poll(sids[i])
+            if pos >= len(streams[i]):
+                got[sids[i]] += server.finish(sids[i])
+                open_.discard(i)
+    for i, sid in enumerate(sids):
+        assert got[sid] == singles[i], (i, got[sid], singles[i])
+
+
 def test_server_capacity_and_slot_reuse(model_and_vars):
     from lcasr_tpu.serving import TranscriptionServer
 

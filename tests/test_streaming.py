@@ -173,6 +173,31 @@ def test_pipelined_upload_matches_fused(model_and_vars):
     )
 
 
+def test_pipelined_upload_guard_falls_back_when_overlap_exceeds_halo(
+        model_and_vars):
+    """When overlap > W*stride the one-stripe halo can't cover a window, so
+    pipeline_upload must actually fall back to the single-upload fused path
+    (regression: the guard used to warn 'disabled' but run the pipelined
+    path anyway, producing corrupt merged logits)."""
+    import warnings
+
+    model, variables = model_and_vars
+    rng = np.random.default_rng(9)
+    spec = rng.normal(size=(1, 80, 700)).astype(np.float32)
+
+    # W=2, stride 64 → halo 128 < overlap 192: guard must trip
+    dec_f = StreamingDecoder(model, variables, N_CLASSES, window_batch_size=2,
+                             transfer_dtype=jnp.float32)
+    dec_p = StreamingDecoder(model, variables, N_CLASSES, window_batch_size=2,
+                             transfer_dtype=jnp.float32, pipeline_upload=True)
+    a = dec_f.logits(spec, seq_len=256, overlap=192)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        b = dec_p.logits(spec, seq_len=256, overlap=192)
+    assert any("pipeline_upload disabled" in str(w.message) for w in caught)
+    np.testing.assert_array_equal(a, b)  # same (fused) path → bit-equal
+
+
 def test_data_parallel_decode_matches_single_device(model_and_vars):
     """DP decode (window axis sharded over the mesh data axis, per-device
     local accumulators psummed) matches the single-device fused decode —
