@@ -83,14 +83,16 @@ def main() -> None:
 
     # window_batch_size=16 is the tuned config (PERFORMANCE.md: 1276 vs 1116
     # RTFx at 8) — the windows-per-dispatch sweet spot on v5e HBM.
-    # transfer_dtype="int8" quarters the host->device spectrogram bytes on
-    # this link-bound path; WER-certified neutral by the closed-loop system
-    # test (tests/test_closed_loop.py).  Same-minute A/B on the tunnel:
-    # 976 RTFx (bf16) vs 1350 (int8); int8+pipeline_upload regressed to
-    # 1200 (upload striping serializes with dispatches on the tunnel).
+    # transfer_dtype="int4" packs two codes per byte with per-mel-bin affine
+    # params, cutting the host->device spectrogram bytes 8x vs f32 on this
+    # link-bound path; WER-certified neutral by the closed-loop system test
+    # (tests/test_closed_loop.py).  Same-minute interleaved A/B on the
+    # tunnel (benchmarks/bench_transfer_dtype.py): 1295 RTFx (bf16) vs
+    # 1449 (int8) vs 1709 (int4); int8+pipeline_upload regressed to 1200
+    # (upload striping serializes with dispatches on the tunnel).
     decoder = StreamingDecoder(
         model, variables, n_classes, window_batch_size=16,
-        transfer_dtype="int8",
+        transfer_dtype="int4",
     )
 
     # warmup: compile + run once end-to-end

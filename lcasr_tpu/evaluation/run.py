@@ -66,7 +66,7 @@ def evaluate(
     dataset_kwargs: Optional[Dict[str, Any]] = None,
     verbose: bool = True,
     skip_recordings: Optional[set] = None,
-    transfer_dtype: Optional[str] = None,  # 'bfloat16' (default) | 'int8' | 'float32'
+    transfer_dtype: Optional[str] = None,  # 'bfloat16' (default) | 'int8' | 'int4' | 'float32'
     pipeline_upload: bool = False,  # stripe uploads to overlap with compute
     data_parallel: bool = False,  # shard decode windows over all devices
     context_parallel: bool = False,  # windowed_attention: shard the time axis
@@ -263,9 +263,10 @@ def main():
         choices=["averaged_moving_window", "windowed_attention", "buffered"],
     )
     parser.add_argument(
-        "--transfer_dtype", default=None, choices=["bfloat16", "int8", "float32"],
+        "--transfer_dtype", default=None, choices=["bfloat16", "int8", "int4", "float32"],
         help="spectrogram upload dtype (int8 halves link traffic on "
-             "remote-attached chips; dequantized once on device)",
+             "remote-attached chips, int4 halves it again; dequantized "
+             "once on device)",
     )
     parser.add_argument(
         "--pipeline_upload", action="store_true",

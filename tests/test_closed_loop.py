@@ -147,6 +147,14 @@ def test_train_checkpoint_eval_wer_closed_loop(synth_corpus, tmp_path):
         summary_opt["wer"], summary["wer"],
     )
 
+    # int4 packed transfer (two codes/byte, per-mel-bin affine) must hold
+    # the converged WER too — the certification that lets the decode default
+    # drop to 4-bit uploads on link-bound hosts
+    summary_i4 = evaluate(**common, transfer_dtype="int4")
+    assert summary_i4["wer"] == summary["wer"], (
+        summary_i4["wer"], summary["wer"],
+    )
+
     # W8A8 quantized serving (int8 MXU projections, ops/qdense.py) must hold
     # the converged WER — the certification that makes the opt-in shippable
     summary_q = evaluate(**common, quant_w8a8=True)

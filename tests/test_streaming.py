@@ -283,3 +283,43 @@ def test_cp_windowed_model_fn_matches_single_device(model_and_vars):
 
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_int4_transfer_decode_close_to_float(model_and_vars):
+    """int4 packed spectrogram upload (two codes/byte, per-mel-bin affine
+    params): dequantization error bounded by step/2 per element, and the
+    decoded logits stay close to the float32-transfer path.  WER neutrality
+    at production settings is certified by tests/test_closed_loop.py."""
+    model, variables = model_and_vars
+    rng = np.random.default_rng(7)
+    spec = rng.normal(size=(1, 80, 700)).astype(np.float32)
+
+    dec_q = StreamingDecoder(model, variables, N_CLASSES, transfer_dtype="int4")
+    # round-trip error bound: |dequant(quant(x)) - x| <= step/2 (+ bf16 cast)
+    quant = dec_q._quant_params(spec[0])
+    assert quant[0] == "int4"
+    rt = np.asarray(dec_q._upload(spec[0], quant), np.float32)
+    step = quant[2]
+    assert rt.shape == spec[0].shape
+    err = np.abs(rt - spec[0])
+    assert (err <= step[:, None] * 0.5 + 0.02).all()
+
+    dec_f = StreamingDecoder(model, variables, N_CLASSES, transfer_dtype=jnp.float32)
+    lf = dec_f.logits(spec, seq_len=256, overlap=192)
+    lq = dec_q.logits(spec, seq_len=256, overlap=192)
+    assert lf.shape == lq.shape
+    # int4 noise is ~16x int8's; random weights amplify it — bound loosely
+    # (the WER-level signal lives in the closed-loop system test)
+    af, aq = np.asarray(lf).argmax(-1), np.asarray(lq).argmax(-1)
+    assert (af != aq).mean() <= 0.15
+
+    # the pipelined path quantizes per stripe with the SAME per-recording
+    # params, so it must be bit-equal to the single-upload fused path
+    dec_p = StreamingDecoder(model, variables, N_CLASSES, window_batch_size=4,
+                             transfer_dtype="int4", pipeline_upload=True)
+    dec_q4 = StreamingDecoder(model, variables, N_CLASSES, window_batch_size=4,
+                              transfer_dtype="int4")
+    np.testing.assert_array_equal(
+        np.asarray(dec_q4.logits(spec, seq_len=256, overlap=192)),
+        np.asarray(dec_p.logits(spec, seq_len=256, overlap=192)),
+    )
