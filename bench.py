@@ -10,29 +10,47 @@ wall-second per chip.
 The reference publishes no RTFx (BASELINE.md: "not published"), so
 `vs_baseline` is reported against 1× real time: vs_baseline == RTFx.
 
-Prints ONE JSON line:
-  {"metric": "rtfx_20min_decode", "value": N, "unit": "audio_s/s/chip",
-   "vs_baseline": N}
+Robustness contract (VERDICT r3 #1): this script ALWAYS prints exactly one
+JSON line and exits 0 —
+  success: {"metric": "rtfx_20min_decode", "value": <median>, "unit":
+            "audio_s/s/chip", "vs_baseline": <median>, "n": N,
+            "min": ..., "max": ...}
+  failure: {"metric": "rtfx_20min_decode", "value": null, "unit":
+            "audio_s/s/chip", "vs_baseline": null, "error": "..."}
+The reported value is the MEDIAN of N same-session repeats (with spread),
+not a best-of — a congestion-window outlier can't become the number of
+record.  The persistent compile cache lives at a committed repo location
+(.jax_cache/) so first-compile through a slow tunnel can't eat the driver's
+budget after the cache has been warmed once.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
-
 
 SEQ_LEN = 16384
 OVERLAP_RATIO = 0.875
 AUDIO_MINUTES = 20
 FRAMES_PER_SECOND = 100
+METRIC = "rtfx_20min_decode"
+UNIT = "audio_s/s/chip"
+N_REPEATS = 5
 
 
-def _wait_for_device(max_wait_s: float = 1200.0) -> None:
-    """The axon tunnel has outage windows (hours-long ones observed); rather
-    than hanging forever in jax.devices() or dying instantly, probe device
-    discovery in a subprocess with a bounded timeout and retry within a
-    budget so a transient outage at bench time still yields a real number."""
+def _fail(msg: str) -> None:
+    print(json.dumps({"metric": METRIC, "value": None, "unit": UNIT,
+                      "vs_baseline": None, "error": msg}))
+
+
+def _wait_for_device(max_wait_s: float = 180.0) -> None:
+    """The axon tunnel has outage windows; probe device discovery in a
+    subprocess with a bounded timeout.  Budget is deliberately small
+    (VERDICT r3: a 1200 s wait alone could eat the driver's bench budget) —
+    if the tunnel is down, fail FAST with a JSON error line rather than
+    producing an empty round."""
     import subprocess
     import sys
     import time as _time
@@ -45,7 +63,7 @@ def _wait_for_device(max_wait_s: float = 1200.0) -> None:
             subprocess.run(
                 [sys.executable, "-c",
                  "import jax; assert len(jax.devices()) > 0"],
-                timeout=240, check=True,
+                timeout=90, check=True,
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             )
             return
@@ -55,15 +73,23 @@ def _wait_for_device(max_wait_s: float = 1200.0) -> None:
                     f"no JAX device after {attempt} probes / "
                     f"{max_wait_s:.0f}s — backend/tunnel down"
                 )
-            _time.sleep(60)
+            _time.sleep(20)
 
 
-def main() -> None:
+def _run() -> dict:
     _wait_for_device()
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # Committed, repo-local persistent compile cache: the driver's bench run
+    # hits programs this session already compiled, so a bad tunnel window
+    # costs seconds of cache deserialization instead of minutes of XLA.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from __graft_entry__ import FLAGSHIP
     from lcasr_tpu.models.sconformer_xl import SCConformerXL
@@ -81,46 +107,48 @@ def main() -> None:
     overlap = int(SEQ_LEN * OVERLAP_RATIO)
     n_classes = FLAGSHIP["vocab_size"] + 1
 
-    # window_batch_size=16 is the tuned config (PERFORMANCE.md: 1276 vs 1116
-    # RTFx at 8) — the windows-per-dispatch sweet spot on v5e HBM.
+    # window_batch_size=16 is the tuned config (PERFORMANCE.md sweep);
     # transfer_dtype="int4" packs two codes per byte with per-mel-bin affine
-    # params, cutting the host->device spectrogram bytes 8x vs f32 on this
+    # params, cutting host->device spectrogram bytes 8x vs f32 on this
     # link-bound path; WER-certified neutral by the closed-loop system test
-    # (tests/test_closed_loop.py).  Same-minute interleaved A/B on the
-    # tunnel (benchmarks/bench_transfer_dtype.py): 1295 RTFx (bf16) vs
-    # 1449 (int8) vs 1709 (int4); int8+pipeline_upload regressed to 1200
-    # (upload striping serializes with dispatches on the tunnel).
+    # (tests/test_closed_loop.py).
     decoder = StreamingDecoder(
         model, variables, n_classes, window_batch_size=16,
         transfer_dtype="int4",
     )
 
     # warmup: compile + run once end-to-end
-    _ = decoder.greedy(spec, seq_len=SEQ_LEN, overlap=overlap)
-
-    # best-of-5: the decode is link-bound on a tunnel-attached chip and the
-    # tunnel bandwidth fluctuates minute to minute (measured 698-1276 RTFx
-    # for identical code); min wall time is the reproducible figure
-    wall = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        ids = decoder.greedy(spec, seq_len=SEQ_LEN, overlap=overlap)
-        wall = min(wall, time.perf_counter() - t0)
-
-    audio_seconds = total_frames / FRAMES_PER_SECOND
-    rtfx = audio_seconds / wall
+    ids = decoder.greedy(spec, seq_len=SEQ_LEN, overlap=overlap)
     assert ids.ndim == 1 and ids.shape[0] >= total_frames // 8 - 8
 
-    print(
-        json.dumps(
-            {
-                "metric": "rtfx_20min_decode",
-                "value": round(rtfx, 3),
-                "unit": "audio_s/s/chip",
-                "vs_baseline": round(rtfx, 3),
-            }
-        )
-    )
+    # median-of-N with spread: the decode is link-bound on a tunnel-attached
+    # chip and bandwidth fluctuates minute to minute (measured 698-1276 RTFx
+    # for identical code) — the median is the honest single number, min/max
+    # the weather report.
+    audio_seconds = total_frames / FRAMES_PER_SECOND
+    rtfs = []
+    for _ in range(N_REPEATS):
+        t0 = time.perf_counter()
+        decoder.greedy(spec, seq_len=SEQ_LEN, overlap=overlap)
+        rtfs.append(audio_seconds / (time.perf_counter() - t0))
+
+    med = float(np.median(rtfs))
+    return {
+        "metric": METRIC,
+        "value": round(med, 3),
+        "unit": UNIT,
+        "vs_baseline": round(med, 3),
+        "n": len(rtfs),
+        "min": round(min(rtfs), 3),
+        "max": round(max(rtfs), 3),
+    }
+
+
+def main() -> None:
+    try:
+        print(json.dumps(_run()))
+    except BaseException as exc:  # noqa: BLE001 — the contract is one JSON line, always
+        _fail(f"{type(exc).__name__}: {exc}")
 
 
 if __name__ == "__main__":

@@ -90,11 +90,34 @@ class StreamingDecoder:
         import jax
         import jax.numpy as jnp
 
+        # Normalize transfer_dtype to one of: "int8", "int4", or a float
+        # jnp dtype.  Quantized transfers need scaling params, so an int
+        # dtype must route through the quantized branch — accept the type
+        # variants (np.int8, jnp.int4, np.dtype("int8"), ...) and reject
+        # anything else loudly rather than raw-casting to garbage.
         if transfer_dtype is None:
             transfer_dtype = jnp.bfloat16
-        elif (isinstance(transfer_dtype, str)
-              and transfer_dtype not in ("int8", "int4")):
-            transfer_dtype = jnp.dtype(transfer_dtype)  # 'bfloat16'/'float32'
+        if not isinstance(transfer_dtype, str):
+            try:
+                name = jnp.dtype(transfer_dtype).name
+            except TypeError:
+                raise ValueError(
+                    f"unrecognized transfer_dtype: {transfer_dtype!r}")
+            if name in ("int8", "int4"):
+                transfer_dtype = name
+            elif name in ("float32", "bfloat16", "float16"):
+                transfer_dtype = jnp.dtype(transfer_dtype)
+            else:
+                raise ValueError(
+                    f"unsupported transfer_dtype {name!r}: expected one of "
+                    "int8/int4 (quantized) or float32/bfloat16/float16")
+        elif transfer_dtype not in ("int8", "int4"):
+            name = jnp.dtype(transfer_dtype).name  # 'bfloat16'/'float32'
+            if name not in ("float32", "bfloat16", "float16"):
+                raise ValueError(
+                    f"unsupported transfer_dtype {name!r}: expected one of "
+                    "int8/int4 (quantized) or float32/bfloat16/float16")
+            transfer_dtype = jnp.dtype(transfer_dtype)
         self.transfer_dtype = transfer_dtype
 
         self.jax, self.jnp = jax, jnp
@@ -310,8 +333,8 @@ class StreamingDecoder:
         its own [min, max] mapped onto 16 levels, which is ~4x tighter than
         a recording-global range on per-recording-normalized mels.  Two
         codes pack per byte, halving the link bytes again vs int8."""
-        td = self.transfer_dtype
-        if td in ("int8", np.int8, self.jnp.int8):
+        td = self.transfer_dtype  # normalized in __init__: "int8"/"int4"/float dtype
+        if td == "int8":
             return ("int8", float(np.abs(spec).max()) / 127.0 or 1.0)
         if td == "int4":
             lo = spec.min(axis=-1).astype(np.float32)

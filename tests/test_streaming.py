@@ -323,3 +323,20 @@ def test_int4_transfer_decode_close_to_float(model_and_vars):
         np.asarray(dec_q4.logits(spec, seq_len=256, overlap=192)),
         np.asarray(dec_p.logits(spec, seq_len=256, overlap=192)),
     )
+
+
+def test_transfer_dtype_validation(model_and_vars):
+    """ADVICE r3: int dtype variants (np.int8, jnp.int4, np.dtype) must
+    route through the quantized branch — never raw-cast — and unsupported
+    dtypes must raise at construction, not produce garbage logits."""
+    model, variables = model_and_vars
+    for td in (np.int8, jnp.int8, np.dtype("int8")):
+        dec = StreamingDecoder(model, variables, N_CLASSES, transfer_dtype=td)
+        assert dec.transfer_dtype == "int8"
+    for td in (jnp.int4, np.dtype("int4") if hasattr(np, "int4") else jnp.int4):
+        dec = StreamingDecoder(model, variables, N_CLASSES, transfer_dtype=td)
+        assert dec.transfer_dtype == "int4"
+    import pytest as _pytest
+    for bad in (np.int32, "int32", "complex64", object()):
+        with _pytest.raises((ValueError, TypeError)):
+            StreamingDecoder(model, variables, N_CLASSES, transfer_dtype=bad)
