@@ -33,6 +33,8 @@ class CosineLRScheduler:
         self.offset = 0
         self.steps = 1
         self.last_epoch = 0
+        # torch _LRScheduler.__init__ runs an initial step() at last_epoch=0
+        self._last_lr = self._compute_lr()
 
     def is_warming_up(self) -> bool:
         return self.is_warmup and self.last_epoch < self.warmup_steps
@@ -40,23 +42,31 @@ class CosineLRScheduler:
     def set_cosine_schedule(self, total_recordings: int, cur_podcast: int) -> None:
         """Switch from warmup to cosine, re-based on recordings seen.
 
-        NOTE (reference-parity quirk, scheduling.py:18-29 upstream): until
-        the first post-handoff `step(epoch=cur_podcast)` fires (end of the
-        current podcast batch), get_last_lr() evaluates at last_epoch=0 with
-        offset=-cur_podcast, i.e. cos(cur_podcast/steps·π) — which is far
-        below peak when warmup ends deep into the schedule.  The reference
-        computes exactly the same value, so this is kept bit-faithful."""
+        Reference-parity detail (found by the cross-framework trajectory
+        test): torch's `_LRScheduler.get_last_lr()` returns the lr CACHED at
+        the last `.step()` call — it is NOT recomputed when
+        set_cosine_schedule rewrites last_epoch/offset.  So for the rest of
+        the current podcast batch the reference keeps training at the final
+        warmup lr (= peak), and the cosine value first takes effect at the
+        batch-end `step(epoch=cur_podcast)`.  We reproduce that by caching
+        `_last_lr` and leaving it untouched here."""
         self.last_epoch = 0
         self.is_warmup = False
         self.steps = total_recordings - cur_podcast + 1
         self.offset = -cur_podcast
 
-    def get_last_lr(self) -> float:
+    def _compute_lr(self) -> float:
         if self.is_warmup:
             return self.peak_value * min(1.0, self.last_epoch / max(1, self.warmup_steps))
         return self.final_value + 0.5 * (self.peak_value - self.final_value) * (
             1 + math.cos((self.last_epoch + self.offset) / self.steps * math.pi)
         )
+
+    def get_last_lr(self) -> float:
+        """The lr as of the last step() — torch `_LRScheduler` caching
+        semantics (the optimizer's param_group lr is likewise only written
+        on step() upstream)."""
+        return self._last_lr
 
     def step(self, epoch: int | None = None) -> float:
         """During warmup call with no args per optimizer step; after warmup
@@ -65,13 +75,16 @@ class CosineLRScheduler:
             self.last_epoch += 1
         else:
             self.last_epoch = epoch
-        return self.get_last_lr()
+        self._last_lr = self._compute_lr()
+        return self._last_lr
 
     def state_dict(self) -> Dict[str, Any]:
         return dict(self.__dict__)
 
     def load_state_dict(self, state: Dict[str, Any]) -> None:
         self.__dict__.update(state)
+        if "_last_lr" not in state:  # checkpoints from before the lr cache
+            self._last_lr = self._compute_lr()
 
 
 class SequenceWarmupManager:

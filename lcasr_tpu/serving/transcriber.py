@@ -67,6 +67,7 @@ class OnlineTranscriber:
         decoder: str = "greedy",
         beam_opts: Optional[dict] = None,
         beam_topk: Optional[int] = 32,
+        max_batch_strides: int = 8,
     ):
         import jax
         import jax.numpy as jnp
@@ -86,6 +87,16 @@ class OnlineTranscriber:
         self.delay = right_delay_frames
         self.norm = norm
         self.eps = eps
+        # backlog stride-batching (VERDICT r3 #5): when the stream is fed
+        # faster than real time (catch-up after a stall, file transcription
+        # through the online path), several strides are due at once — they
+        # ride ONE (k, 80, ctx) forward instead of k MXU-starved (1, 80,
+        # ctx) dispatches.  Bit-equal to the serial path: the running-norm
+        # statistics only change on feed(), never between drain steps, so
+        # every batched window is byte-identical to its serial counterpart.
+        # k is bucketed to powers of two (≤ max_batch_strides) to bound the
+        # compile count; 1 disables.
+        self.max_batch_strides = max(1, int(max_batch_strides))
 
         self._fb = mel_filterbank().astype(np.float64)  # (n_freqs, n_mels)
         self._win = _hann_window(WIN_LENGTH, N_FFT).astype(np.float64)
@@ -439,8 +450,51 @@ class OnlineTranscriber:
             k += 1
         return self._text[k:]
 
+    def _due_interior_ends(self) -> list:
+        """Ends of every interior step currently due (full lookahead
+        available), up to max_batch_strides — the frontier advances by
+        `stride` per interior step, so they are enumerable up front."""
+        ends, f, n = [], self._frontier, self._n_mel
+        while (n - f >= self.stride + self.delay
+               and len(ends) < self.max_batch_strides):
+            e = f + self.stride + self.delay
+            ends.append(e)
+            f = e - self.delay
+        return ends
+
+    def _step_many(self, ends: list) -> None:
+        """One (k, 80, ctx) forward for k due interior steps, applied in
+        stream order.  k is snapped DOWN to a power of two (the remainder is
+        picked up by the next _drain iteration) so at most log2(max_batch)
+        shapes ever compile."""
+        b = 1 << (len(ends).bit_length() - 1)
+        ends = ends[:b]
+        wins, widths, starts = [], [], []
+        for e in ends:
+            w, width, ws = self._prepare(e)
+            wins.append(w)
+            widths.append(width)
+            starts.append(ws)
+        outs = self.jax.device_get(self._forward(
+            self.variables,
+            self.jnp.asarray(np.stack(wins)),
+            self.jnp.asarray(widths, np.int32),
+        ))
+        if self.decoder == "beam" and self.beam_topk is not None:
+            vals, idx, count, out_len = outs
+            payloads = [(vals[i], idx[i], count[i]) for i in range(b)]
+        else:
+            payload, out_len = outs
+            payloads = [payload[i] for i in range(b)]
+        for i, e in enumerate(ends):
+            self._apply(e, False, starts[i], payloads[i], int(out_len[i]))
+
     def _drain(self) -> str:
         while True:
+            ends = self._due_interior_ends()
+            if len(ends) > 1:
+                self._step_many(ends)
+                continue
             step = self._ready()
             if step is None:
                 break

@@ -569,3 +569,41 @@ def test_server_beam_matches_single_stream(model_and_vars):
     for i, sid in enumerate(sids):
         got[i] += srv.finish(sid)
     assert got == singles
+
+
+def test_backlog_stride_batching_bit_equal(model_and_vars):
+    """Feeding a whole recording at once (backlog: many strides due in one
+    drain) routes through the batched (k, 80, ctx) forward — the transcript,
+    token frames, and per-step text deltas must be IDENTICAL to the serial
+    per-stride path (max_batch_strides=1), for greedy AND beam decoders."""
+    model, variables = model_and_vars
+    wave = _random_wave(14.0, 11)
+
+    for decoder in ("greedy", "beam"):
+        kw = dict(context_frames=256, stride_frames=64,
+                  right_delay_frames=64, decoder=decoder)
+        if decoder == "beam":
+            kw["beam_opts"] = {"beam_width": 4}
+        tr_serial = OnlineTranscriber(
+            model, variables, _IdTokenizer(), max_batch_strides=1, **kw)
+        tr_batched = OnlineTranscriber(
+            model, variables, _IdTokenizer(), max_batch_strides=8, **kw)
+
+        out_s = tr_serial.feed(wave) + tr_serial.finish()
+        out_b = tr_batched.feed(wave) + tr_batched.finish()
+        assert out_b == out_s
+        assert tr_batched.text == tr_serial.text
+        assert tr_batched._ids == tr_serial._ids
+        assert tr_batched._id_frames == tr_serial._id_frames
+
+    # interleaved feeding (partial backlogs of varying size) must also match
+    tr_serial = OnlineTranscriber(
+        model, variables, _IdTokenizer(), context_frames=256,
+        stride_frames=64, right_delay_frames=64, max_batch_strides=1)
+    tr_batched = OnlineTranscriber(
+        model, variables, _IdTokenizer(), context_frames=256,
+        stride_frames=64, right_delay_frames=64, max_batch_strides=4)
+    deltas_s = _feed_in_chunks(tr_serial, wave, 5)
+    deltas_b = _feed_in_chunks(tr_batched, wave, 5)
+    assert deltas_b == deltas_s
+    assert tr_batched.text == tr_serial.text
