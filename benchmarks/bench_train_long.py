@@ -138,37 +138,61 @@ def run_config(jax, jnp, FLAGSHIP, chunk, batch, policy, ctc_segment,
     return row
 
 
-def main():
+CONFIGS = [
+    # (chunk, batch, policy, ctc_segment, n_chain, label, attn_window)
+    (120_000, 1, "nothing", 256, 3, "20min_b1_full_remat", None),
+    (120_000, 1, "dots", 256, 3, "20min_b1_remat_dots", None),
+    # 1 hour on ONE chip: full remat + segmented CTC + remat subsampling
+    (360_000, 1, "nothing", 256, 2, "1hour_b1_single_chip", None),
+    # fallback ladder if the full-attention 1-hour step doesn't fit:
+    # banded attention (the reference's windowed-train analogue)
+    (360_000, 1, "nothing", 256, 2, "1hour_b1_banded_w2048", 2048),
+    # the 8-shard CP plan's per-shard shape, run at real shard size
+    (45_000, 1, "nothing", 256, 3, "1hour_cp8_per_shard_shape", None),
+]
+
+
+def run_one(index: int) -> None:
     import jax
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     from __graft_entry__ import FLAGSHIP
 
-    configs = [
-        # (chunk, batch, policy, ctc_segment, n_chain, label, attn_window)
-        (120_000, 1, "nothing", 256, 3, "20min_b1_full_remat", None),
-        (120_000, 1, "dots", 256, 3, "20min_b1_remat_dots", None),
-        # 1 hour on ONE chip: full remat + segmented CTC + remat subsampling
-        (360_000, 1, "nothing", 256, 2, "1hour_b1_single_chip", None),
-        # fallback ladder if the full-attention 1-hour step doesn't fit:
-        # banded attention (the reference's windowed-train analogue)
-        (360_000, 1, "nothing", 256, 2, "1hour_b1_banded_w2048", 2048),
-        # the 8-shard CP plan's per-shard shape, run at real shard size
-        (45_000, 1, "nothing", 256, 3, "1hour_cp8_per_shard_shape", None),
-    ]
+    chunk, batch, policy, seg, n_chain, label, win = CONFIGS[index]
+    row = run_config(jax, jnp, FLAGSHIP, chunk, batch, policy, seg,
+                     n_chain, label=label, attention_window=win)
+    print("ROW " + json.dumps(row), flush=True)
+
+
+def main():
+    """Each config runs in its OWN subprocess: the tunnel backend does not
+    reliably release HBM across jit programs in one process, so a 15 GB-peak
+    config poisons every config after it (measured: the 45k-frame shard
+    shape 'OOM'ed after the 120k run in-process, then fit cleanly alone)."""
+    import subprocess
+    import sys
+
     rows = []
-    for chunk, batch, policy, seg, n_chain, label, win in configs:
-        try:
-            row = run_config(jax, jnp, FLAGSHIP, chunk, batch, policy, seg,
-                             n_chain, label=label, attention_window=win)
-        except Exception as e:  # noqa: BLE001 — record OOM/compile failures
+    for i, (chunk, batch, policy, seg, n_chain, label, win) in enumerate(CONFIGS):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), str(i)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        row = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("ROW "):
+                row = json.loads(line[4:])
+        if row is None:
+            tail = (proc.stderr or proc.stdout).strip().splitlines()[-8:]
+            err = next((l for l in reversed(tail)
+                        if "RESOURCE_EXHAUSTED" in l or "Error" in l),
+                       tail[-1] if tail else "no output")
             row = {
                 "bench": "train_long", "label": label,
                 "chunk_frames": chunk, "batch": batch,
                 "remat_policy": policy, "ctc_segment_size": seg,
-                "attention_window": win,
-                "error": f"{type(e).__name__}: {str(e)[:400]}",
+                "attention_window": win, "error": err[:400],
             }
         print(json.dumps(row), flush=True)
         rows.append(row)
@@ -180,4 +204,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if len(_sys.argv) > 1:
+        run_one(int(_sys.argv[1]))
+    else:
+        main()

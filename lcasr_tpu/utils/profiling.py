@@ -50,3 +50,43 @@ def time_fn(
         _sync(fn(*args, **kwargs))
     total = time.perf_counter() - t0
     return {"mean_s": total / iters, "total_s": total, "iters": iters}
+
+
+def time_fn_chain(
+    fn: Callable,
+    x,
+    n: int = 10,
+    warmup: int = 1,
+    iters: int = 3,
+) -> Dict[str, float]:
+    """Amortized-chain timing for remote-attached chips: run `fn` n times
+    inside ONE jitted dispatch so the host↔device round trip (~30-60 ms on
+    the tunnel, fluctuating) is paid once per n calls instead of once per
+    call.
+
+    `fn` must map one array to a scalar (reduce its output).  The loop body
+    threads a `0.0 * out` term through the carry — a data dependency XLA
+    cannot fold away (NaN semantics) — so LICM can't hoist the call out of
+    the loop and measure one call divided by n (the gotcha documented in
+    PERFORMANCE.md "benchmarking on a tunnel").
+
+    Returns {"ms": best-of-iters per-call milliseconds, ...}.
+    """
+    import jax.numpy as jnp  # local: keep module import light
+
+    @jax.jit
+    def chain(x0):
+        def body(_, c):
+            o = fn(c)
+            return c + (0.0 * o).astype(c.dtype)
+
+        return jax.lax.fori_loop(0, n, body, x0)
+
+    for _ in range(warmup):
+        _sync(chain(x))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(chain(x))
+        best = min(best, time.perf_counter() - t0)
+    return {"ms": best / n * 1000.0, "n": n, "iters": iters}

@@ -19,6 +19,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 # ~8 distinct words; each word is rendered as a fixed random spectrogram
 # pattern (seeded by the word), so the mapping audio→text is deterministic
 # and learnable by a tiny conformer

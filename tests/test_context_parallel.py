@@ -60,6 +60,7 @@ def test_ring_attention_matches_oracle(mesh8, window):
     )
 
 
+@pytest.mark.slow
 def test_ring_attention_padded_shards_match_oracle(mesh8):
     """Ring attention with a shard length (192) that is NOT a multiple of the
     kernel block size (256 after the pow2 shrink), so every shard's q AND kv
@@ -144,6 +145,7 @@ def _tiny_model(window=(-1, -1), conv_norm="batch_renorm", **kw):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("window", [(-1, -1), (8, 8)])
 def test_full_model_cp_forward_matches_single_device(mesh8, window):
     """Full-model context-parallel forward (VERDICT r1 next-step #4): the
@@ -168,6 +170,7 @@ def test_full_model_cp_forward_matches_single_device(mesh8, window):
     np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_full_model_cp_training_step_matches_single_device(mesh8):
     """CP TRAINING step: gradients and psum'd batch-renorm statistics match
     the single-device step (windowed attention, masked lengths)."""
@@ -213,6 +216,7 @@ def test_full_model_cp_training_step_matches_single_device(mesh8):
                                    np.asarray(b, np.float32), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("window", [(-1, -1), (8, 8)])
 def test_full_model_cp_ring_attention_matches_gather(mesh8, window):
     """`attention_cp_impl="ring"` (VERDICT r2 next-step #4): the model's CP
@@ -259,6 +263,7 @@ def test_full_model_cp_ring_attention_matches_gather(mesh8, window):
         assert float(jnp.abs(a - b).max()) / gscale < 1e-3
 
 
+@pytest.mark.slow
 def test_full_model_cp_forward_fourier_pos_enc(mesh8):
     """CP + LearnableFourierPosEnc: the encoder's per-sample offset input
     shifts scalar positions by the shard's global row offset — local

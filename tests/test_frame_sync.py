@@ -164,6 +164,7 @@ def test_cached_transformer_lm_matches_full_forward():
         np.testing.assert_allclose(step_lps, full_lps[u], atol=2e-5, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_frame_sync_with_cached_lm_matches_history_lm():
     """The on-device KV-cache BatchedCachedLM drives the search to the same
     result as recomputing every prefix from scratch."""

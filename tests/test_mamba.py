@@ -78,6 +78,7 @@ def test_mamba_registry():
     assert get_model_class(model_class="Mamba") is Mamba
 
 
+@pytest.mark.slow
 def test_pallas_selective_scan_matches_reference():
     """The sequential Pallas scan (TPU forward default; state resident in
     VMEM) vs the associative-scan reference — forward, unaligned lengths,

@@ -125,6 +125,7 @@ def test_rotary_model_runs():
     assert out["final_posteriors"].shape == (1, 16, 33)
 
 
+@pytest.mark.slow
 def test_remat_subsampling_matches_plain():
     """`remat_subsampling=True` (hour-scale memory lever,
     docs/MEMORY_BUDGET_1H.md) must be a pure recompute: identical forward
@@ -160,6 +161,7 @@ def test_remat_subsampling_matches_plain():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_remat_policy_dots_matches_nothing():
     """`remat_policy='dots'` (save GEMM outputs, recompute elementwise — the
     reference FusedMLP checkpoint_lvl trade, `fused_dense.py:209-498`) must
