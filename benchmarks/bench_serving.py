@@ -166,6 +166,35 @@ def main():
             "sparse_refetches": int(refetch_counts[-1]),
             **count_stats,
         })
+    # ---- single-stream BACKLOG throughput (r4, VERDICT #5): one session
+    # fed the whole recording at once — the file-transcription-through-the-
+    # serving-path case, and the catch-up rate after a stall.  Due strides
+    # ride batched (k, 80, ctx) forwards (transcriber stride batching);
+    # A/B against the serial path (max_batch_strides=1). ----
+    def backlog(k):
+        tr = OnlineTranscriber(
+            model, variables, tokenizer,
+            context_frames=args.context_frames,
+            stride_frames=args.stride_frames,
+            right_delay_frames=args.right_delay_frames,
+            norm="none", max_batch_strides=k, **dec_kw,
+        )
+        tr.feed_frames(mel[:, : args.context_frames * 3])  # warmup compile
+        tr2 = OnlineTranscriber(
+            model, variables, tokenizer,
+            context_frames=args.context_frames,
+            stride_frames=args.stride_frames,
+            right_delay_frames=args.right_delay_frames,
+            norm="none", max_batch_strides=k, **dec_kw,
+        )
+        t0 = time.perf_counter()
+        tr2.feed_frames(mel)
+        tr2.finish()
+        return audio_s / (time.perf_counter() - t0)
+
+    result["backlog_rtfx_serial"] = round(backlog(1), 1)
+    result["backlog_rtfx_batched8"] = round(backlog(8), 1)
+
     # ---- batched server: N concurrent live sessions, lockstep 1 s feeds.
     # The aggregate must approach N x the single-stream RTFx when steps are
     # dispatch-bound (N due steps ride ONE (N, 80, ctx) forward) ----

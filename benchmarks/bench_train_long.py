@@ -142,7 +142,10 @@ CONFIGS = [
     # (chunk, batch, policy, ctc_segment, n_chain, label, attn_window)
     (120_000, 1, "nothing", 256, 3, "20min_b1_full_remat", None),
     (120_000, 1, "dots", 256, 3, "20min_b1_remat_dots", None),
-    # 1 hour on ONE chip: full remat + segmented CTC + remat subsampling
+    # with the chunked-scan subsampling backward (r4: 11.1 GB -> 1.5 GB
+    # conv workspace) batch 2 may fit the 20-min chunk
+    (120_000, 2, "nothing", 256, 3, "20min_b2_full_remat", None),
+    # 1 hour on ONE chip: full remat + segmented CTC + chunked subsampling
     (360_000, 1, "nothing", 256, 2, "1hour_b1_single_chip", None),
     # fallback ladder if the full-attention 1-hour step doesn't fit:
     # banded attention (the reference's windowed-train analogue)
@@ -184,10 +187,12 @@ def main():
             if line.startswith("ROW "):
                 row = json.loads(line[4:])
         if row is None:
-            tail = (proc.stderr or proc.stdout).strip().splitlines()[-8:]
-            err = next((l for l in reversed(tail)
-                        if "RESOURCE_EXHAUSTED" in l or "Error" in l),
-                       tail[-1] if tail else "no output")
+            blob = (proc.stderr or "") + (proc.stdout or "")
+            lines = [l for l in blob.strip().splitlines() if l.strip()]
+            err = next((l.strip() for l in lines
+                        if "RESOURCE_EXHAUSTED" in l or "Error" in l
+                        or "error" in l.lower()),
+                       lines[-1].strip() if lines else "no output")
             row = {
                 "bench": "train_long", "label": label,
                 "chunk_frames": chunk, "batch": batch,

@@ -125,9 +125,26 @@ def dw_striding_chain_lax(
         x = halo_exchange(x, cp_axis, left=t_pad[0], right=0, axis=1)
         return x, [(0, 0), f_pad]
 
+    n_stages = (len(params) - 2) // 4
+    # long-context memory guard (r4): XLA's conv BACKWARDS at hour-scale T
+    # are workspace monsters — measured 11.1 GB temp for this chain's grad
+    # at (1, 120000, 80, 1) (stage-0 wgrad 4.6 GB, dw-stage 2.8 GB), fully
+    # remat-independent, and THE single-chip blocker for 360k-frame
+    # training.  Above the threshold the chain evaluates in time chunks
+    # under lax.scan with per-chunk remat: workspace drops to one chunk's
+    # (~0.2 GB at K=2048) while the outputs stay IDENTICAL (VALID-conv
+    # arithmetic + boundary masks reproduce the padded chain bit-for-bit;
+    # tests/test_subsampling_chunked.py).
+    if (
+        cp_axis is None
+        and n_stages == 2
+        and t_pad == (1, 1)
+        and h.shape[1] >= _CHUNK_THRESHOLD_T
+    ):
+        return _dw_striding_chain_chunked(h, params, act, f_pad)
+
     h, pad2d = strided(h)
     h = f(_conv2d(h, k0, b0, (2, 2), pad2d))
-    n_stages = (len(params) - 2) // 4
     for i in range(n_stages):
         kd, bd, kp, bp = params[2 + 4 * i : 6 + 4 * i]
         h, pad2d = strided(h)
@@ -135,6 +152,95 @@ def dw_striding_chain_lax(
         h = _conv2d(h, kp, bp, (1, 1), [(0, 0), (0, 0)])
         h = f(h)
     return h
+
+
+# T threshold above which the chain switches to the chunked-scan
+# formulation (the conv-backward workspace at 64k frames is ~6 GB; below
+# that the plain chain's workspace is tolerable and avoids scan overhead)
+_CHUNK_THRESHOLD_T = int(os.environ.get("LCASR_SUB_CHUNK_THRESHOLD", 65536))
+
+
+def _dw_striding_chain_chunked(
+    h: jnp.ndarray,  # (B, T, F, 1)
+    params: Sequence[jnp.ndarray],
+    act: str,
+    f_pad: Tuple[int, int],
+    chunk_out: int = 2048,  # output rows per chunk (= 8·chunk_out inputs)
+) -> jnp.ndarray:
+    """The 3-stage dw_striding chain evaluated in time chunks.
+
+    Derivation (1-D over T; F handled per-stage with its normal (1,1) pad):
+    with per-stage T-pad (1,1), stage-s output row g reads stage-(s-1)
+    rows [2g-1, 2g+2).  Backtracking a final chunk [iK, (i+1)K):
+      stage-1 rows [2iK-1, 2(i+1)K)        (count 2K+1)
+      stage-0 rows [4iK-3, 4(i+1)K)        (count 4K+3)
+      input  rows [8iK-7, 8(i+1)K)         (count 8K+7)
+    Each stage then runs with VALID T-padding on the slice (the counts
+    telescope exactly: (8K+7-3)//2+1 = 4K+3, etc.), and rows whose GLOBAL
+    index falls outside the true stage extent are zeroed after the
+    activation — reproducing the padded chain's literal zero pads (zero
+    input does NOT mean zero output: biases).  The result is exactly the
+    unchunked chain's rows [iK, (i+1)K).
+
+    The chunk body is wrapped in jax.checkpoint inside lax.scan: the
+    backward recomputes one chunk at a time, so the conv-grad workspace is
+    O(chunk) instead of O(T).
+    """
+    f = _ACTS[act]
+    k0, b0 = params[0], params[1]
+    kd1, bd1, kp1, bp1, kd2, bd2, kp2, bp2 = params[2:10]
+    C = k0.shape[-1]
+    B, T, F, _ = h.shape
+    S0 = (T - 1) // 2 + 1
+    S1 = (S0 - 1) // 2 + 1
+    S2 = (S1 - 1) // 2 + 1
+    K = chunk_out
+    n_chunks = -(-S2 // K)
+
+    # zero-extended input: 7 left zeros + right zeros to cover the last
+    # chunk's [8iK-7, 8(i+1)K) read
+    padded = jnp.zeros((B, 7 + 8 * K * n_chunks, F, 1), h.dtype)
+    padded = jax.lax.dynamic_update_slice_in_dim(padded, h, 7, axis=1)
+
+    fp = [f_pad]
+
+    def mask_rows(x, g_start, extent):
+        g = g_start + jnp.arange(x.shape[1])
+        keep = (g >= 0) & (g < extent)
+        return jnp.where(keep[None, :, None, None], x, jnp.zeros((), x.dtype))
+
+    def body(carry, i):
+        sl = jax.lax.dynamic_slice_in_dim(padded, 8 * K * i, 8 * K + 7, axis=1)
+        # stage 0: full 3x3 s2 (VALID on T), rows global [4iK-3, ...)
+        x = f(jax.lax.conv_general_dilated(
+            sl, k0, window_strides=(2, 2), padding=[(0, 0)] + fp,
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b0)
+        x = mask_rows(x, 4 * K * i - 3, S0)
+        # stage 1: dw 3x3 s2 + pw + act, rows global [2iK-1, ...)
+        x = jax.lax.conv_general_dilated(
+            x, kd1, window_strides=(2, 2), padding=[(0, 0)] + fp,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C) + bd1
+        x = f(jax.lax.conv_general_dilated(
+            x, kp1, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bp1)
+        x = mask_rows(x, 2 * K * i - 1, S1)
+        # stage 2: rows global [iK, (i+1)K)
+        x = jax.lax.conv_general_dilated(
+            x, kd2, window_strides=(2, 2), padding=[(0, 0)] + fp,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C) + bd2
+        x = f(jax.lax.conv_general_dilated(
+            x, kp2, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bp2)
+        return carry, x  # (B, K, F2, C)
+
+    _, chunks = jax.lax.scan(
+        jax.checkpoint(body), None, jnp.arange(n_chunks))
+    # (n, B, K, F2, C) -> (B, n*K, F2, C) -> crop the padded tail
+    out = jnp.moveaxis(chunks, 0, 1).reshape(
+        B, n_chunks * K, chunks.shape[3], C)
+    return out[:, :S2]
 
 
 # ---------------------------------------------------------------------------
