@@ -172,6 +172,10 @@ def main():
     # ride batched (k, 80, ctx) forwards (transcriber stride batching);
     # A/B against the serial path (max_batch_strides=1). ----
     def backlog(k):
+        # warmup = one full identical pass: compiles every bucket shape the
+        # timed pass will use (the ramp-in batch, the steady-state strip
+        # buckets, the tail) — a partial warmup left the biggest strip
+        # shape compiling inside the timing and read as a 5x regression
         tr = OnlineTranscriber(
             model, variables, tokenizer,
             context_frames=args.context_frames,
@@ -179,7 +183,8 @@ def main():
             right_delay_frames=args.right_delay_frames,
             norm="none", max_batch_strides=k, **dec_kw,
         )
-        tr.feed_frames(mel[:, : args.context_frames * 3])  # warmup compile
+        tr.feed_frames(mel)
+        tr.finish()
         tr2 = OnlineTranscriber(
             model, variables, tokenizer,
             context_frames=args.context_frames,

@@ -166,7 +166,7 @@ def test_single_compiled_shape_for_whole_stream(model_and_vars):
     model, variables = model_and_vars
     tr = OnlineTranscriber(model, variables, _IdTokenizer(), context_frames=512,
                            stride_frames=128, right_delay_frames=128,
-                           norm="none")
+                           norm="none", max_batch_strides=1)
     shapes = set()
     inner = tr._forward
 
@@ -506,7 +506,7 @@ def test_beam_serving_sparse_topk_matches_dense(model_and_vars):
     # K clamps to the full vocab: sparse machinery, zero information loss
     full = dict(beam_width=4, alpha=0.0, beta=0.0)
     tr = _stream_beam(model, variables, tok, wave, full, 64)
-    assert not hasattr(tr, "_forward_dense")  # count <= K=C always
+    assert tr.sparse_refetches == 0  # count <= K=C always
     assert tr.text == _offline_beam(model, variables, tok, wave, full)
 
     # small K with a tight threshold: equality regardless of which blocks
@@ -525,7 +525,7 @@ def test_beam_serving_sparse_overflow_fallback(model_and_vars):
     wave = _random_wave(3.0, 23)
     loose = dict(beam_width=4, alpha=0.0, beta=0.0, top_am_threshold=-50.0)
     tr = _stream_beam(model, variables, tok, wave, loose, 2)
-    assert hasattr(tr, "_forward_dense")  # fallback engaged
+    assert tr.sparse_refetches > 0  # fallback engaged
     assert tr.text == _offline_beam(model, variables, tok, wave, loose)
 
 
