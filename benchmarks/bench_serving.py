@@ -112,13 +112,15 @@ def main():
             "above_thr_count_p95": int(np.percentile(c, 95)),
         }
 
+    tr_td = args.transfer_dtype if args.transfer_dtype == "int8" else None
+
     def session(frames):
         tr = OnlineTranscriber(
             model, variables, tokenizer,
             context_frames=args.context_frames,
             stride_frames=args.stride_frames,
             right_delay_frames=args.right_delay_frames,
-            norm="none",
+            norm="none", transfer_dtype=tr_td,
             **dec_kw,
         )
         lat, stepped = [], []
@@ -181,7 +183,8 @@ def main():
             context_frames=args.context_frames,
             stride_frames=args.stride_frames,
             right_delay_frames=args.right_delay_frames,
-            norm="none", max_batch_strides=k, **dec_kw,
+            norm="none", max_batch_strides=k, transfer_dtype=tr_td,
+            **dec_kw,
         )
         tr.feed_frames(mel)
         tr.finish()
@@ -190,7 +193,8 @@ def main():
             context_frames=args.context_frames,
             stride_frames=args.stride_frames,
             right_delay_frames=args.right_delay_frames,
-            norm="none", max_batch_strides=k, **dec_kw,
+            norm="none", max_batch_strides=k, transfer_dtype=tr_td,
+            **dec_kw,
         )
         t0 = time.perf_counter()
         tr2.feed_frames(mel)

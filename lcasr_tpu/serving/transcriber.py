@@ -53,11 +53,11 @@ _FORWARD_CACHE: dict = {}
 
 
 def _shared_forward(model, kind: str, K=None, thr=None, ctx=None,
-                    stride=None):
+                    stride=None, q8=False):
     import jax
     import jax.numpy as jnp
 
-    key = (model, kind, K, thr, ctx, stride)
+    key = (model, kind, K, thr, ctx, stride, q8)
     fn = _FORWARD_CACHE.get(key)
     if fn is not None:
         return fn
@@ -77,6 +77,13 @@ def _shared_forward(model, kind: str, K=None, thr=None, ctx=None,
             return ids.astype(jnp.int32), out["length"]
         raise ValueError(kind)  # pragma: no cover
 
+    def dequant(x, scale):
+        # int8 upload (transfer_dtype="int8"): symmetric per-upload scale,
+        # one device-side dequant back to fp32 before the model
+        if q8:
+            return x.astype(jnp.float32) * scale
+        return x
+
     if kind.endswith("_strip"):
         # backlog batching, steady state: consecutive windows overlap by
         # ctx - stride (87.5% at the defaults), so uploading k full windows
@@ -90,7 +97,8 @@ def _shared_forward(model, kind: str, K=None, thr=None, ctx=None,
         assert ctx is not None and stride is not None
 
         @jax.jit
-        def fn(variables, strip, length):
+        def fn(variables, strip, length, scale=None):
+            strip = dequant(strip, scale)
             b = length.shape[0]
             win = jnp.stack([
                 jax.lax.slice_in_dim(strip, i * stride, i * stride + ctx,
@@ -102,8 +110,9 @@ def _shared_forward(model, kind: str, K=None, thr=None, ctx=None,
     else:
 
         @jax.jit
-        def fn(variables, window, length):
-            return head(model.apply(variables, window, length=length))
+        def fn(variables, window, length, scale=None):
+            return head(model.apply(variables, dequant(window, scale),
+                                    length=length))
 
     _FORWARD_CACHE[key] = fn
     return fn
@@ -131,6 +140,7 @@ class OnlineTranscriber:
         beam_opts: Optional[dict] = None,
         beam_topk: Optional[int] = 32,
         max_batch_strides: int = 8,
+        transfer_dtype: Optional[str] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -160,6 +170,16 @@ class OnlineTranscriber:
         # k is bucketed to powers of two (≤ max_batch_strides) to bound the
         # compile count; 1 disables.
         self.max_batch_strides = max(1, int(max_batch_strides))
+        # transfer_dtype="int8": window/strip uploads quantize host-side
+        # with a symmetric per-upload scale and dequantize on device —
+        # quarters the link bytes on the link-bound serving path.  NOT
+        # bit-equal to fp32 (≤ scale/2 rounding per mel value); WER
+        # neutrality is certified on a trained model by the closed-loop
+        # system test's serving leg, like the offline decode's int8.
+        if transfer_dtype not in (None, "int8"):
+            raise ValueError(
+                f"transfer_dtype must be None or 'int8', got {transfer_dtype!r}")
+        self._q8 = transfer_dtype == "int8"
 
         self._fb = mel_filterbank().astype(np.float64)  # (n_freqs, n_mels)
         self._win = _hann_window(WIN_LENGTH, N_FFT).astype(np.float64)
@@ -244,11 +264,19 @@ class OnlineTranscriber:
             # trigger a spurious (safe) dense refetch, never a miss
             thr = float(self._beam.top_am_threshold) - 1e-3
             self._forward = _shared_forward(model, "beam_topk",
-                                            self.beam_topk, thr)
+                                            self.beam_topk, thr, q8=self._q8)
         elif decoder == "beam":
-            self._forward = _shared_forward(model, "beam_dense")
+            self._forward = _shared_forward(model, "beam_dense", q8=self._q8)
         else:
-            self._forward = _shared_forward(model, "greedy")
+            self._forward = _shared_forward(model, "greedy", q8=self._q8)
+
+    def _upload(self, arr: np.ndarray):
+        """Host-side cast for one upload: (device array, scale-or-None)."""
+        if not self._q8:
+            return self.jnp.asarray(arr), None
+        s = float(np.abs(arr).max()) / 127.0 or 1.0
+        q = np.clip(np.rint(arr / s), -127, 127).astype(np.int8)
+        return self.jnp.asarray(q), self.jnp.asarray(s, self.jnp.float32)
 
     # ---------------- incremental mel frontend ----------------
     def _frames_available(self, n_samples: int) -> int:
@@ -460,10 +488,10 @@ class OnlineTranscriber:
         """One fixed-shape forward over mel [end-ctx, end), finalizing frames
         [frontier, end - delay) — or everything through `end` when final."""
         window, width, win_start = self._prepare(end)
+        win, scale = self._upload(window[None])
         outs = self.jax.device_get(self._forward(
-            self.variables,
-            self.jnp.asarray(window[None]),
-            self.jnp.asarray([width], np.int32),
+            self.variables, win,
+            self.jnp.asarray([width], np.int32), scale,
         ))  # ONE host round trip for the whole payload tuple
         if self.decoder == "beam" and self.beam_topk is not None:
             vals, idx, count, out_len = outs
@@ -526,22 +554,22 @@ class OnlineTranscriber:
             thr = (float(self._beam.top_am_threshold) - 1e-3
                    if kind == "beam_topk_strip" else None)
             fwd = _shared_forward(self.model, kind, self.beam_topk, thr,
-                                  ctx=self.ctx, stride=self.stride)
+                                  ctx=self.ctx, stride=self.stride,
+                                  q8=self._q8)
             # starts are stride-apart by construction (asserted: the strip
             # fn slices at i*stride)
             assert all(s - starts[0] == i * self.stride
                        for i, s in enumerate(starts))
-            strip = self._normalized(starts[0], ends[-1])
+            strip, scale = self._upload(self._normalized(starts[0], ends[-1]))
             outs = self.jax.device_get(fwd(
-                self.variables,
-                self.jnp.asarray(strip),
-                self.jnp.asarray(widths, np.int32),
+                self.variables, strip,
+                self.jnp.asarray(widths, np.int32), scale,
             ))
         else:
+            batch, scale = self._upload(np.stack(wins))
             outs = self.jax.device_get(self._forward(
-                self.variables,
-                self.jnp.asarray(np.stack(wins)),
-                self.jnp.asarray(widths, np.int32),
+                self.variables, batch,
+                self.jnp.asarray(widths, np.int32), scale,
             ))
         if self.decoder == "beam" and self.beam_topk is not None:
             vals, idx, count, out_len = outs

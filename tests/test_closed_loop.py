@@ -209,6 +209,21 @@ def test_train_checkpoint_eval_wer_closed_loop(synth_corpus, tmp_path):
     wer_stream, _, _, _, _ = word_error_rate_detail(hyps, refs)
     assert wer_stream <= 0.05, (wer_stream, hyps[0], refs[0])
 
+    # int8 window/strip uploads (serving transfer_dtype) must hold the
+    # trained model's WER — the serving-side counterpart of the offline
+    # int8 certification above
+    hyps_q = []
+    for rec_id, pair in json.load(open(pairs_path)).items():
+        spec = np.load(pair["audio"])[0]
+        tr = OnlineTranscriber(model, variables, tokenizer, context_frames=512,
+                               stride_frames=128, right_delay_frames=128,
+                               norm="none", transfer_dtype="int8")
+        tr.feed_frames(spec)  # backlog: exercises the quantized strip path
+        tr.finish()
+        hyps_q.append(tr.text)
+    wer_q, _, _, _, _ = word_error_rate_detail(hyps_q, refs)
+    assert wer_q <= 0.05, (wer_q, hyps_q[0], refs[0])
+
     # LM-rescoring pipeline on the SAME trained artifacts (reference §3.4:
     # create_logits → tlm_beam): dump moving-window logits with the trained
     # AM, train a tiny TransformerLM on the corpus transcripts with the

@@ -170,9 +170,9 @@ def test_single_compiled_shape_for_whole_stream(model_and_vars):
     shapes = set()
     inner = tr._forward
 
-    def spy(variables, window, length):
+    def spy(variables, window, length, scale=None):
         shapes.add(tuple(window.shape))
-        return inner(variables, window, length)
+        return inner(variables, window, length, scale)
 
     tr._forward = spy
     _feed_in_chunks(tr, _random_wave(8.0, 2), 3)
@@ -607,3 +607,46 @@ def test_backlog_stride_batching_bit_equal(model_and_vars):
     deltas_b = _feed_in_chunks(tr_batched, wave, 5)
     assert deltas_b == deltas_s
     assert tr_batched.text == tr_serial.text
+
+
+def test_int8_transfer_serving_close_to_float(model_and_vars):
+    """transfer_dtype='int8' on the online transcriber: per-upload
+    symmetric quantization must keep the transcript essentially unchanged
+    (argmax-level; WER neutrality on a TRAINED model is certified by the
+    closed-loop serving leg).  Applies to the serial, batched-stacked and
+    strip paths alike."""
+    model, variables = model_and_vars
+    wave = _random_wave(12.0, 31)
+    tok = _IdTokenizer()
+    kw = dict(context_frames=256, stride_frames=64, right_delay_frames=64,
+              norm="none")
+    # a RANDOM-init head is near-flat over the vocab, so even tiny input
+    # quantization noise flips near-tie argmaxes — transcript-level WER
+    # certification on a TRAINED model (real margins) is the closed-loop
+    # serving arm; here we bound the LOGIT perturbation, which is the
+    # correctness property of the quantized upload path itself
+    from lcasr_tpu.serving.transcriber import _shared_forward
+
+    mel = np.asarray(
+        mel_spectrogram(jnp.asarray(wave), global_normalisation=False))[0]
+    win = mel[None, :, :256].astype(np.float32)
+    fw_f = _shared_forward(model, "beam_dense")
+    fw_q = _shared_forward(model, "beam_dense", q8=True)
+    tr_q = OnlineTranscriber(model, variables, tok, transfer_dtype="int8", **kw)
+    qwin, scale = tr_q._upload(win)
+    lp_f, _ = fw_f(variables, jnp.asarray(win), jnp.asarray([256], np.int32))
+    lp_q, _ = fw_q(variables, qwin, jnp.asarray([256], np.int32), scale)
+    # input rounding error <= scale/2 per mel value; through this tiny net
+    # the log-prob perturbation stays small and, critically, FINITE and
+    # centered — a wrong scale/dequant would blow this up by orders
+    diff = np.abs(np.asarray(lp_f) - np.asarray(lp_q)).max()
+    assert diff < 0.2, diff
+
+    # and the full pipeline runs end to end with int8 on (all three upload
+    # paths: serial, batched-stacked ramp-in, strip steady-state)
+    tr_q.feed_frames(mel)
+    tr_q.finish()
+    assert isinstance(tr_q.text, str)
+
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        OnlineTranscriber(model, variables, tok, transfer_dtype="int4", **kw)
