@@ -107,10 +107,7 @@ class TranscriptionServer:
             thr = float((beam_opts or {}).get(
                 "top_am_threshold", DEFAULT_TOP_AM_THRESHOLD)) - 1e-3
 
-            @jax.jit
-            def forward(variables, windows, scale, lengths):
-                w = windows.astype(jnp.float32) * scale
-                out = model.apply(variables, w, length=lengths)
+            def head(out):
                 lp = out["final_posteriors"].astype(jnp.float32)
                 vals, idx = jax.lax.top_k(lp, K)
                 count = jnp.sum(
@@ -121,25 +118,55 @@ class TranscriptionServer:
 
         elif decoder == "beam":
 
-            @jax.jit
-            def forward(variables, windows, scale, lengths):
-                w = windows.astype(jnp.float32) * scale
-                out = model.apply(variables, w, length=lengths)
+            def head(out):
                 lp = out["final_posteriors"].astype(jnp.float32)
                 return lp, out["length"]
 
         else:
 
-            @jax.jit
-            def forward(variables, windows, scale, lengths):
-                w = windows.astype(jnp.float32) * scale  # scale=1 unless int8
-                out = model.apply(variables, w, length=lengths)
+            def head(out):
                 ids = jnp.argmax(out["final_posteriors"], axis=-1)
                 return ids.astype(jnp.int32), out["length"]
 
-        self._forward = forward
+        # Device-RESIDENT per-slot window buffers (r4): `win_buf` (S, 80,
+        # ctx) holds each slot's RAW mel window on device across waves.
+        # Steady-state waves upload only each due slot's NEW `stride`
+        # frames (the delta program rolls the buffer) — ctx/stride ≈ 4×
+        # fewer link bytes than re-uploading full windows; ramp-in/flush
+        # waves fall back to the full program, which also (re)writes the
+        # buffer rows.  Normalization happens ON DEVICE from per-slot fp32
+        # (mean, std) vectors computed with the session's CURRENT stats —
+        # bit-identical to the host path (IEEE fp32 elementwise).
+
+        @jax.jit
+        def forward_full(variables, win_buf, rows, due, scale, mean, std,
+                         lengths):
+            raw = rows.astype(jnp.float32) * scale
+            new_buf = jnp.where(due[:, None, None], raw, win_buf)
+            w = (new_buf - mean[:, :, None]) / std[:, :, None]
+            out = model.apply(variables, w, length=lengths)
+            return (new_buf,) + tuple(head(out))
+
+        stride = self.stride
+
+        @jax.jit
+        def forward_delta(variables, win_buf, deltas, due, scale, mean, std,
+                          lengths):
+            new = deltas.astype(jnp.float32) * scale
+            rolled = jnp.concatenate([win_buf[:, :, stride:], new], axis=-1)
+            new_buf = jnp.where(due[:, None, None], rolled, win_buf)
+            w = (new_buf - mean[:, :, None]) / std[:, :, None]
+            out = model.apply(variables, w, length=lengths)
+            return (new_buf,) + tuple(head(out))
+
+        self._forward_full = forward_full
+        self._forward_delta = forward_delta
+        self._win_buf = jnp.zeros((self.S, 80, self.ctx), jnp.float32)
         self._sessions: Dict[int, OnlineTranscriber] = {}
         self._out: Dict[int, List[str]] = {}
+        self._slot: Dict[int, int] = {}  # sid → fixed buffer row
+        self._free_slots = list(range(self.S - 1, -1, -1))
+        self._dev_end: Dict[int, Optional[int]] = {}  # sid → buffered window end
         self._next_sid = 0
 
     # ---------------- session lifecycle ----------------
@@ -170,6 +197,8 @@ class TranscriptionServer:
         self._next_sid += 1
         self._sessions[sid] = session
         self._out[sid] = []
+        self._slot[sid] = self._free_slots.pop()
+        self._dev_end[sid] = None  # buffer row not yet valid
         return sid
 
     def _session(self, sid: int) -> OnlineTranscriber:
@@ -195,33 +224,65 @@ class TranscriptionServer:
                     due.append((sid, s, step))
             if not due:
                 break
-            windows = np.zeros((self.S, 80, self.ctx), np.float32)
+            # delta-eligible wave: EVERY due session advances its already-
+            # buffered full window by exactly one stride (the steady state).
+            # Otherwise (ramp-in, flush, reused slot) the full program runs
+            # and (re)writes the due rows' buffers.
+            all_delta = all(
+                not final
+                and self._dev_end[sid] == end - self.stride
+                and end - self.ctx >= 0
+                for sid, s, (end, final) in due
+            )
             lengths = np.full((self.S,), self.ctx, np.int32)  # idle rows
+            due_mask = np.zeros((self.S,), bool)
+            mean = np.zeros((self.S, 80), np.float32)
+            std = np.ones((self.S, 80), np.float32)
             metas = []
-            for i, (sid, s, (end, final)) in enumerate(due):
-                window, width, win_start = s._prepare(end)
-                windows[i] = window
+            if all_delta:
+                payload_host = np.zeros((self.S, 80, self.stride), np.float32)
+            else:
+                payload_host = np.zeros((self.S, 80, self.ctx), np.float32)
+            for sid, s, (end, final) in due:
+                i = self._slot[sid]
+                due_mask[i] = True
+                mean[i], std[i] = s._norm_params()
+                if all_delta:
+                    win_start = end - self.ctx
+                    width = self.ctx
+                    payload_host[i] = s._raw_window(end - self.stride, end)
+                else:
+                    window, width, win_start = s._prepare_raw(end)
+                    payload_host[i] = window
                 lengths[i] = width
-                metas.append((s, end, final, win_start))
+                # full-width interior windows leave a reusable buffer row;
+                # anything else (short ramp-in window, final flush) does not
+                self._dev_end[sid] = (
+                    end if (not final and width == self.ctx) else None)
+                metas.append((s, i, end, final, win_start))
             if self.transfer_dtype == "int8":
-                scale = float(np.abs(windows).max()) / 127.0 or 1.0
+                scale = float(np.abs(payload_host).max()) / 127.0 or 1.0
                 host = np.clip(
-                    np.rint(windows / scale), -127, 127).astype(np.int8)
+                    np.rint(payload_host / scale), -127, 127).astype(np.int8)
             else:
                 scale = 1.0
-                host = windows.astype(self._host_dtype)  # host-side cast
-            outs = self.jax.device_get(self._forward(
-                self.variables, jnp.asarray(host), jnp.float32(scale),
-                jnp.asarray(lengths)
-            ))  # ONE host round trip for the whole wave's payload tuple
+                host = payload_host.astype(self._host_dtype)
+            fwd = self._forward_delta if all_delta else self._forward_full
+            res = fwd(
+                self.variables, self._win_buf, jnp.asarray(host),
+                jnp.asarray(due_mask), jnp.float32(scale),
+                jnp.asarray(mean), jnp.asarray(std), jnp.asarray(lengths),
+            )
+            self._win_buf = res[0]  # stays ON DEVICE across waves
+            outs = self.jax.device_get(res[1:])  # one fetch: payloads only
             if self.decoder == "beam" and self.beam_topk is not None:
                 vals, idx, count, out_lens = outs
-                payloads = [(vals[i], idx[i], count[i])
-                            for i in range(len(metas))]
+                payloads = {i: (vals[i], idx[i], count[i])
+                            for _, i, *_ in metas}
             else:
                 payload_rows, out_lens = outs
-                payloads = [payload_rows[i] for i in range(len(metas))]
-            for i, (s, end, final, win_start) in enumerate(metas):
+                payloads = {i: payload_rows[i] for _, i, *_ in metas}
+            for s, i, end, final, win_start in metas:
                 s._apply(end, final, win_start, payloads[i],
                          int(out_lens[i]))
         for sid, s in self._sessions.items():
@@ -273,6 +334,8 @@ class TranscriptionServer:
         remaining = self._take(sid)
         del self._sessions[sid]
         del self._out[sid]
+        self._free_slots.append(self._slot.pop(sid))
+        del self._dev_end[sid]
         return remaining
 
     def text(self, sid: int) -> str:

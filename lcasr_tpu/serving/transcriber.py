@@ -328,10 +328,13 @@ class OnlineTranscriber:
         self._mel_sum += new.astype(np.float64).sum(-1)
         self._mel_sumsq += (new.astype(np.float64) ** 2).sum(-1)
 
-    def _normalized(self, lo: int, hi: int) -> np.ndarray:
-        seg = self._mel[:, lo - self._mel_base : hi - self._mel_base]
+    def _norm_params(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Current (mean, std) as float32 (80,) vectors.  fp32 so host and
+        device normalization are BIT-IDENTICAL (IEEE fp32 subtract/divide
+        are correctly rounded on both) — the server normalizes on device
+        from these same vectors."""
         if self.norm == "none":
-            return seg
+            return (np.zeros(80, np.float32), np.ones(80, np.float32))
         if self.norm == "running":
             n = self._n_mel
             mean = self._mel_sum / max(n, 1)
@@ -340,9 +343,23 @@ class OnlineTranscriber:
             std = np.sqrt(np.maximum(var, 0.0)) + self.eps
         else:
             mean, std = self.norm
-            mean = np.asarray(mean).reshape(80)
-            std = np.asarray(std).reshape(80)
-        return ((seg - mean[:, None]) / std[:, None]).astype(np.float32)
+        return (np.asarray(mean, np.float32).reshape(80),
+                np.asarray(std, np.float32).reshape(80))
+
+    def _raw_window(self, lo: int, hi: int) -> np.ndarray:
+        """Unnormalized mel [lo, hi) as float32 (the server's device-side
+        window buffers hold RAW frames; normalization applies per wave with
+        the CURRENT stats)."""
+        return np.asarray(
+            self._mel[:, lo - self._mel_base : hi - self._mel_base],
+            np.float32)
+
+    def _normalized(self, lo: int, hi: int) -> np.ndarray:
+        seg = self._raw_window(lo, hi)
+        mean, std = self._norm_params()
+        if self.norm == "none":
+            return seg
+        return (seg - mean[:, None]) / std[:, None]
 
     def _trim(self) -> None:
         """Drop consumed prefixes: samples already framed (keep the lookback
@@ -382,6 +399,17 @@ class OnlineTranscriber:
         win_start += (-win_start) % self.sf
         width = end - win_start
         window = self._normalized(win_start, end)
+        if width < self.ctx:
+            window = np.pad(window, ((0, 0), (0, self.ctx - width)))
+        return window, width, win_start
+
+    def _prepare_raw(self, end: int):
+        """`_prepare` without normalization — the server's device-resident
+        window path normalizes on device with `_norm_params()`."""
+        win_start = max(0, end - self.ctx)
+        win_start += (-win_start) % self.sf
+        width = end - win_start
+        window = self._raw_window(win_start, end)
         if width < self.ctx:
             window = np.pad(window, ((0, 0), (0, self.ctx - width)))
         return window, width, win_start

@@ -330,21 +330,35 @@ def test_server_one_compiled_shape(model_and_vars, monkeypatch):
         context_frames=128, stride_frames=32, right_delay_frames=32,
     )
     calls = []
-    inner = server._forward
+    inner_full = server._forward_full
+    inner_delta = server._forward_delta
 
-    def spy(variables, windows, scale, lengths):
-        calls.append((windows.shape, lengths.shape))
-        return inner(variables, windows, scale, lengths)
+    def spy_full(variables, buf, rows, due, scale, mean, std, lengths):
+        calls.append(("full", rows.shape, lengths.shape))
+        return inner_full(variables, buf, rows, due, scale, mean, std, lengths)
 
-    server._forward = spy
+    def spy_delta(variables, buf, deltas, due, scale, mean, std, lengths):
+        calls.append(("delta", deltas.shape, lengths.shape))
+        return inner_delta(variables, buf, deltas, due, scale, mean, std, lengths)
+
+    server._forward_full = spy_full
+    server._forward_delta = spy_delta
     rng = np.random.default_rng(0)
     sids = [server.open() for _ in range(3)]
-    for sid in sids:
-        server.feed(sid, rng.normal(size=(16000,)).astype(np.float32))
+    for _ in range(3):  # 3 s/session: windows fill, steady state reached
+        for sid in sids:
+            server.feed(sid, rng.normal(size=(16000,)).astype(np.float32))
     for sid in sids:
         server.finish(sid)
-    assert calls and all(s == calls[0] for s in calls)
-    assert calls[0][0] == (3, 80, 128)
+    # exactly TWO programs: the full (S, 80, ctx) ramp-in/flush wave and
+    # the (S, 80, stride) delta wave — each at one fixed shape
+    fulls = [c for c in calls if c[0] == "full"]
+    deltas = [c for c in calls if c[0] == "delta"]
+    assert fulls and all(c == fulls[0] for c in fulls)
+    assert fulls[0][1] == (3, 80, 128)
+    # lockstep 1-s feeds MUST hit the steady-state delta waves
+    assert deltas and all(c == deltas[0] for c in deltas)
+    assert deltas[0][1] == (3, 80, 32)
 
 
 @pytest.mark.parametrize("transfer_dtype", ["bfloat16", "int8"])
