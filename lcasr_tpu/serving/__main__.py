@@ -82,6 +82,10 @@ def main() -> None:
         tr = OnlineTranscriber(
             model, variables, tokenizer, context_frames=args.context,
             stride_frames=args.stride, right_delay_frames=args.delay,
+            # the single-stream transcriber supports int8 uploads (bfloat16
+            # is a server-wave-only format)
+            transfer_dtype=("int8" if args.transfer_dtype == "int8"
+                            else None),
             **dec_kw,
         )
         t0 = time.perf_counter()
