@@ -159,6 +159,9 @@ def main():
         "finalization_lag_s": (args.stride_frames + args.right_delay_frames) / 100.0,
         "sustained_rtf": round(wall / audio_s, 4),
         "rtfx": round(audio_s / wall, 1),
+        # what the single-stream/backlog legs actually uploaded (bfloat16
+        # is a server-wave-only format and falls back to fp32 here)
+        "transcriber_transfer_dtype": tr_td or "float32",
     }
     if args.decoder == "beam":
         result.update({

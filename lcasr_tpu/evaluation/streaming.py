@@ -112,7 +112,13 @@ class StreamingDecoder:
                     f"unsupported transfer_dtype {name!r}: expected one of "
                     "int8/int4 (quantized) or float32/bfloat16/float16")
         elif transfer_dtype not in ("int8", "int4"):
-            name = jnp.dtype(transfer_dtype).name  # 'bfloat16'/'float32'
+            try:
+                name = jnp.dtype(transfer_dtype).name  # 'bfloat16'/'float32'
+            except TypeError:
+                raise ValueError(
+                    f"unrecognized transfer_dtype {transfer_dtype!r}: "
+                    "expected one of int8/int4 (quantized) or "
+                    "float32/bfloat16/float16")
             if name not in ("float32", "bfloat16", "float16"):
                 raise ValueError(
                     f"unsupported transfer_dtype {name!r}: expected one of "

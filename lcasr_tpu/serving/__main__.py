@@ -78,6 +78,10 @@ def main() -> None:
     )
 
     if len(waves) == 1:
+        if args.transfer_dtype == "bfloat16":
+            parser.error(
+                "--transfer_dtype bfloat16 is a server-wave-only format; "
+                "single-stream mode supports float32 or int8")
         wave = waves[0]
         tr = OnlineTranscriber(
             model, variables, tokenizer, context_frames=args.context,

@@ -137,11 +137,28 @@ class TranscriptionServer:
         # buffer rows.  Normalization happens ON DEVICE from per-slot fp32
         # (mean, std) vectors computed with the session's CURRENT stats —
         # bit-identical to the host path (IEEE fp32 elementwise).
+        #
+        # Compressed uploads (bf16/int8) are sent in NORMALIZED units and
+        # un-normalized back to raw on device before entering the buffer:
+        # raw power-mel spans orders of magnitude across bins and sessions,
+        # so one symmetric raw-scale would zero out quiet bins entirely —
+        # normalizing first makes the shared int8 scale effectively
+        # per-session-per-bin (values are O(1) everywhere), the same
+        # precision regime as quantizing the final normalized windows.
+        # fp32 uploads stay raw (the normalize→unnormalize round trip is
+        # not bit-exact, and fp32 needs no compression).
+        compressed = transfer_dtype != "float32"
+
+        def ingest(payload, scale, mean, std):
+            x = payload.astype(jnp.float32) * scale
+            if compressed:
+                x = x * std[:, :, None] + mean[:, :, None]
+            return x
 
         @jax.jit
         def forward_full(variables, win_buf, rows, due, scale, mean, std,
                          lengths):
-            raw = rows.astype(jnp.float32) * scale
+            raw = ingest(rows, scale, mean, std)
             new_buf = jnp.where(due[:, None, None], raw, win_buf)
             w = (new_buf - mean[:, :, None]) / std[:, :, None]
             out = model.apply(variables, w, length=lengths)
@@ -152,7 +169,7 @@ class TranscriptionServer:
         @jax.jit
         def forward_delta(variables, win_buf, deltas, due, scale, mean, std,
                           lengths):
-            new = deltas.astype(jnp.float32) * scale
+            new = ingest(deltas, scale, mean, std)
             rolled = jnp.concatenate([win_buf[:, :, stride:], new], axis=-1)
             new_buf = jnp.where(due[:, None, None], rolled, win_buf)
             w = (new_buf - mean[:, :, None]) / std[:, :, None]
@@ -260,6 +277,12 @@ class TranscriptionServer:
                 self._dev_end[sid] = (
                     end if (not final and width == self.ctx) else None)
                 metas.append((s, i, end, final, win_start))
+            if self.transfer_dtype != "float32":
+                # compressed uploads travel in NORMALIZED units (see the
+                # forward-program comment: a shared scale on raw power-mel
+                # would zero out quiet bins); idle rows have mean 0/std 1
+                payload_host = ((payload_host - mean[:, :, None])
+                                / std[:, :, None])
             if self.transfer_dtype == "int8":
                 scale = float(np.abs(payload_host).max()) / 127.0 or 1.0
                 host = np.clip(

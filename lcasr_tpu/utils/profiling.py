@@ -72,7 +72,6 @@ def time_fn_chain(
 
     Returns {"ms": best-of-iters per-call milliseconds, ...}.
     """
-    import jax.numpy as jnp  # local: keep module import light
 
     @jax.jit
     def chain(x0):

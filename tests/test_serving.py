@@ -664,3 +664,37 @@ def test_int8_transfer_serving_close_to_float(model_and_vars):
 
     with pytest.raises(ValueError, match="transfer_dtype"):
         OnlineTranscriber(model, variables, tok, transfer_dtype="int4", **kw)
+
+
+def test_server_int8_heterogeneous_loudness(model_and_vars):
+    """Compressed server waves must survive sessions of wildly different
+    raw magnitude sharing one wave (review r4): uploads travel in
+    NORMALIZED units, so the shared int8 scale cannot zero out a quiet
+    session's (or a quiet mel bin's) information.  Quantizing the RAW
+    power-mel with one symmetric scale — the pre-fix behavior — reduces
+    the quiet session's windows to all-zeros and its transcript to the
+    blank-collapse of zeros."""
+    from lcasr_tpu.serving import TranscriptionServer
+
+    model, variables = model_and_vars
+    tok = _IdTokenizer()
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(80, 900)).astype(np.float32)
+    mels = [base * 100.0, base * 0.01]  # loud and quiet sessions, one wave
+
+    def run(td):
+        server = TranscriptionServer(
+            model, variables, tok, max_streams=2, context_frames=128,
+            stride_frames=32, right_delay_frames=32, transfer_dtype=td)
+        sids = [server.open(norm="running") for _ in mels]
+        for t in range(0, 900, 100):
+            for sid, m in zip(sids, mels):
+                server.feed_frames(sid, m[:, t:t + 100], pump=False)
+            server.pump()
+        return [server.finish(sid) for sid in sids]
+
+    ref = run("float32")
+    got = run("int8")
+    # running-norm makes both sessions' normalized windows IDENTICAL
+    # (same base pattern), so both transcripts must match the fp32 run's
+    assert got == ref, (got, ref)
