@@ -86,6 +86,7 @@ class StreamingDecoder:
         subsampling_mode: Optional[str] = None,
         pipeline_upload: bool = False,
         mesh=None,  # jax.sharding.Mesh with a "data" axis → DP decode
+        cache_upload: bool = False,  # reuse the device spec across calls
     ):
         import jax
         import jax.numpy as jnp
@@ -153,6 +154,14 @@ class StreamingDecoder:
         )
         self.W = window_batch_size
         self.pipeline_upload = pipeline_upload
+        # Opt-in upload memoization: when the SAME host array object is
+        # decoded again (bench repeats, A/B sweeps), skip the host quantize +
+        # link transfer and reuse the device-resident spectrogram.  This is
+        # what lets bench.py report a `device_only_rtfx` companion — decode
+        # time with the upload excluded — so a headline regression separates
+        # into link weather vs device code from the artifact alone.
+        self.cache_upload = cache_upload
+        self._upload_memo = None  # (host array object, quant, device spec)
 
         @functools.partial(jax.jit, static_argnames=("seq_len",))
         def step(variables, spec, starts, lengths, offsets, sums, counts, seq_len,
@@ -430,6 +439,7 @@ class StreamingDecoder:
     def _run(self, spec: np.ndarray, seq_len: int, overlap: int,
              fused: bool = True, mode: str = "logits"):
         jnp = self.jnp
+        memo_key = spec if self.cache_upload else None
         spec = np.asarray(spec)
         if spec.ndim == 3:
             spec = spec[0]
@@ -485,7 +495,13 @@ class StreamingDecoder:
         # the quantized array.  'int4' halves it once more (two codes per
         # byte, per-mel-bin affine params; WER-certified in
         # tests/test_closed_loop.py like int8).
-        quant = self._quant_params(spec)
+        memo = self._upload_memo
+        if (memo_key is not None and memo is not None
+                and memo[0] is memo_key):
+            quant = memo[1]
+        else:
+            memo = None
+            quant = self._quant_params(spec)
 
         # clamp the window batch to the actual window count — otherwise a
         # single-window decode (windowed-attention mode over a full 20-min
@@ -540,10 +556,15 @@ class StreamingDecoder:
         # program instead of recompiling per distinct spec_n (the nb padding
         # below alone never deduped anything: spec shape and total varied
         # per recording).  4096 frames of bf16/int8 tail ≤ 0.7 MB of upload.
-        bucket_w = -(-spec.shape[-1] // 4096) * 4096
-        if bucket_w != spec.shape[-1]:
-            spec = np.pad(spec, ((0, 0), (0, bucket_w - spec.shape[-1])))
-        spec_dev = self._upload(spec, quant)
+        if memo is not None:
+            spec_dev = memo[2]
+        else:
+            bucket_w = -(-spec.shape[-1] // 4096) * 4096
+            if bucket_w != spec.shape[-1]:
+                spec = np.pad(spec, ((0, 0), (0, bucket_w - spec.shape[-1])))
+            spec_dev = self._upload(spec, quant)
+            if memo_key is not None:
+                self._upload_memo = (memo_key, quant, spec_dev)
         if fused:
             # one dispatch: scan over (nb, W) window batches.  nb is padded
             # to a multiple of 2 with zero-length windows to bound the

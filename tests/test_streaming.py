@@ -340,3 +340,40 @@ def test_transfer_dtype_validation(model_and_vars):
     for bad in (np.int32, "int32", "complex64", object()):
         with _pytest.raises((ValueError, TypeError)):
             StreamingDecoder(model, variables, N_CLASSES, transfer_dtype=bad)
+
+
+def test_cache_upload_reuse_is_bit_identical_and_skips_upload(model_and_vars):
+    """Opt-in upload memo (`cache_upload=True`, the bench.py
+    `device_only_rtfx` companion): decoding the SAME host array object again
+    must (a) reuse the device-resident spectrogram — the quantize+upload hook
+    fires exactly once — and (b) produce bit-identical merged logits; a
+    DIFFERENT array object must invalidate the memo and re-upload."""
+    model, variables = model_and_vars
+    rng = np.random.default_rng(11)
+    spec = rng.normal(size=(1, 80, 700)).astype(np.float32)
+
+    dec = StreamingDecoder(
+        model, variables, N_CLASSES, transfer_dtype="int8", cache_upload=True
+    )
+    uploads = []
+    orig_upload = dec._upload
+    dec._upload = lambda a, q: (uploads.append(a.shape), orig_upload(a, q))[1]
+
+    l1 = dec.logits(spec, seq_len=256, overlap=192)
+    l2 = dec.logits(spec, seq_len=256, overlap=192)
+    assert len(uploads) == 1, f"memo missed: {len(uploads)} uploads"
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    spec_b = spec.copy()
+    l3 = dec.logits(spec_b, seq_len=256, overlap=192)
+    assert len(uploads) == 2, "new host array must re-upload"
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l3))
+
+    # memo-off decoder must upload every call (the headline bench semantics)
+    dec_off = StreamingDecoder(model, variables, N_CLASSES, transfer_dtype="int8")
+    ups = []
+    orig2 = dec_off._upload
+    dec_off._upload = lambda a, q: (ups.append(a.shape), orig2(a, q))[1]
+    dec_off.logits(spec, seq_len=256, overlap=192)
+    dec_off.logits(spec, seq_len=256, overlap=192)
+    assert len(ups) == 2
