@@ -83,6 +83,18 @@ def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None) -> Tuple
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if target is not None:
+        # normalize target leaves to concrete jax.Arrays: flax init under
+        # remat can leave lazy literal leaves (jax TypedNdArray, e.g.
+        # BatchRenorm's scalar num_batches_tracked) that orbax's restore
+        # target validation rejects; asarray is a no-op for real Arrays and
+        # preserves committed shardings
+        import jax.numpy as jnp
+
+        target = jax.tree.map(
+            lambda x: x if isinstance(x, (jax.Array, jax.ShapeDtypeStruct))
+            and type(x).__name__ != "TypedNdArray" else jnp.asarray(x),
+            target,
+        )
         tree = ckptr.restore(os.path.join(path, "arrays"), target=target)
     else:
         tree = ckptr.restore(os.path.join(path, "arrays"))

@@ -609,6 +609,10 @@ class Trainer:
             if cur_podcast - last_save > save_every:
                 self.save(state, cur_podcast, epoch, seen_ids)
                 last_save = cur_podcast
+                # marker row: lets post-processing (ladder/throughput
+                # analysis) attribute the wall-time gap to checkpoint I/O
+                # instead of the next training step
+                self.metrics.log({"checkpoint_saved": cur_podcast})
 
             # warmup → cosine handoff (reference :203-207)
             if self.scheduler.is_warmup and not self.scheduler.is_warming_up():
@@ -620,6 +624,15 @@ class Trainer:
                 audio, audio_lengths, txt, self.tokenizer,
                 self.chunk_size, self.chunk_overlap, pad_id,
             )
+            # marker row at batch start (host chunking done): the ts delta
+            # from here to the first loss row isolates upload+compile+step
+            # of the batch's first chunk from the host-side chunking cost
+            self.metrics.log({
+                "batch_chunks": len(chunks),
+                "podcast": cur_podcast,
+                "sequence_length": self.chunk_size,
+                "batch_size": self.batch_size,
+            })
 
             augment = (
                 self.start_augment_after_n_epochs != -1
@@ -695,6 +708,9 @@ class Trainer:
                             "epoch": epoch,
                             "podcast": cur_podcast,
                             "spec_augment": int(augment),
+                            # live acoustic frames in this optimizer step —
+                            # ts deltas / frames give audio-s/s offline
+                            "frames": cur_frames,
                         }
                     )
                     cur_loss, cur_frames = 0.0, 0
