@@ -280,19 +280,37 @@ class ConformerConvolution(nn.Module):
             # reference parity WITH static batches: the reference's unmasked
             # batch stats (convolution.py:119) only ever see LIVE rows (its
             # batches shrink as samples finish; mesh padding rows don't
-            # exist there).  Live rows contribute ALL frames — including
-            # zero-filled time padding, which the reference also counts —
-            # but all-padded (dead) rows contribute nothing.
-            live = ~jnp.all(pad_mask, axis=1, keepdims=True)  # (B, 1)
+            # exist there), and each live row contributes every frame of the
+            # reference's DYNAMIC window — including zero-filled time
+            # padding up to the window width, which the reference counts.
+            # Our static batch is wider (chunks pad to the static
+            # chunk_size), so columns past the batch's true window width
+            # must NOT count: the window width is the longest live row's
+            # length (exact whenever any row spans the window; a final chunk
+            # in which every sample ends early under-counts the reference's
+            # trailing zero columns — the one residual corner).  Found by
+            # the cross-framework AED trajectory arm: counting static pad
+            # columns shifted batch statistics ~0.2% per step.
+            T_loc = pad_mask.shape[1]
+            row_len = (~pad_mask).sum(axis=1).astype(jnp.float32)  # (B,)
+            col0 = 0
             if self.seq_axis_name is not None:
-                # under context parallelism liveness is GLOBAL: a live row
-                # may be all-padding on this seq shard but must still
-                # contribute its local frames, like the unsharded compute
-                live = (
-                    jax.lax.psum(live.astype(jnp.float32), self.seq_axis_name)
-                    > 0
-                )
-            stat_mask = ~jnp.broadcast_to(live, pad_mask.shape)
+                # context parallelism: lengths and liveness are GLOBAL; the
+                # column index needs this shard's global offset
+                row_len = jax.lax.psum(row_len, self.seq_axis_name)
+                col0 = jax.lax.axis_index(self.seq_axis_name) * T_loc
+            live = row_len > 0
+            u_len = jnp.max(jnp.where(live, row_len, 0.0))
+            # under manual collectives (shard_map CP), the window width is
+            # the max over the WHOLE batch — rows live on other data shards
+            # too (stats are psum'd over stat_axes, so the keep-mask must
+            # agree across them)
+            for ax in self.stat_axes:
+                if ax != self.seq_axis_name:
+                    u_len = jax.lax.pmax(u_len, ax)
+            cols = col0 + jnp.arange(T_loc, dtype=jnp.float32)
+            keep = live[:, None] & (cols[None, :] < u_len)
+            stat_mask = ~keep
         else:
             stat_mask = None
         if self.norm_type == "batch_renorm":

@@ -424,10 +424,22 @@ class Trainer:
 
             def loss_fn(p):
                 if loss_mode == "enc_dec":
-                    # joint CTC + CE (reference exp/train_enc_dec.py; loss
-                    # normalizations per enc_dec_sconformer.py:177-242)
+                    # joint CTC + CE (reference exp/train_enc_dec.py:240-247;
+                    # loss normalizations per enc_dec_sconformer.py:193-228:
+                    # the BACKWARD loss is w·ctc_sum/(B·N)·100 +
+                    # (1-w)·ce_sum/(B·U1) — normalized per chunk BEFORE the
+                    # outer 100·group/(chunk·batch) accumulation weighting,
+                    # unlike the plain-CTC protocol's raw sums.  B and N are
+                    # the reference's COMPACTED-batch dims: live rows only,
+                    # N = subsampled true window width (our padded batch
+                    # carries dead rows and pad frames the reference never
+                    # sees), U1 = true max label length + 1 (bos), not our
+                    # 64-bucketed pad width.
+                    # bos_id=0, matching calc_loss's default — the reference
+                    # training loop never overrides it
+                    # (exp/train_enc_dec.py:240, enc_dec_sconformer.py:184)
                     text_bos = jnp.pad(
-                        batch["labels"], ((0, 0), (1, 0)), constant_values=2
+                        batch["labels"], ((0, 0), (1, 0)), constant_values=0
                     )
                     out, mutated = model.apply(
                         {"params": p, "batch_stats": batch_stats},
@@ -439,6 +451,16 @@ class Trainer:
                     )
                     lm_out = out["final_posteriors_lm"].astype(jnp.float32)
                     ctc_out = out["final_posteriors_ctc"]
+                    live = batch["weight"] > 0
+                    n_live = jnp.maximum(live.sum().astype(jnp.float32), 1.0)
+                    # reference N = ctc_out.shape[1] of the compacted chunk
+                    # tensor = subsampled(window width); the window's longest
+                    # live row spans it, so max(out_length) is exact whenever
+                    # any row fills the window (always, except a final chunk
+                    # in which every sample ended early)
+                    n_sub = jnp.maximum(
+                        jnp.max(out["length"]).astype(jnp.float32), 1.0
+                    )
                     loss = 0.0
                     if ctc_out is not None and ctc_w > 0:
                         nll = ctc_loss(
@@ -455,7 +477,8 @@ class Trainer:
                         # their grads are already exact-zero, so excluding
                         # them here only keeps the loss metric honest
                         nll = jnp.where(nll < 1e29, nll, 0.0)
-                        loss = loss + ctc_w * (nll * batch["weight"]).sum()
+                        ctc_sum = (nll * batch["weight"]).sum()
+                        loss = loss + ctc_w * ctc_sum / (n_live * n_sub) * 100.0
                     # CE on shifted targets with eos=0 at final position
                     B, U1 = text_bos.shape
                     targets = jnp.concatenate(
@@ -467,7 +490,16 @@ class Trainer:
                     valid = (pos < t_len_bos[:, None]) & (batch["weight"] > 0)[:, None]
                     logp = jax.nn.log_softmax(lm_out, axis=-1)
                     ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-                    loss = loss + (1 - ctc_w) * jnp.where(valid, ce, 0.0).sum()
+                    ce_sum = jnp.where(valid, ce, 0.0).sum()
+                    # reference lm_loss_to_bwd divisor: predictions.shape[0]
+                    # × shape[1] = B_live · (true max label len + 1 bos)
+                    u1_ref = jnp.maximum(
+                        jnp.max(
+                            jnp.where(live, batch["label_lengths"], 0)
+                        ).astype(jnp.float32) + 1.0,
+                        1.0,
+                    )
+                    loss = loss + (1 - ctc_w) * ce_sum / (n_live * u1_ref)
                     blank_p = jnp.asarray(0.0)
                     return loss, (mutated["batch_stats"], blank_p)
 

@@ -1,4 +1,5 @@
-"""Cross-framework TRAINING-TRAJECTORY parity (VERDICT r3 #3).
+"""Cross-framework TRAINING-TRAJECTORY parity (VERDICT r3 #3, extended per
+VERDICT r4 #3 to the production protocol).
 
 The strongest WER-parity proxy available at zero egress: train the actual
 torch reference SCConformerXL through a faithful replica of the reference
@@ -8,12 +9,30 @@ MADGRAD + CosineLRScheduler with warmup→cosine handoff, global-norm clip)
 side by side with this framework's production `Trainer` from
 CONVERTED-IDENTICAL initial weights on the same data order, and assert
 
-  * per-optimizer-step logged loss agreement for ≥ 30 steps,
+  * per-optimizer-step logged loss agreement,
   * final-parameter agreement, and
   * identical greedy transcripts from the trained models.
 
+Four arms compose the protocol features most likely to hide a reference-
+semantics bug (each arm runs the full pipeline end to end):
+
+  plain         the r3 arm — no augment, no accumulation, no seq warmup
+                (this arm caught the torch `_LRScheduler` lr-cache bug)
+  spec_augment  SpecAugment ON with IDENTICAL masks injected into both
+                frameworks (shared jax.random draws; fill value computed
+                independently per framework — reference
+                `lcasr/utils/augmentation.py:69-93` length-aware mean and
+                min_p width math vs ours)
+  accumulation  backwards_every=2 / backprop_every=4 — the group-weighting
+                interplay of reference `exp/train.py:274-293`, including
+                ragged final groups
+  seq_warmup    SequenceWarmupManager fires mid-training: seq ×2 / batch ÷2,
+                dataloader.update, rotary-interpolation bump (reference
+                `exp/train.py:322-335`), driven by the reference's own
+                SequenceWarmupManager in the torch arm
+
 Piecewise parity (logits, madgrad trajectory, CTC loss, scheduler) is
-covered elsewhere; this test is the end-to-end composition of all of them
+covered elsewhere; these tests are the end-to-end composition of all of them
 through real multi-epoch training.
 """
 import json
@@ -43,14 +62,16 @@ MODEL_KW = dict(
     expansion_factor=2,
 )
 
+SPEC_AUGMENT_CFG = dict(
+    n_time_masks=2, n_freq_masks=2, freq_mask_param=10, min_p=0.1,
+    zero_masking=False,
+)
 
-@pytest.fixture(scope="module")
-def corpus(tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("traj_corpus")
-    rng = np.random.default_rng(42)
+
+def _make_corpus(tmp, durations, seed=42):
+    rng = np.random.default_rng(seed)
     pairs = {}
-    for i in range(4):
-        T = 640 + 80 * i
+    for i, T in enumerate(durations):
         spec = rng.normal(size=(1, 80, T)).astype(np.float32)
         np.save(tmp / f"r{i}.spec.npy", spec)
         # words must stay INSIDE the audio with margin: a transcript that
@@ -58,7 +79,7 @@ def corpus(tmp_path_factory):
         # (targets > subsampled frames) and the reference protocol — no
         # zero_infinity, isnan-only guard — genuinely collapses on it
         words, t = [], 0.15
-        for w in (f"podcast {i} has these words " * 8).split():
+        for w in (f"podcast {i} has these words " * 12).split():
             if t + 0.25 > T / 100 - 0.7:
                 break
             words.append({"word": w, "startTime": f"{t:.2f}s",
@@ -72,15 +93,87 @@ def corpus(tmp_path_factory):
     return pairs
 
 
-def _torch_reference_train(torch, model_t, tokenizer, pairs):
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    return _make_corpus(tmp_path_factory.mktemp("traj_corpus"),
+                        [640 + 80 * i for i in range(4)])
+
+
+# ---------------------------------------------------------------------------
+# shared-randomness SpecAugment: the jax arm draws masks inside micro_step
+# from the trainer's deterministic PRNG stream (state key PRNGKey(999), one
+# split per chunk); the torch arm REPLAYS the identical draws here and
+# applies them with the REFERENCE's fill-value semantics
+# (augmentation.py:69-93), so a divergence in either framework's width/fill
+# math surfaces as a trajectory mismatch.
+# ---------------------------------------------------------------------------
+def _draw_jax_masks(sub_key, B, F, T, aug):
+    """Mirror of lcasr_tpu.data.augmentation.SpecAugment.__call__'s
+    jax.random consumption — (axis, start, end) int arrays per mask."""
+    n_t, n_f = aug["n_time_masks"], aug["n_freq_masks"]
+    time_width = aug.get("time_mask_param", -1)
+    if aug.get("min_p", -1) != -1 and n_t > 0:
+        time_width = int(T * aug["min_p"]) // n_t
+    max_p = aug.get("max_p", 1.0)
+    keys = jax.random.split(sub_key, n_t + n_f + 1)
+    masks = []
+    for i in range(n_t + n_f):
+        axis = 2 if i < n_t else 1
+        size = T if axis == 2 else F
+        mask_param = time_width if axis == 2 else aug["freq_mask_param"]
+        k_val, k_start = jax.random.split(keys[i])
+        max_val = (min(mask_param, int(size * max_p))
+                   if max_p < 1.0 else mask_param)
+        max_val = max(1, max_val)
+        value = jax.random.uniform(k_val, (B,), minval=0.0,
+                                   maxval=float(max_val))
+        min_start = jax.random.uniform(
+            k_start, (B,), minval=0.0,
+            maxval=jnp.maximum(size - value, 1e-6))
+        start = np.asarray(min_start.astype(jnp.int32))
+        end = np.asarray((min_start + value).astype(jnp.int32))
+        masks.append((axis, start, end))
+    return masks
+
+
+def _apply_masks_torch(torch, spec, lengths, masks):
+    """Apply shared masks to a torch chunk with the REFERENCE's fill value:
+    the length-aware spectrogram mean over valid frames
+    (reference augmentation.py:76), computed ONCE before masking."""
+    f, t = spec.shape[-2:]
+    valid = (torch.arange(t)[None, :] < lengths[:, None])
+    mask_value = spec[valid.unsqueeze(-2).repeat(1, f, 1)].mean()
+    out = spec.clone()
+    for axis, start, end in masks:
+        size = t if axis == 2 else f
+        idx = torch.arange(size)
+        for b in range(out.shape[0]):
+            m = (idx >= int(start[b])) & (idx < int(end[b]))
+            if axis == 2:
+                out[b, :, m] = mask_value
+            else:
+                out[b, m, :] = mask_value
+    return out
+
+
+def _torch_reference_train(
+    torch, model_t, tokenizer, pairs, *,
+    chunk=CHUNK, batch=BATCH, epochs=EPOCHS,
+    backwards_every=1, backprop_every=1,
+    spec_augment=None, start_augment_after_n_epochs=-1,
+    seq_warmup=None, interpolate_rotary=False,
+):
     """Faithful replica of the reference training protocol
     (exp/train.py:80-349) driving the torch reference model: reference
     MADGRAD + CosineLRScheduler, per-chunk compacted batches, sum-CTC with
     the 100·group/(chunk·batch) backward scale, clip_grad_norm_, warmup
     stepping inside the optimizer step and cosine stepping per podcast
-    batch.  Data order comes from this repo's dataloader (iterated with the
-    same epoch-reseed protocol the Trainer uses) so the arms differ ONLY in
-    framework + training-loop implementation."""
+    batch; optional SpecAugment (shared-randomness masks, reference fill
+    math, apply_augmentation gate of exp/train.py:64-68), optional reference
+    SequenceWarmupManager with dataloader rebuild + rotary bump
+    (exp/train.py:322-335).  Data order comes from this repo's dataloader
+    (iterated with the same epoch-reseed protocol the Trainer uses) so the
+    arms differ ONLY in framework + training-loop implementation."""
     import random as pyrandom
 
     from tests.reference_oracle import load_reference_module
@@ -97,20 +190,27 @@ def _torch_reference_train(torch, model_t, tokenizer, pairs):
     opt = madgrad_mod.MADGRAD(model_t.parameters(), lr=LR)
     scheduler = sched_mod.CosineLRScheduler(
         optimizer=opt, warmup_steps=WARMUP, peak_value=LR, final_value=0.0)
+    sequence_scheduler = None
+    if seq_warmup is not None:
+        sequence_scheduler = sched_mod.SequenceWarmupManager(
+            initial_batch_size=batch, initial_sequence_length=chunk,
+            **seq_warmup)
+        chunk = sequence_scheduler.cur_sequence_length
+        batch = sequence_scheduler.cur_batch_size
     n_classes = tokenizer.vocab_size() + 1
     ctc_loss_fn = torch.nn.CTCLoss(blank=n_classes - 1, reduction="sum")
     pad_id = tokenizer.pad_id()
 
     dataloader = VariableBatchSimpleDataloader(
-        pairs=pairs, tokenizer=tokenizer, batch_size=BATCH,
-        chunk_size=CHUNK, chunk_overlap=0, prefetch=False,
+        pairs=pairs, tokenizer=tokenizer, batch_size=batch,
+        chunk_size=chunk, chunk_overlap=0, prefetch=False,
     )
-    total_recordings = dataloader.total_recordings() * EPOCHS
+    total_recordings = dataloader.total_recordings() * epochs
     rng = pyrandom.Random(12345)  # trainer default random_seed
+    jkey = jax.random.PRNGKey(999)  # mirror of Trainer state["key"]
 
     losses, cur_podcast, epoch, seen_ids = [], 0, 0, []
     data_iter = iter(dataloader)
-    backprop_every = backwards_every = 1
 
     from lcasr_tpu.data.dataloading import chunk_spectogram, chunk_text_json
 
@@ -120,7 +220,7 @@ def _torch_reference_train(torch, model_t, tokenizer, pairs):
         except StopIteration:
             epoch += 1
             seen_ids = reset_seen_ids(seen_ids, epoch - 1)
-            if epoch >= EPOCHS:
+            if epoch >= epochs:
                 break
             dataloader.update(batch_size=dataloader.batch_size,
                               seen_ids=seen_ids,
@@ -128,14 +228,15 @@ def _torch_reference_train(torch, model_t, tokenizer, pairs):
             data_iter = iter(dataloader)
             continue
         seen_ids.extend(ids)
-        cur_podcast += audio.shape[0]
+        cur_batch_size = audio.shape[0]
+        cur_podcast += cur_batch_size
 
         audio = torch.from_numpy(np.asarray(audio, np.float32))
         audio_lengths = torch.from_numpy(np.asarray(audio_lengths, np.int64))
 
         # chunk building — reference exp/train.py:174-201 (compacted batch)
-        audio_chunks_ = chunk_spectogram(audio.numpy(), CHUNK, 0)
-        txt_chunks = [chunk_text_json(t, CHUNK, 0, audio.shape[-1]) for t in txt]
+        audio_chunks_ = chunk_spectogram(audio.numpy(), chunk, 0)
+        txt_chunks = [chunk_text_json(t, chunk, 0, audio.shape[-1]) for t in txt]
         chunks, culm = [], torch.zeros_like(audio_lengths)
         for ix, el in enumerate(audio_chunks_):
             el = torch.from_numpy(el)
@@ -163,10 +264,34 @@ def _torch_reference_train(torch, model_t, tokenizer, pairs):
                 scheduler.set_cosine_schedule(
                     total_recordings=total_recordings, cur_podcast=cur_podcast)
 
+        # apply_augmentation gate (reference exp/train.py:64-68): epoch
+        # threshold AND not warmup; the flag only moves at batch boundaries
+        augment_now = (
+            spec_augment is not None
+            and start_augment_after_n_epochs != -1
+            and epoch >= start_augment_after_n_epochs
+            and not scheduler.is_warmup
+        )
+
         cur_loss, cur_tokens = torch.tensor(0.0), 0
         bw_loss, steps_since_bw = 0.0, 0
         for ix, ch in enumerate(chunks):
-            out = model_t(audio_signal=ch["audio"],
+            # the Trainer splits its PRNG key once per chunk UNCONDITIONALLY;
+            # mirror the stream exactly, consuming a split even when the
+            # augment gate is off
+            jkey, sub = jax.random.split(jkey)
+            ch_audio = ch["audio"]
+            if augment_now:
+                # masks drawn over the trainer's PADDED static window
+                # (B, 80, chunk): identical draws to the jax arm's in-jit
+                # SpecAugment (all windows here are full-width, so padded
+                # vs true width cannot diverge)
+                masks = _draw_jax_masks(
+                    sub, ch_audio.shape[0], ch_audio.shape[1],
+                    ch_audio.shape[2], spec_augment)
+                ch_audio = _apply_masks_torch(
+                    torch, ch_audio, ch["audio_lengths"], masks)
+            out = model_t(audio_signal=ch_audio,
                           length=ch["audio_lengths"])
             loss = ctc_loss_fn(out["final_posteriors"].transpose(0, 1),
                                ch["txt"], out["length"],
@@ -177,7 +302,9 @@ def _torch_reference_train(torch, model_t, tokenizer, pairs):
             cur_tokens += int(ch["audio_lengths"].sum())
             is_last = ix + 1 == len(chunks)
             if (ix + 1) % backwards_every == 0 or is_last:
-                ((bw_loss / (CHUNK * BATCH) * steps_since_bw) * 100).backward()
+                # reference :275 — current chunk/batch sizes, which CHANGE
+                # when the sequence warmup fires
+                ((bw_loss / (chunk * batch) * steps_since_bw) * 100).backward()
                 bw_loss, steps_since_bw = 0.0, 0
             if (ix + 1) % backprop_every == 0 or is_last:
                 full_loss = float(cur_loss) / cur_tokens * 100
@@ -190,23 +317,28 @@ def _torch_reference_train(torch, model_t, tokenizer, pairs):
                 cur_loss, cur_tokens = torch.tensor(0.0), 0
         if not scheduler.is_warmup:
             scheduler.step(epoch=cur_podcast)
+
+        # sequence warmup (reference exp/train.py:322-335): seq ×2 / batch
+        # ÷2, dataloader rebuild, rotary-interpolation bump
+        if sequence_scheduler is not None:
+            updated, new_seq, new_bs = sequence_scheduler.step(
+                steps=cur_batch_size)
+            if updated:
+                chunk, batch = new_seq, new_bs
+                dataloader.update(batch_size=new_bs, seen_ids=seen_ids)
+                data_iter = iter(dataloader)
+                if interpolate_rotary:
+                    model_t.rotary_pos_emb.rotary_interpolation_factor = (
+                        model_t.rotary_pos_emb.rotary_interpolation_factor
+                        * sequence_scheduler.increase_by_multiplier)
     return losses
 
 
-def test_training_trajectory_parity(corpus, tmp_path):
-    torch = pytest.importorskip("torch")
-    from tests.reference_oracle import (
-        install_reference_package_stubs,
-        load_reference_module,
-        reference_available,
-    )
-
-    if not reference_available():
-        pytest.skip("reference checkout not present")
-    install_reference_package_stubs()
-    ref_mod = load_reference_module(
-        "lcasr/models/sconformer_xl.py", "ref_sconformer_traj")
-
+def _run_jax_arm(corpus, tmp_path, model_kw, *, extra_training=None,
+                 spec_augment=None, seq_warmup=None, torch_sd0=None,
+                 chunk=CHUNK, batch=BATCH, epochs=EPOCHS):
+    """The production Trainer from converted-identical init; returns
+    (trainer, state, per-step losses)."""
     from lcasr_tpu.config import Config
     from lcasr_tpu.data.dataloading import VariableBatchSimpleDataloader
     from lcasr_tpu.data.tokenizer import load_tokenizer
@@ -216,52 +348,52 @@ def test_training_trajectory_parity(corpus, tmp_path):
 
     tokenizer = load_tokenizer()
     vocab = tokenizer.vocab_size()
-
-    torch.manual_seed(7)
-    model_t = ref_mod.SCConformerXL(
-        vocab_size=vocab, flash_attn=False, **MODEL_KW)
-    sd0 = {k: v.detach().clone().numpy()
-           for k, v in model_t.state_dict().items()}
-
-    # ---- JAX arm: the production Trainer from converted-identical init ----
-    cfg = Config({
+    cfg_d = {
         "model_class": "SCConformerXL",
-        "model": {**MODEL_KW, "use_pallas": False},
-        "audio_chunking": {"size": CHUNK, "overlap": 0},
-        "training": {"batch_size": BATCH, "backprop_every": 1,
-                     "max_epochs": EPOCHS, "clip_value": CLIP,
-                     "random_seed": 12345},
+        "model": {**model_kw, "use_pallas": False},
+        "audio_chunking": {"size": chunk, "overlap": 0},
+        "training": {"batch_size": batch, "backprop_every": 1,
+                     "max_epochs": epochs, "clip_value": CLIP,
+                     "random_seed": 12345, **(extra_training or {})},
         "optimizer": {"name": "madgrad", "args": {"lr": LR}},
         "scheduler": {"warmup_steps": WARMUP, "final_value": 0.0},
         "checkpointing": {"dir": str(tmp_path / "ckpt"),
                           "save_every_n_steps": 10 ** 6},
-    })
+    }
+    if spec_augment is not None:
+        cfg_d["spec_augment"] = dict(spec_augment)
+    if seq_warmup is not None:
+        cfg_d["sequence_scheduler"] = dict(seq_warmup)
+    cfg = Config(cfg_d)
     model_j = load_model(cfg, vocab)
     trainer = Trainer(cfg, model_j, tokenizer)
     state = trainer.init_state(jax.random.PRNGKey(0))
     converted = variables_from_torch(
-        sd0, dict(vocab_size=vocab, **MODEL_KW))
+        torch_sd0, dict(vocab_size=vocab, **model_kw))
     state["params"] = converted["params"]
     state["batch_stats"] = converted.get("batch_stats", {})
     state["opt_state"] = trainer.optimizer.init(state["params"])
     dataloader = VariableBatchSimpleDataloader(
-        pairs=corpus, tokenizer=tokenizer, batch_size=BATCH,
-        chunk_size=CHUNK, chunk_overlap=0, prefetch=False,
+        pairs=corpus, tokenizer=tokenizer, batch_size=trainer.batch_size,
+        chunk_size=trainer.chunk_size, chunk_overlap=0, prefetch=False,
     )
     with jax.default_matmul_precision("highest"):
         state = trainer.train(state, dataloader)
     lines = [json.loads(l) for l in open(
         os.path.join(trainer.checkpoint_dir, "metrics.jsonl"))]
-    losses_j = [l["loss"] for l in lines if "loss" in l]
+    return trainer, state, [l["loss"] for l in lines if "loss" in l]
 
-    # ---- torch arm: the reference protocol on the reference model ----
-    losses_t = _torch_reference_train(torch, model_t, tokenizer, corpus)
 
-    assert len(losses_t) >= 30, f"only {len(losses_t)} optimizer steps"
+def _assert_trajectory_parity(torch, losses_j, losses_t, trainer, state,
+                              model_t, model_kw, corpus, min_steps=30):
+    from lcasr_tpu.models.import_torch import variables_from_torch
+
+    vocab = trainer.tokenizer.vocab_size()
+    assert len(losses_t) >= min_steps, f"only {len(losses_t)} optimizer steps"
     assert len(losses_j) == len(losses_t)
     # warmup steps (lr ramping from 0): trajectories must be essentially
-    # exact — any semantic mismatch (loss scale, scheduler, clip) shows
-    # here undamped by optimizer chaos
+    # exact — any semantic mismatch (loss scale, scheduler, clip, masks)
+    # shows here undamped by optimizer chaos
     np.testing.assert_allclose(losses_j[:WARMUP], losses_t[:WARMUP],
                                rtol=1e-4, atol=1e-4)
     # after lr reaches peak the loss surface curvature amplifies fp
@@ -277,21 +409,9 @@ def test_training_trajectory_parity(corpus, tmp_path):
     # compare against the TRAINED jax params — end-to-end optimizer/clip/
     # scheduler/batch-stat composition, not just loss-surface agreement
     sd1 = {k: v.detach().numpy() for k, v in model_t.state_dict().items()}
-    trained_t = variables_from_torch(sd1, dict(vocab_size=vocab, **MODEL_KW))
+    trained_t = variables_from_torch(sd1, dict(vocab_size=vocab, **model_kw))
     flat_j = jax.tree_util.tree_leaves_with_path(state["params"])
     flat_t = dict(jax.tree_util.tree_leaves_with_path(trained_t["params"]))
-    # params moved materially from init...
-    init_t = variables_from_torch(sd0, dict(vocab_size=vocab, **MODEL_KW))
-    flat_i = dict(jax.tree_util.tree_leaves_with_path(init_t["params"]))
-    moved = max(float(np.abs(np.asarray(flat_t[p]) - np.asarray(flat_i[p])).max())
-                for p, _ in flat_j)
-    assert moved > 1e-3, "training did not move the parameters"
-    # ...and both frameworks moved them to the same place.  GLOBAL relative
-    # Frobenius distance over the whole parameter vector must be tight;
-    # per-leaf only loosely bounded (tiny-gradient directions like norm
-    # biases accumulate the most relative fp-chaos under madgrad's adaptive
-    # denominator — measured ≤8% here when healthy; a semantic divergence
-    # like the r3 lr-cache bug blows far past these)
     num = den = 0.0
     worst, worst_path = 0.0, None
     for path, leaf in flat_j:
@@ -313,17 +433,370 @@ def test_training_trajectory_parity(corpus, tmp_path):
     assert global_rel < 2e-2, f"global param divergence: {global_rel:.4f}"
     assert worst < 0.15, f"param diverged: {worst_path} rel_frob={worst:.4f}"
 
-    # identical greedy transcripts from the trained models
+    # identical greedy transcripts from the trained models (trainer.model:
+    # under seq warmup the trainer holds the rotary-bumped clone)
     spec = np.load(corpus["r0"]["audio"]).astype(np.float32)
     model_t.eval()
     with torch.no_grad():
         out_t = model_t(torch.from_numpy(spec))
     ids_t = out_t["final_posteriors"].numpy().argmax(-1)[0]
     with jax.default_matmul_precision("highest"):
-        out_j = model_j.apply(
+        out_j = trainer.model.apply(
             {"params": state["params"], "batch_stats": state["batch_stats"]},
             jnp.asarray(spec))
     ids_j = np.asarray(out_j["final_posteriors"]).argmax(-1)[0]
+    blank = vocab
+    collapse = lambda ids: [int(i) for i, p in zip(ids, [blank] + list(ids[:-1]))
+                            if i != blank and i != p]
+    assert collapse(ids_j) == collapse(ids_t)
+
+
+def _make_torch_model(torch, model_kw, seed=7, **extra):
+    from tests.reference_oracle import (
+        install_reference_package_stubs,
+        load_reference_module,
+        reference_available,
+    )
+
+    if not reference_available():
+        pytest.skip("reference checkout not present")
+    install_reference_package_stubs()
+    ref_mod = load_reference_module(
+        "lcasr/models/sconformer_xl.py", "ref_sconformer_traj")
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+
+    vocab = load_tokenizer().vocab_size()
+    torch.manual_seed(seed)
+    model_t = ref_mod.SCConformerXL(
+        vocab_size=vocab, flash_attn=False, **model_kw, **extra)
+    sd0 = {k: v.detach().clone().numpy()
+           for k, v in model_t.state_dict().items()}
+    return model_t, sd0
+
+
+def test_training_trajectory_parity(corpus, tmp_path):
+    torch = pytest.importorskip("torch")
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+
+    model_t, sd0 = _make_torch_model(torch, MODEL_KW)
+    trainer, state, losses_j = _run_jax_arm(
+        corpus, tmp_path, MODEL_KW, torch_sd0=sd0)
+    losses_t = _torch_reference_train(torch, model_t, load_tokenizer(), corpus)
+    _assert_trajectory_parity(torch, losses_j, losses_t, trainer, state,
+                              model_t, MODEL_KW, corpus, min_steps=30)
+
+
+def test_trajectory_parity_spec_augment(tmp_path_factory, tmp_path):
+    """SpecAugment ON with identical masks in both frameworks: composes the
+    reference's length-aware mean fill and min_p width math
+    (augmentation.py:69-93) and the apply_augmentation warmup/epoch gate
+    (exp/train.py:64-68) into the full trajectory.  Equal-duration corpus
+    with T a chunk multiple: every window is full-width, so the static
+    padded window cannot diverge from the reference's true-width window."""
+    torch = pytest.importorskip("torch")
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+
+    corpus = _make_corpus(tmp_path_factory.mktemp("traj_aug"),
+                          [768, 768, 768, 768], seed=11)
+    model_t, sd0 = _make_torch_model(torch, MODEL_KW, seed=9)
+    trainer, state, losses_j = _run_jax_arm(
+        corpus, tmp_path, MODEL_KW, torch_sd0=sd0,
+        spec_augment=SPEC_AUGMENT_CFG,
+        extra_training={"start_spec_augment_after_n_epochs": 0})
+    losses_t = _torch_reference_train(
+        torch, model_t, load_tokenizer(), corpus,
+        spec_augment=SPEC_AUGMENT_CFG, start_augment_after_n_epochs=0)
+    # the augment gate must actually have engaged (warmup is 5 steps; 3
+    # optimizer steps per batch → augmented from the 3rd batch on)
+    lines = [json.loads(l) for l in open(
+        os.path.join(trainer.checkpoint_dir, "metrics.jsonl"))]
+    assert any(l.get("spec_augment") == 1 for l in lines), "augment never fired"
+    _assert_trajectory_parity(torch, losses_j, losses_t, trainer, state,
+                              model_t, MODEL_KW, corpus, min_steps=30)
+
+
+def test_trajectory_parity_accumulation(corpus, tmp_path):
+    """backwards_every=2 / backprop_every=4: the reference's two-level
+    accumulation (exp/train.py:274-293) — per-group backward scale
+    100·group_size/(chunk·batch) folded per 2 chunks, optimizer step per 4 —
+    including ragged final groups (3- and 4-chunk batches)."""
+    torch = pytest.importorskip("torch")
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+
+    model_t, sd0 = _make_torch_model(torch, MODEL_KW, seed=13)
+    trainer, state, losses_j = _run_jax_arm(
+        corpus, tmp_path, MODEL_KW, torch_sd0=sd0, epochs=8,
+        extra_training={"backwards_every": 2, "backprop_every": 4})
+    losses_t = _torch_reference_train(
+        torch, model_t, load_tokenizer(), corpus, epochs=8,
+        backwards_every=2, backprop_every=4)
+    _assert_trajectory_parity(torch, losses_j, losses_t, trainer, state,
+                              model_t, MODEL_KW, corpus, min_steps=14)
+
+
+def test_trajectory_parity_seq_warmup(tmp_path_factory, tmp_path):
+    """The SequenceWarmupManager fires mid-training: seq 256→512, batch
+    2→1, dataloader.update + fresh iterator, and the rotary-interpolation
+    bump (reference exp/train.py:322-335; manager scheduling.py:33-98) —
+    the torch arm is driven by the REFERENCE's own SequenceWarmupManager."""
+    torch = pytest.importorskip("torch")
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+
+    corpus = _make_corpus(tmp_path_factory.mktemp("traj_warm"),
+                          [1024] * 6, seed=21)
+    kw = dict(MODEL_KW)
+    seq_cfg = dict(increase_every=2, stop_after=10 ** 9, start_after=0,
+                   max_sequence_length=512, increase_by_multiplier=2.0,
+                   batch_size_multiplier=0.5)
+    model_t, sd0 = _make_torch_model(
+        torch, kw, seed=17, use_rotary=True, rotary_base_freq=10000)
+    jax_kw = dict(kw, use_rotary=True, rotary_base_freq=10000.0)
+    trainer, state, losses_j = _run_jax_arm(
+        corpus, tmp_path, jax_kw, torch_sd0=sd0, epochs=3,
+        seq_warmup=dict(seq_cfg, interpolate_rotary=True))
+    losses_t = _torch_reference_train(
+        torch, model_t, load_tokenizer(), corpus, epochs=3,
+        seq_warmup=seq_cfg, interpolate_rotary=True)
+    # the warmup must actually have fired: both buckets appear in the log
+    lines = [json.loads(l) for l in open(
+        os.path.join(trainer.checkpoint_dir, "metrics.jsonl"))]
+    seqs = {l["sequence_length"] for l in lines if "loss" in l}
+    assert seqs == {256, 512}, f"warmup never fired: {seqs}"
+    assert trainer.rotary_interpolation_factor == 2.0
+    assert float(model_t.rotary_pos_emb.rotary_interpolation_factor) == 2.0
+    _assert_trajectory_parity(torch, losses_j, losses_t, trainer, state,
+                              model_t, jax_kw, corpus, min_steps=30)
+
+
+# ---------------------------------------------------------------------------
+# arm (d): AED joint CTC+CE through calc_loss (reference
+# enc_dec_sconformer_v2.py:176-241 normalizations + exp/train_enc_dec.py
+# protocol).  The reference AED models are constructor-disabled upstream;
+# the oracle re-enables them (reference_oracle `strip`).
+# ---------------------------------------------------------------------------
+ENC_DEC_STRIP_EXTRA = (
+    "self.flash_attn_c_fn = FlashCrossAttention(softmax_scale = None,"
+    " attention_dropout = dropout, causal = causal)",
+    "self.flash_attn_c_fn = FlashCrossAttention(softmax_scale = None,"
+    " attention_dropout = dropout, causal = False)",
+    "self.flash_attn_fn = FlashAttention(softmax_scale = None,"
+    " attention_dropout = dropout)",
+)
+
+
+def _torch_enc_dec_train(torch, model_t, tokenizer, pairs, *, epochs, chunk,
+                         batch):
+    """Replica of the reference AED training protocol
+    (exp/train_enc_dec.py:160-330): per-chunk `calc_loss` (its internally
+    normalized joint loss), the same 100·group/(chunk·batch) backward scale,
+    reference MADGRAD + CosineLRScheduler.  The test corpus has one chunk
+    per batch, so the protocol's chunk shuffle (train_enc_dec.py:213,
+    `random.sample`) is the identity and data order stays shared."""
+    import random as pyrandom
+
+    from tests.reference_oracle import load_reference_module
+
+    from lcasr_tpu.data.dataloading import (
+        VariableBatchSimpleDataloader,
+        chunk_spectogram,
+        chunk_text_json,
+        reset_seen_ids,
+    )
+
+    madgrad_mod = load_reference_module("lcasr/optim/madgrad.py", "ref_madgrad_ed")
+    sched_mod = load_reference_module("lcasr/utils/scheduling.py", "ref_sched_ed")
+    model_t.train()
+    opt = madgrad_mod.MADGRAD(model_t.parameters(), lr=LR)
+    scheduler = sched_mod.CosineLRScheduler(
+        optimizer=opt, warmup_steps=WARMUP, peak_value=LR, final_value=0.0)
+    pad_id = tokenizer.pad_id()
+
+    dataloader = VariableBatchSimpleDataloader(
+        pairs=pairs, tokenizer=tokenizer, batch_size=batch,
+        chunk_size=chunk, chunk_overlap=0, prefetch=False,
+    )
+    total_recordings = dataloader.total_recordings() * epochs
+    rng = pyrandom.Random(12345)
+    losses, cur_podcast, epoch, seen_ids = [], 0, 0, []
+    data_iter = iter(dataloader)
+    while True:
+        try:
+            audio, audio_lengths, txt, ids = next(data_iter)
+        except StopIteration:
+            epoch += 1
+            seen_ids = reset_seen_ids(seen_ids, epoch - 1)
+            if epoch >= epochs:
+                break
+            dataloader.update(batch_size=dataloader.batch_size,
+                              seen_ids=seen_ids,
+                              random_seed=rng.randint(0, 10000))
+            data_iter = iter(dataloader)
+            continue
+        seen_ids.extend(ids)
+        cur_podcast += audio.shape[0]
+        audio = torch.from_numpy(np.asarray(audio, np.float32))
+        audio_lengths = torch.from_numpy(np.asarray(audio_lengths, np.int64))
+        audio_chunks_ = chunk_spectogram(audio.numpy(), chunk, 0)
+        txt_chunks = [chunk_text_json(t, chunk, 0, audio.shape[-1]) for t in txt]
+        chunks, culm = [], torch.zeros_like(audio_lengths)
+        for ix, el in enumerate(audio_chunks_):
+            el = torch.from_numpy(el)
+            remove_mask = ~(culm > audio_lengths)
+            cur_chunks, cur_culm = el[remove_mask], culm[remove_mask]
+            cur_lengths = cur_chunks.shape[-1] - (
+                cur_culm + cur_chunks.shape[-1] - audio_lengths[remove_mask] - 0
+            ).clamp(0)
+            enc = [torch.LongTensor(tokenizer.encode(t[ix]))
+                   for i, t in enumerate(txt_chunks) if remove_mask[i]]
+            enc_lengths = torch.LongTensor([e.shape[0] for e in enc])
+            enc = torch.nn.utils.rnn.pad_sequence(
+                enc, batch_first=True, padding_value=pad_id)
+            if enc_lengths.max() == 0:
+                continue
+            chunks.append({"audio": cur_chunks, "txt": enc,
+                           "txt_lengths": enc_lengths,
+                           "audio_lengths": cur_lengths})
+            culm[remove_mask] += cur_chunks.shape[-1]
+        assert len(chunks) == 1, "arm (d) corpus must be single-chunk podcasts"
+
+        if scheduler.is_warmup:
+            scheduler.is_warmup = scheduler.is_warming_up()
+            if not scheduler.is_warmup:
+                scheduler.set_cosine_schedule(
+                    total_recordings=total_recordings, cur_podcast=cur_podcast)
+
+        cur_loss, cur_frames = 0.0, 0
+        for ix, ch in enumerate(chunks):
+            out = model_t.calc_loss(
+                audio_signal=ch["audio"], text_sequence=ch["txt"],
+                a_lengths=ch["audio_lengths"], t_lengths=ch["txt_lengths"])
+            loss = out["loss"]
+            cur_loss += float(loss)
+            cur_frames += int(ch["audio_lengths"].sum())
+            ((loss / (chunk * batch) * 1) * 100).backward()
+            torch.nn.utils.clip_grad_norm_(model_t.parameters(), CLIP)
+            opt.step()
+            opt.zero_grad()
+            if scheduler.is_warmup:
+                scheduler.step()
+            # same derived metric the jax Trainer logs for its normalized
+            # enc_dec loss: 100 · Σloss / Σframes per optimizer step
+            losses.append(100.0 * cur_loss / cur_frames)
+            cur_loss, cur_frames = 0.0, 0
+        if not scheduler.is_warmup:
+            scheduler.step(epoch=cur_podcast)
+    return losses
+
+
+def test_trajectory_parity_enc_dec(tmp_path_factory, tmp_path):
+    """AED arm: EncDecSconformerV2 trained through the production Trainer's
+    enc_dec mode vs the re-enabled reference model through the
+    train_enc_dec protocol — per-step losses, final params, and final CTC
+    transcripts.  This arm pinned two real bugs on introduction: the
+    trainer backpropagating UNnormalized CTC+CE sums (reference calc_loss
+    normalizes by B·N and B·U1 before the accumulation weighting) and a
+    bos_id of 2 vs the reference's 0."""
+    torch = pytest.importorskip("torch")
+    from tests.reference_oracle import (
+        CONSTRUCTOR_DISABLE,
+        install_reference_package_stubs,
+        load_reference_module,
+        reference_available,
+    )
+
+    if not reference_available():
+        pytest.skip("reference checkout not present")
+    install_reference_package_stubs()
+    ref = load_reference_module(
+        "lcasr/models/enc_dec_sconformer_v2.py", "ref_encdec_v2_traj",
+        strip=(CONSTRUCTOR_DISABLE,) + ENC_DEC_STRIP_EXTRA)
+
+    from lcasr_tpu.config import Config
+    from lcasr_tpu.data.dataloading import VariableBatchSimpleDataloader
+    from lcasr_tpu.data.tokenizer import load_tokenizer
+    from lcasr_tpu.models.import_torch import variables_from_torch_enc_dec
+    from lcasr_tpu.models.registry import load_model
+    from lcasr_tpu.training.trainer import Trainer
+
+    # single-chunk podcasts (T < CHUNK): the reference protocol's chunk
+    # shuffle is then the identity
+    corpus = _make_corpus(tmp_path_factory.mktemp("traj_encdec"),
+                          [240, 240, 240, 240], seed=31)
+    tokenizer = load_tokenizer()
+    vocab = tokenizer.vocab_size()
+    kw = dict(MODEL_KW)
+
+    torch.manual_seed(23)
+    model_t = ref.EncDecSconformerV2(vocab_size=vocab, flash_attn=False, **kw)
+    sd0 = {k: v.detach().clone().numpy()
+           for k, v in model_t.state_dict().items()}
+
+    epochs = 15  # 2 optimizer steps per epoch → 30 total
+    cfg = Config({
+        "model_class": "EncDecSconformerV2",
+        "model": {**kw, "use_pallas": False, "ctc_loss_weight": 0.5},
+        "audio_chunking": {"size": CHUNK, "overlap": 0},
+        "training": {"batch_size": BATCH, "backprop_every": 1,
+                     "max_epochs": epochs, "clip_value": CLIP,
+                     "random_seed": 12345, "loss_mode": "enc_dec"},
+        "optimizer": {"name": "madgrad", "args": {"lr": LR}},
+        "scheduler": {"warmup_steps": WARMUP, "final_value": 0.0},
+        "checkpointing": {"dir": str(tmp_path / "ckpt"),
+                          "save_every_n_steps": 10 ** 6},
+    })
+    model_j = load_model(cfg, vocab)
+    trainer = Trainer(cfg, model_j, tokenizer)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    converted = variables_from_torch_enc_dec(sd0, dict(vocab_size=vocab, **kw))
+    state["params"] = converted["params"]
+    state["batch_stats"] = converted.get("batch_stats", {})
+    state["opt_state"] = trainer.optimizer.init(state["params"])
+    dataloader = VariableBatchSimpleDataloader(
+        pairs=corpus, tokenizer=tokenizer, batch_size=BATCH,
+        chunk_size=CHUNK, chunk_overlap=0, prefetch=False,
+    )
+    with jax.default_matmul_precision("highest"):
+        state = trainer.train(state, dataloader)
+    lines = [json.loads(l) for l in open(
+        os.path.join(trainer.checkpoint_dir, "metrics.jsonl"))]
+    losses_j = [l["loss"] for l in lines if "loss" in l]
+
+    losses_t = _torch_enc_dec_train(
+        torch, model_t, tokenizer, corpus, epochs=epochs, chunk=CHUNK,
+        batch=BATCH)
+
+    assert len(losses_t) >= 30
+    assert len(losses_j) == len(losses_t)
+    np.testing.assert_allclose(losses_j[:WARMUP], losses_t[:WARMUP],
+                               rtol=1e-4, atol=1e-4)
+    rel = (np.asarray(losses_j) - np.asarray(losses_t)) / np.asarray(losses_t)
+    np.testing.assert_allclose(losses_j, losses_t, rtol=2e-2, atol=5e-3)
+    assert abs(float(rel.mean())) < 5e-3, f"systematic bias: {rel.mean():.4f}"
+
+    # final params + final CTC transcripts
+    sd1 = {k: v.detach().numpy() for k, v in model_t.state_dict().items()}
+    trained_t = variables_from_torch_enc_dec(sd1, dict(vocab_size=vocab, **kw))
+    flat_j = jax.tree_util.tree_leaves_with_path(state["params"])
+    flat_t = dict(jax.tree_util.tree_leaves_with_path(trained_t["params"]))
+    num = den = 0.0
+    for path, leaf in flat_j:
+        a = np.asarray(leaf, np.float32)
+        b = np.asarray(flat_t[path], np.float32)
+        num += float(np.sum((a - b) ** 2))
+        den += float(np.sum(b ** 2))
+    global_rel = (num / den) ** 0.5
+    assert global_rel < 2e-2, f"global param divergence: {global_rel:.4f}"
+
+    spec = np.load(corpus["r0"]["audio"]).astype(np.float32)
+    model_t.eval()
+    with torch.no_grad():
+        out_t = model_t(torch.from_numpy(spec))
+    ids_t = out_t["final_posteriors_ctc"].numpy().argmax(-1)[0]
+    with jax.default_matmul_precision("highest"):
+        out_j = trainer.model.apply(
+            {"params": state["params"], "batch_stats": state["batch_stats"]},
+            jnp.asarray(spec))
+    ids_j = np.asarray(out_j["final_posteriors_ctc"]).argmax(-1)[0]
     blank = vocab
     collapse = lambda ids: [int(i) for i, p in zip(ids, [blank] + list(ids[:-1]))
                             if i != blank and i != p]
