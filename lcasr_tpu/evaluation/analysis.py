@@ -96,3 +96,135 @@ def rotary_interpolation_probe(
             "blank_fraction": float((lp.argmax(-1) == lp.shape[-1] - 1).mean()),
         }
     return results
+
+
+# ---------------------------------------------------------------------------
+# Streaming long-context attention capture (VERDICT r4 #5): the production
+# Pallas kernel's log-sum-exp normalizes ROW-BLOCKED probabilities
+# (ops/flash_attention.flash_attention_probs), so hour-scale attention
+# analysis never materializes a (T, T) map — the reference's
+# CollectAttentionProbs (attention.py:556-595) and its flash reconstruction
+# (attention.py:259-318) are both O(T²).
+# ---------------------------------------------------------------------------
+def _captured_qkv(model, variables, audio, lengths=None):
+    """One forward through the PRODUCTION attention path (Pallas on TPU)
+    with per-layer post-rotary (q, k, v, lengths) sown.  Memory contract:
+    3·B·T'·H·D per layer in the model dtype — ~70 MB/layer bf16 at the
+    1-hour scale (T' = 45k, d_model 768), all layers ~0.6 GB."""
+    probe = model.clone(capture_qkv=True)
+
+    @jax.jit
+    def run(variables, audio, lengths):
+        return probe.apply(
+            variables, audio,
+            **({} if lengths is None else {"length": lengths}),
+            mutable=["intermediates"],
+        )
+
+    _, inter = run(
+        variables, jnp.asarray(audio),
+        None if lengths is None else jnp.asarray(lengths),
+    )
+    layers = inter["intermediates"]
+    out = []
+    for name in sorted(
+        (k for k in layers if k.startswith("layers_")),
+        key=lambda s: int(s.split("_")[1]),
+    ):
+        out.append(layers[name]["attend"]["attention_qkv"][0])
+    return out
+
+
+def attention_prob_rows(
+    model,
+    variables,
+    audio: np.ndarray,
+    layer: int,
+    rows,  # (start, n_rows)
+    lengths: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Exact attention probabilities for a slice of query rows of one layer,
+    normalized by the production kernel's lse — (B, H, n_rows, T')."""
+    from lcasr_tpu.ops.flash_attention import flash_attention_probs
+
+    q, k, v, lens = _captured_qkv(model, variables, audio, lengths)[layer]
+    return np.asarray(
+        flash_attention_probs(q, k, v, lengths=lens, window=model.window,
+                              rows=tuple(rows))
+    )
+
+
+def attention_summary(
+    model,
+    variables,
+    audio: np.ndarray,
+    lengths: Optional[np.ndarray] = None,
+    row_block: int = 512,
+    top_k: int = 8,
+) -> List[Dict[str, np.ndarray]]:
+    """Per-layer long-context attention statistics computed ROW-BLOCK-WISE
+    on device: entropy (B, H, T'), expected absolute attention distance in
+    subsampled frames (B, H, T'), and the top-k attended columns + their
+    probabilities (B, H, T', k).  Peak extra memory is one
+    (B, H, row_block, T') fp32 block (~0.5 GB at T'=45k, H=6, block 512) —
+    this is what lets deep-context attention analysis run at the 1-hour
+    scale on one chip."""
+    import functools
+
+    from lcasr_tpu.ops.flash_attention import (
+        NEG_INF,
+        flash_attention_probs,
+        flash_attention_with_lse,
+    )
+
+    captured = _captured_qkv(model, variables, audio, lengths)
+    window = model.window
+
+    @functools.partial(jax.jit, static_argnames=("n_blocks",))
+    def summarize(q, k, v, lens, n_blocks):
+        B, T, H, D = q.shape
+        Tk = k.shape[1]
+        _, lse = flash_attention_with_lse(
+            q, k, v, lengths=lens, window=window)
+        T_pad = n_blocks * row_block
+        qp = jnp.pad(q, ((0, 0), (0, T_pad - T), (0, 0), (0, 0)))
+        # padded rows carry NEG_INF lse → all-zero prob rows downstream
+        lsep = jnp.pad(lse, ((0, 0), (0, 0), (0, T_pad - T)),
+                       constant_values=NEG_INF)
+        g_cols = jnp.arange(Tk)
+
+        def blk(start):
+            p = flash_attention_probs(
+                qp, k, v, lengths=lens, window=window,
+                rows=(start, row_block), lse=lsep)
+            ent = -(p * jnp.log(jnp.maximum(p, 1e-30))).sum(-1)
+            rows = start + jnp.arange(row_block)
+            dist = (p * jnp.abs(
+                g_cols[None, None, None, :] - rows[None, None, :, None]
+            )).sum(-1)
+            tv, ti = jax.lax.top_k(p, top_k)
+            return ent, dist, tv, ti
+
+        ent, dist, tv, ti = jax.lax.map(
+            blk, jnp.arange(n_blocks) * row_block)
+        # (nb, B, H, rb[, k]) → (B, H, T[, k])
+        ent = jnp.moveaxis(ent, 0, 2).reshape(B, H, T_pad)[:, :, :T]
+        dist = jnp.moveaxis(dist, 0, 2).reshape(B, H, T_pad)[:, :, :T]
+        tv = jnp.moveaxis(tv, 0, 2).reshape(B, H, T_pad, top_k)[:, :, :T]
+        ti = jnp.moveaxis(ti, 0, 2).reshape(B, H, T_pad, top_k)[:, :, :T]
+        return ent, dist, tv, ti
+
+    out = []
+    for q, k, v, lens in captured:
+        T = q.shape[1]
+        n_blocks = -(-T // row_block)
+        if lens is None:
+            lens = jnp.full((q.shape[0],), k.shape[1], jnp.int32)
+        ent, dist, tv, ti = summarize(q, k, v, lens, n_blocks=n_blocks)
+        out.append({
+            "entropy": np.asarray(ent),
+            "expected_distance": np.asarray(dist),
+            "topk_probs": np.asarray(tv),
+            "topk_cols": np.asarray(ti),
+        })
+    return out

@@ -59,6 +59,13 @@ class Attention(nn.Module):
     dropout: float = 0.0
     use_pallas: bool = True
     return_attention_weights: bool = False  # sow probs into 'intermediates'
+    # sow post-rotary (q, k, v, lengths) into 'intermediates' WITHOUT leaving
+    # the production Pallas path — the streaming prob capture
+    # (ops/flash_attention.flash_attention_probs, analysis.attention_summary)
+    # normalizes row-blocked scores by the kernel's own lse, so long-T
+    # analysis never materializes (T, T).  Memory: 3·B·T·H·D per captured
+    # layer — capture one layer per apply at hour-scale T.
+    capture_qkv: bool = False
     # context parallel (inside shard_map, x time-sharded): local queries
     # attend to the seq-axis-gathered K/V with a global q_offset, so window
     # banding and length masks stay exact in global coordinates
@@ -106,6 +113,9 @@ class Attention(nn.Module):
             # so q and the (still-local) k share the same offset tables
             cos, sin = rotary
             q, k = apply_rotary(q, k, cos, sin)
+
+        if self.capture_qkv:
+            self.sow("intermediates", "attention_qkv", (q, k, v, lengths))
 
         if cp is not None and self.attention_cp_impl == "ring":
             if self.return_attention_weights:
@@ -212,6 +222,7 @@ class ConformerLayer(nn.Module):
     dropout_attn: float = 0.0
     use_pallas: bool = True
     return_attention_weights: bool = False
+    capture_qkv: bool = False
     seq_axis_name: Optional[str] = None  # context parallel (inside shard_map)
     attention_cp_impl: str = "gather"  # 'gather' | 'ring' (see Attention)
     stat_axes: Tuple[str, ...] = ()  # mesh axes for batch-renorm statistics
@@ -270,6 +281,7 @@ class ConformerLayer(nn.Module):
             dropout=self.dropout_attn,
             use_pallas=self.use_pallas,
             return_attention_weights=self.return_attention_weights,
+            capture_qkv=self.capture_qkv,
             seq_axis_name=self.seq_axis_name,
             attention_cp_impl=self.attention_cp_impl,
             quant_qkv=qsite("qkv"),
@@ -395,6 +407,7 @@ class SCConformerXL(nn.Module):
     attention_window_size_right: Optional[int] = None
     use_pallas: bool = True
     return_attention_weights: bool = False
+    capture_qkv: bool = False
     # full-model context parallelism (SURVEY §2.9, a NEW capability vs the
     # reference): set when applying this module inside shard_map with the
     # audio time axis sharded over `seq_axis_name`.  Subsampling and the
@@ -579,6 +592,7 @@ class SCConformerXL(nn.Module):
                 dropout_attn=self.dropout_attn,
                 use_pallas=self.use_pallas,
                 return_attention_weights=self.return_attention_weights,
+                capture_qkv=self.capture_qkv,
                 seq_axis_name=self.seq_axis_name,
                 attention_cp_impl=self.attention_cp_impl,
                 stat_axes=self.stat_axes,

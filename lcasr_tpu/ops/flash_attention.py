@@ -1152,6 +1152,81 @@ def flash_attention_with_lse(
     return out, lse128[:, :, :T, 0]
 
 
+def flash_attention_probs(
+    q: jnp.ndarray,  # (B, Tq, H, D)
+    k: jnp.ndarray,  # (B, Tk, H, D)
+    v: jnp.ndarray,
+    lengths: Optional[jnp.ndarray] = None,
+    window: Tuple[int, int] = (-1, -1),
+    softmax_scale: Optional[float] = None,
+    rows: Optional[Tuple] = None,  # (start, n_rows); None = all rows
+    q_offset: Optional[jnp.ndarray] = None,
+    kv_offset: Optional[jnp.ndarray] = None,
+    lse: Optional[jnp.ndarray] = None,  # (B, H, Tq) — reuse across row blocks
+):
+    """Row-blocked attention probabilities from the PRODUCTION kernel
+    (VERDICT r4 #5; the TPU counterpart of the reference's
+    CollectFlashAttentionProbs softmax reconstruction,
+    `lcasr/components/attention.py:259-318`).
+
+    The Pallas forward already emits its online-softmax log-sum-exp; the
+    global probabilities of any query-row slice are then exactly
+    ``p = exp(s − lse)`` with ``s`` recomputed for those rows only — the
+    same scaled-q bf16 MXU product and the same global-coordinate
+    column/window masks the kernel applies.  Memory is O(n_rows · Tk) per
+    call, never O(T²): stream row blocks (pass ``lse`` back in to skip the
+    kernel re-run) to analyze arbitrarily long sequences.
+
+    Returns (B, H, n_rows, Tk) fp32 probabilities (rows past `lengths` are
+    all-zero, matching `reference_attention(..., return_weights=True)`).
+    `rows[0]` may be a traced scalar (scan-friendly); `rows[1]` is static.
+    """
+    B, T, H, D = q.shape
+    Tk = k.shape[1]
+    scale = softmax_scale if softmax_scale is not None else D ** -0.5
+    if lengths is None:
+        lengths_arr = jnp.full((B,), Tk, dtype=jnp.int32)
+    else:
+        lengths_arr = lengths.astype(jnp.int32)
+    if lse is None:
+        _, lse = flash_attention_with_lse(
+            q, k, v, lengths=lengths_arr, window=window, softmax_scale=scale,
+            q_offset=q_offset, kv_offset=kv_offset,
+        )
+    start, n = rows if rows is not None else (0, T)
+    qo = jnp.zeros((), jnp.int32) if q_offset is None else jnp.asarray(q_offset, jnp.int32).reshape(())
+    ko = jnp.zeros((), jnp.int32) if kv_offset is None else jnp.asarray(kv_offset, jnp.int32).reshape(())
+
+    qr = jax.lax.dynamic_slice_in_dim(q, start, n, axis=1)
+    lse_r = jax.lax.dynamic_slice_in_dim(lse, start, n, axis=2)
+    # the kernel folds the softmax scale into q IN q.dtype before the MXU
+    # product (fp32 accumulation) — mirror both for numerical agreement
+    qs = qr * jnp.asarray(scale, qr.dtype)
+    s = jnp.einsum(
+        "bnhd,bmhd->bhnm", qs, k, preferred_element_type=jnp.float32
+    )
+
+    g_rows = qo + start + jnp.arange(n)  # global query coordinates
+    g_cols = ko + jnp.arange(Tk)
+    valid = (g_cols[None, None, None, :] < lengths_arr[:, None, None, None])
+    valid &= (g_rows[None, None, :, None] < lengths_arr[:, None, None, None])
+    left, right = window
+    rel = g_rows[:, None] - g_cols[None, :]
+    if right >= 0:
+        valid &= (rel >= -right)[None, None]
+    if left >= 0:
+        valid &= (rel <= left)[None, None]
+    # fully-masked rows carry lse = NEG_INF — exp(s − NEG_INF) would
+    # overflow, and those rows must be all-zero anyway
+    live_row = lse_r > NEG_INF / 2
+    p = jnp.where(
+        valid & live_row[..., None],
+        jnp.exp(s - jnp.where(live_row, lse_r, 0.0)[..., None]),
+        0.0,
+    )
+    return p
+
+
 def flash_attention_bwd(
     q: jnp.ndarray,  # (B, Tq, H, D)
     k: jnp.ndarray,  # (B, Tk, H, D)

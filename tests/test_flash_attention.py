@@ -268,3 +268,88 @@ def test_double_buffered_forward_out_of_band_shard(monkeypatch):
     monkeypatch.setenv("LCASR_ATTN_FWD_DB", "1")
     out_db2 = np.asarray(flash_attention(q, k, v, **kwargs2))
     np.testing.assert_allclose(out_db2, out_prod2, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("window", [(-1, -1), (32, 32)])
+def test_probs_match_oracle(qkv, window):
+    """flash_attention_probs (VERDICT r4 #5): row-blocked probabilities
+    normalized by the production kernel's lse must equal the oracle's
+    softmax probabilities — ragged lengths, windowed and full attention,
+    and an interior row slice."""
+    from lcasr_tpu.ops.flash_attention import flash_attention_probs
+
+    q, k, v = qkv
+    lengths = jnp.array([T, 200], jnp.int32)
+    _, probs_r = reference_attention(
+        q, k, v, q_lengths=lengths, kv_lengths=lengths, window=window,
+        return_weights=True,
+    )
+    # full-row capture
+    p = flash_attention_probs(q, k, v, lengths=lengths, window=window)
+    assert p.shape == (B, 2, T, T)
+    # compare VALID rows only (the oracle leaves padded-query rows as a
+    # softmax over valid columns; the kernel path zeroes them)
+    np.testing.assert_allclose(np.asarray(p[0]), np.asarray(probs_r[0]),
+                               atol=2e-3, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(p[1, :, :200]),
+                               np.asarray(probs_r[1, :, :200]),
+                               atol=2e-3, rtol=2e-2)
+    # padded-query rows are exactly zero
+    assert float(jnp.abs(p[1, :, 200:]).max()) == 0.0
+    # rows sum to 1 on live rows
+    np.testing.assert_allclose(np.asarray(p[0].sum(-1)), 1.0, atol=1e-3)
+
+    # interior row slice with a reused lse (the streaming pattern)
+    from lcasr_tpu.ops.flash_attention import flash_attention_with_lse
+
+    _, lse = flash_attention_with_lse(q, k, v, lengths=lengths, window=window)
+    p_rows = flash_attention_probs(
+        q, k, v, lengths=lengths, window=window, rows=(64, 128), lse=lse)
+    np.testing.assert_allclose(np.asarray(p_rows),
+                               np.asarray(p[:, :, 64:192]), atol=1e-6)
+
+
+@pytest.mark.slow  # fast-tier budget: heavy system test, slow tier runs it
+def test_attention_summary_streams_without_oracle():
+    """analysis.attention_summary: the row-blocked statistics must agree
+    with the same statistics computed from the O(T²) oracle probabilities,
+    and the capture path must leave the model's attention output unchanged
+    (capture_qkv sows q/k/v without rerouting the forward)."""
+    from lcasr_tpu.evaluation.analysis import (
+        attention_prob_rows,
+        attention_summary,
+        get_attention_weights,
+    )
+    from lcasr_tpu.models.sconformer_xl import SCConformerXL
+
+    model = SCConformerXL(vocab_size=16, d_model=64, n_layers=2, n_heads=2,
+                          head_dim=32, subsampling_conv_channels=32,
+                          use_pallas=False)
+    rng = np.random.default_rng(5)
+    audio = rng.normal(size=(1, 80, 640)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 640)))
+    lengths = np.array([640])
+
+    oracle = get_attention_weights(model, variables, audio, lengths=lengths)
+    summary = attention_summary(model, variables, audio, lengths=lengths,
+                                row_block=32, top_k=4)
+    assert len(summary) == len(oracle) == 2
+    for probs, stats in zip(oracle, summary):
+        ent_o = -(probs * np.log(np.maximum(probs, 1e-30))).sum(-1)
+        np.testing.assert_allclose(stats["entropy"], ent_o, atol=1e-3,
+                                   rtol=1e-3)
+        Tp = probs.shape[-1]
+        dist_o = (probs * np.abs(
+            np.arange(Tp)[None, None, None, :]
+            - np.arange(Tp)[None, None, :, None])).sum(-1)
+        np.testing.assert_allclose(stats["expected_distance"], dist_o,
+                                   atol=1e-2, rtol=1e-2)
+        # top-1 column agrees with the oracle argmax
+        np.testing.assert_array_equal(stats["topk_cols"][..., 0],
+                                      probs.argmax(-1))
+
+    # row capture for one layer equals the oracle's rows
+    p_rows = attention_prob_rows(model, variables, audio, layer=1,
+                                 rows=(8, 16), lengths=lengths)
+    np.testing.assert_allclose(p_rows, oracle[1][:, :, 8:24], atol=1e-3,
+                               rtol=1e-2)
