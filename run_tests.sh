@@ -1,10 +1,11 @@
 #!/bin/bash
 # Test runner. Tiers (VERDICT r3 #4):
 #   ./run_tests.sh cpu        — FAST tier on the 8-device virtual CPU mesh
-#                               (unit + parity; ~10 min single-core)
+#                               (unit + parity; 9:15 single-core, r5)
 #   ./run_tests.sh cpu-slow   — only the slow tier (closed loops, full-model
-#                               CP/ring matrices, cross-framework trajectory,
-#                               mesh closed loop; ~40 min single-core)
+#                               CP/ring matrices, cross-framework trajectory
+#                               arms incl. AED, parallel-equivalence matrix;
+#                               ~45 min single-core)
 #   ./run_tests.sh cpu-all    — everything (fast + slow)
 #   ./run_tests.sh            — default backend (TPU via axon tunnel if
 #                               available), fast tier

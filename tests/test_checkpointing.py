@@ -49,6 +49,7 @@ def test_checkpoint_averaging(tmp_path):
     )
 
 
+@pytest.mark.slow  # fast-tier budget: covered by fast-tier siblings
 def test_resume_preserves_mesh_shardings(tmp_path):
     """Trainer.resume on a mesh: restored params/opt-state leaves carry the
     SAME NamedShardings init_state pinned (a replicated restore would

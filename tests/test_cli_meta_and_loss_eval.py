@@ -6,6 +6,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lcasr_tpu.config import Config
 from lcasr_tpu.data.tokenizer import load_tokenizer
@@ -33,6 +34,7 @@ def _make_pairs(tmp_path, n=1):
     return pairs
 
 
+@pytest.mark.slow  # fast-tier budget: heavy system test, slow tier runs it
 def test_train_meta_cli_end_to_end(tmp_path):
     """`cli/train_meta.main` runs the whole path: yaml config + overrides ->
     SCConformerMeta -> pretrained-encoder load -> UtteranceDataloader ->

@@ -190,6 +190,7 @@ def test_ctc_analytic_gradient_matches_autodiff():
     assert np.abs(np.asarray(g_bad[1])).max() == 0.0
 
 
+@pytest.mark.slow  # fast-tier budget: heavy system test, slow tier runs it
 def test_ctc_segmented_matches_monolithic():
     """Segmented backward (segment-entry checkpoints + per-segment alpha
     recompute) vs the monolithic analytic backward: identical losses and

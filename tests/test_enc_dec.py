@@ -72,6 +72,7 @@ def test_generate_greedy_terminates(model_and_vars):
     assert all(0 <= i < TINY["vocab_size"] for i in ids)
 
 
+@pytest.mark.slow  # fast-tier budget: heavy system test, slow tier runs it
 def test_cached_step_logits_match_full_pass(model_and_vars):
     """Per-step logits from the KV-cached incremental decoder equal the full
     teacher-forced pass at every position (U=64 — the O(U) vs O(U²) contract,

@@ -135,6 +135,7 @@ def test_frame_sync_matches_reference(reference_search_cls, prune_val):
     assert ids == list(ref.beams[0].lm_sequence[1:])
 
 
+@pytest.mark.slow  # fast-tier budget: covered by fast-tier siblings
 def test_cached_transformer_lm_matches_full_forward():
     """Per-beam KV-cached single-token stepping == full-context forward."""
     from lcasr_tpu.models.lm import TransformerLM

@@ -4,12 +4,14 @@ gradients, masking and the optimizer compose correctly."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lcasr_tpu.models.sconformer_xl import SCConformerXL
 from lcasr_tpu.ops.ctc import ctc_loss
 from lcasr_tpu.optim.madgrad import madgrad
 
 
+@pytest.mark.slow  # fast-tier budget: heavy system test, slow tier runs it
 def test_overfit_single_utterance():
     rng = np.random.default_rng(0)
     model = SCConformerXL(

@@ -50,6 +50,7 @@ def test_flip_with_lengths():
     np.testing.assert_array_equal(out[1, 5:, 0], np.arange(5, 12))
 
 
+@pytest.mark.slow  # fast-tier budget: covered by fast-tier siblings
 def test_mamba_forward_shapes():
     model = Mamba(**TINY)
     audio = jax.random.normal(jax.random.PRNGKey(0), (2, 80, 256))
@@ -110,6 +111,7 @@ def test_pallas_selective_scan_matches_reference():
     assert float(jnp.abs(g1 - g2).max()) < 1e-2 * float(jnp.abs(g2).max())
 
 
+@pytest.mark.slow  # fast-tier budget: heavy system test, slow tier runs it
 def test_native_selective_scan_backward_matches_reference(monkeypatch):
     """Native reverse-recurrence Pallas backward (VERDICT r2 next-step #5) vs
     autodiff through the associative-scan reference: all five gradients

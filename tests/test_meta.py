@@ -91,6 +91,7 @@ def test_meta_loss_fns():
         assert float(fn(a, -a, 32.0)) > 0.0
 
 
+@pytest.mark.slow  # fast-tier budget: heavy system test, slow tier runs it
 def test_meta_training_step_updates_only_meta_params_and_learns():
     model = tiny_model()
     cfg = Config(

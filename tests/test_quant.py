@@ -57,6 +57,7 @@ def _tiny(quant):
     )
 
 
+@pytest.mark.slow  # fast-tier budget: heavy system test, slow tier runs it
 def test_model_w8a8_same_param_tree_and_close_posteriors():
     audio = jnp.asarray(
         np.random.default_rng(0).normal(size=(2, 80, 256)), jnp.float32
@@ -89,6 +90,7 @@ def test_model_w8a8_train_raises():
         model.apply(variables, audio, train=True)
 
 
+@pytest.mark.slow  # fast-tier budget: heavy system test, slow tier runs it
 @pytest.mark.parametrize("family", ["mamba", "enc_dec", "lm"])
 def test_w8a8_other_families_same_tree_and_close(family):
     """Every serving model family accepts quant_w8a8 with an unchanged param

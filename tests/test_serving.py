@@ -68,6 +68,7 @@ def test_incremental_mel_matches_offline_frontend(model_and_vars):
     np.testing.assert_allclose(tr._mel, offline, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow  # fast-tier budget: covered by fast-tier siblings
 def test_streamed_transcript_matches_full_forward(model_and_vars):
     """Final transcript == offline greedy over ONE full-recording forward:
     the window margins (ctx - stride - delay = 256 frames left, delay = 128

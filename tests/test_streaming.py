@@ -115,6 +115,7 @@ def test_stacking_subsampled_single_window_equals_direct():
     np.testing.assert_allclose(merged, direct, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow  # fast-tier budget: heavy system test, slow tier runs it
 def test_subsampled_length_matches_model_lengths():
     """Host-side length mirror == each subsampling module's own calc."""
     from lcasr_tpu.evaluation.streaming import subsampled_length
