@@ -257,6 +257,11 @@ def main():
             "server_round_ms_p95": round(float(np.percentile(lat, 95)) * 1e3, 1),
             "server_aggregate_rtfx": round(S * audio_s / wall, 1),
             "server_rtfx_per_stream": round(audio_s / wall, 1),
+            # dispatch accounting: on a link-bound host wall ≈ waves × round
+            # trip + upload_bytes/bandwidth — the scaling-plateau evidence
+            "server_waves": server.wave_count,
+            "server_delta_waves": server.delta_wave_count,
+            "server_upload_mb": round(server.upload_bytes / 2**20, 2),
         })
 
     print(json.dumps(result))

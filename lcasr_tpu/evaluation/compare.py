@@ -12,6 +12,13 @@ against it:
 
 Exit status 1 if any matched row exceeds tolerance — usable as a CI parity
 gate once real-corpus checkpoints/datasets are mounted.
+
+HONESTY NOTE: published-WER parity is UNVALIDATED at zero egress — no run
+in this repo's build environment has decoded a real speech corpus with a
+real trained checkpoint, so the zoo's `expected_wer_*` rows are targets,
+not reproduced results.  The validated proxy stack (converted-checkpoint
+logit parity, cross-framework training-trajectory parity, synthetic
+closed-loop WER-0 on chip/mesh) is documented in configs/model_zoo.yaml.
 """
 from __future__ import annotations
 

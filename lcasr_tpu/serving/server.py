@@ -179,6 +179,12 @@ class TranscriptionServer:
         self._forward_full = forward_full
         self._forward_delta = forward_delta
         self._win_buf = jnp.zeros((self.S, 80, self.ctx), jnp.float32)
+        # dispatch accounting (PERFORMANCE.md serving-scaling analysis): on
+        # link-bound hosts the wave count × round trip IS the wall clock, so
+        # a scaling plateau must be attributable from these alone
+        self.wave_count = 0
+        self.delta_wave_count = 0
+        self.upload_bytes = 0
         self._sessions: Dict[int, OnlineTranscriber] = {}
         self._out: Dict[int, List[str]] = {}
         self._slot: Dict[int, int] = {}  # sid → fixed buffer row
@@ -290,6 +296,9 @@ class TranscriptionServer:
             else:
                 scale = 1.0
                 host = payload_host.astype(self._host_dtype)
+            self.wave_count += 1
+            self.delta_wave_count += int(all_delta)
+            self.upload_bytes += host.nbytes
             fwd = self._forward_delta if all_delta else self._forward_full
             res = fwd(
                 self.variables, self._win_buf, jnp.asarray(host),
