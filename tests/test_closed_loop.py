@@ -312,9 +312,10 @@ def test_enc_dec_closed_loop(synth_corpus, tmp_path):
         spec = np.load(pair["audio"]).astype(np.float32)  # (1, 80, T)
         gold = json.load(open(pair["txt"]))
         words = [w["word"] for w in gold["results"][0]["alternatives"][0]["words"]]
-        # bos=2 / eos=0: the Trainer's enc_dec target convention
+        # bos=0 / eos=0: calc_loss's defaults, which the trainer now
+        # follows (the reference training loop never overrides them)
         ids = generate_greedy_cached(
-            model, variables, spec, max_generate=64, bos_id=2, eos_id=0,
+            model, variables, spec, max_generate=64, bos_id=0, eos_id=0,
         )
         hyps.append(normalize(tokenizer.decode(ids)).lower())
         refs.append(normalize(" ".join(words)).lower())
