@@ -274,7 +274,13 @@ class ConformerConvolution(nn.Module):
             seq_axis_name=self.seq_axis_name,
         )
 
-        if self.mask_norm_stats:
+        if not train:
+            # eval uses running stats — the batch-stat mask is dead there,
+            # and keeping its arithmetic out of the graph keeps inference
+            # HLO (and the persistent compile cache for every decode
+            # program) identical to pre-r5 builds
+            stat_mask = None
+        elif self.mask_norm_stats:
             stat_mask = pad_mask
         elif pad_mask is not None:
             # reference parity WITH static batches: the reference's unmasked
